@@ -1,0 +1,609 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** One declared query: a Spark-first implementation plus (when
+  * SQL-expressible) an equivalent DuckDB oracle. Column names/types are
+  * aligned between the two sides — the driver's compare sorts columns by
+  * name and hash-compares values, so every computed column is aliased
+  * identically in both. */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Pass-through query inventory (SURVEY.md §2D, q01–q28).
+  *
+  * The reference (exasol/etl-utils `query_wrapper.sql:40`) forwards arbitrary
+  * SQL to the host Exasol engine; the capability surface it evidences is
+  * re-expressed here Spark-first: declarative DataFrame plans that Catalyst
+  * optimizes (pushdown, pruning, join selection, whole-stage codegen).
+  *
+  * Determinism rules (SURVEY §7.6): every query ends in a total ORDER BY with
+  * a unique tie-breaker; double aggregates are rounded; session timezone is
+  * UTC; DuckDB-side integer aggregates are cast to match Spark's types
+  * (DuckDB SUM(int) is HUGEINT, len/length/year are BIGINT, ceil/floor stay
+  * DOUBLE — Spark's are BIGINT/INT/LONG).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries INT64 TIMESTAMP(NANOS) — Spark's parquet reader
+    * rejects nanos natively, so read them as long (legacy conf) and truncate
+    * to microseconds, exactly what DuckDB's ns→µs TIMESTAMP conversion does. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Per-row half-up rounding computed on the raw binary double — identical
+    * IEEE ops on both engines, unlike `ROUND(double, 2)` whose tie-breaking
+    * differs between Spark (shortest-decimal-repr half-up) and DuckDB
+    * (binary-value rounding) at representational midpoints like x.745. */
+  private def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+
+  // ---------------------------------------------------------------- q01–q05
+
+  /** COUNT(*) scan+agg — the README's per-table count pattern (README.md:46). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  private val q01Sql = "SELECT COUNT(*) AS cnt FROM lineitem"
+
+  /** Multi-predicate equality+range conjunction (README.md:52–58 pattern).
+    * Filters reach the parquet scan as PushedFilters. */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 100 && col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  private val q02Sql =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value > 100 AND user_id < 50
+      |ORDER BY event_id""".stripMargin
+
+  /** Expression projection: revenue = extendedprice * (1 - discount). */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q03Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |       FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H-Q1-style hash aggregate: partial (map-side) + final agg for free. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q04Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+      |       ROUND(AVG(l_discount), 6) AS avg_disc,
+      |       COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** MIN/MAX agg — the run-id allocation pattern (query_wrapper.sql:268). */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").agg(
+      max(col("o_orderkey")).as("max_key"),
+      min(col("o_orderkey")).as("min_key"))
+
+  private val q05Sql =
+    "SELECT MAX(o_orderkey) AS max_key, MIN(o_orderkey) AS min_key FROM orders"
+
+  // ---------------------------------------------------------------- joins
+
+  /** Inner equi-join + agg; Catalyst picks broadcast vs SMJ (AQE at runtime). */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  private val q06Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left-outer join with null handling: customers with zero orders kept. */
+  private def q06b(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      .orderBy(col("c_custkey"))
+
+  private val q06bSql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |       ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** Fact ⋈ small dim with an explicit broadcast hint: no shuffle of the
+    * fact side — the plan that survives a 100× scale-up. */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"), "inner")
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+
+  private val q07Sql =
+    """SELECT p_brand, ROUND(SUM(l_extendedprice), 2) AS revenue, COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Left-semi join (EXISTS guard — the typical ETL existence check). */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q08Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q09Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Five-way star join: tiny dims broadcast, the single big shuffle is
+    * orders⋈lineitem on the join key. Flagship `entry` query. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val region = broadcast(t(s, d, "region"))
+    val nation = broadcast(t(s, d, "nation"))
+    val customer = t(s, d, "customer")
+    val orders = t(s, d, "orders")
+    val lineitem = t(s, d, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q10Sql =
+    """SELECT r_name, n_name,
+      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- windows
+
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+    t(s, d, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+        col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  private val q11Sql =
+    """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  /** Analytic window with an explicit ROWS frame: running sum per customer.
+    * The window ORDER BY carries a unique tie-breaker (o_orderkey) so the
+    * running sum is total-order deterministic. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q12Sql =
+    """SELECT o_custkey, o_orderkey,
+      |       ROUND(SUM(o_totalprice) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Global top-k: Spark plans this as TakeOrderedAndProject (per-partition
+    * top-k then a single merge — no full sort, no full shuffle). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+
+  private val q13Sql =
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- set ops
+
+  /** UNION ALL of two slices + dedup count per key. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .union(c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_all"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q14Sql =
+    """SELECT c_custkey, COUNT(*) AS n_all FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** INTERSECT (distinct semantics in both engines). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q15Sql =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** EXCEPT (distinct semantics in both engines). */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .except(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey"))
+
+  private val q16Sql =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- aggs II
+
+  /** Exact COUNT(DISTINCT) — expands to a two-phase distinct aggregate. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  private val q17Sql =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      |       COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin
+
+  /** GROUP BY ROLLUP with explicit NULLS FIRST ordering (Spark's ASC default
+    * is nulls-first, DuckDB's is nulls-last — pinned on both sides). */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acct"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  private val q18Sql =
+    """SELECT r_name, n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS acct
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- scalars
+
+  /** String functions, incl. the wrapper's log-level truncation rule
+    * (>10 chars → first 7 + '...', query_wrapper.sql:73–75). */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 5)).as("pfx"),
+        length(col("c_name")).as("name_len"),
+        concat(col("c_mktsegment"), lit("-"), col("c_name")).as("seg_name"),
+        when(length(col("c_name")) > 10,
+          concat(substring(col("c_name"), 1, 7), lit("...")))
+          .otherwise(col("c_name")).as("trunc_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q19Sql =
+    """SELECT c_custkey,
+      |       UPPER(SUBSTRING(c_name, 1, 5)) AS pfx,
+      |       CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+      |       c_mktsegment || '-' || c_name AS seg_name,
+      |       CASE WHEN LENGTH(c_name) > 10
+      |            THEN SUBSTRING(c_name, 1, 7) || '...'
+      |            ELSE c_name END AS trunc_name
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Date/time functions on shipdate (TO_TIMESTAMP / CURRENT_TIMESTAMP
+    * family, query_wrapper.sql:98,170 — format dialect translated). */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mo"))
+      .agg(
+        count(lit(1)).as("n"),
+        to_date(date_trunc("month", min(col("l_shipdate")))).as("first_day"))
+      .orderBy(col("yr"), col("mo"))
+
+  private val q20Sql =
+    """SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS yr,
+      |       CAST(MONTH(l_shipdate) AS INTEGER) AS mo,
+      |       COUNT(*) AS n,
+      |       CAST(DATE_TRUNC('month', MIN(l_shipdate)) AS DATE) AS first_day
+      |FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  /** Math functions (Spark ceil/floor return BIGINT; DuckDB's stay DOUBLE —
+    * cast on the oracle side). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(
+        col("p_partkey"),
+        round(col("p_retailprice"), 1).as("r1"),
+        ceil(col("p_retailprice")).as("ce"),
+        floor(col("p_retailprice")).as("fl"),
+        abs(col("p_size") - 25).as("ab"),
+        (col("p_size") % 7).as("md"),
+        round(sqrt(col("p_retailprice")), 4).as("sq"))
+      .orderBy(col("p_partkey"))
+
+  private val q21Sql =
+    """SELECT p_partkey,
+      |       ROUND(p_retailprice, 1) AS r1,
+      |       CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+      |       CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+      |       ABS(p_size - 25) AS ab,
+      |       p_size % 7 AS md,
+      |       ROUND(SQRT(p_retailprice), 4) AS sq
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** CASE WHEN / COALESCE / NULLIF / IS NULL (reference `is_null` semantics,
+    * query_wrapper.sql:24–30 — a single SQL-null notion on the Spark side). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)")).as("seg2"),
+        col("c_acctbal").isNull.as("bal_is_null"))
+      .orderBy(col("c_custkey"))
+
+  private val q22Sql =
+    """SELECT c_custkey,
+      |       CASE WHEN c_acctbal < 0 THEN 'neg'
+      |            WHEN c_acctbal < 5000 THEN 'mid'
+      |            ELSE 'high' END AS bal_class,
+      |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(none)') AS seg2,
+      |       c_acctbal IS NULL AS bal_is_null
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- arrays+
+
+  /** Array functions over the embedding column (size / element_at / aggregate
+    * lambda for the L2 norm — all codegen-friendly higher-order functions). */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        col("label"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(sqrt(expr(
+          "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
+          .as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  private val q23Sql =
+    """SELECT vec_id, label,
+      |       CAST(LEN(embedding) AS INTEGER) AS dim,
+      |       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+      |       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) via lag + cumulative sum —
+    * the batch analog of a streaming session window. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q24Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR EPOCH_US(ts) - EPOCH_US(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Exact dedup: content-hash groupBy keeping the smallest doc_id.
+    * At 100 TB this is the canonical one-shuffle dedup (hash-partition on the
+    * digest, no sort). */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("h"))
+
+  private val q25Sql =
+    """SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  /** Cosine top-5 per label centroid. Centroids are tiny (one per label) and
+    * broadcast; top-k is two-phase (per-salt then global) so no single
+    * reducer ever sees a whole label's rows — the 1000-executor-safe shape. */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val centroids = emb
+      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+      .select(col("c_label"), expr("transform(pairs, p -> p.cv)").as("centroid"))
+
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("cos", expr(
+        """aggregate(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x)
+          | / (sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          |    * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""".stripMargin))
+      .select(col("c_label"), col("vec_id"), col("cos"))
+
+    // Phase 1: top-5 within (label, salt) buckets; phase 2: top-5 of survivors.
+    val salted = scored.withColumn("salt", pmod(col("vec_id"), lit(32)))
+    val w1 = Window.partitionBy(col("c_label"), col("salt"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val w2 = Window.partitionBy(col("c_label")).orderBy(col("cos").desc, col("vec_id").asc)
+    salted
+      .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= 5)
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= 5)
+      .select(col("c_label").as("label"), col("rk"), col("vec_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  /** Token frequency: tokenize → explode → count → global top-20. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  private val q27Sql =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents)
+      |WHERE token <> '' GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
+  /** JSON field extraction from the events.props string column. */
+  private def q27b(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy(col("event_id"))
+
+  private val q27bSql =
+    """SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Wrapper-style parameterized query: `::TAB` identifier splice +
+    * `:UID` value binding (README.md:43–57 pattern), resolved pre-parse by
+    * [[graft.wrapper.Params]] then run through `spark.sql(sql, args)`. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("events")
+    val sql =
+      """SELECT event_type, COUNT(*) AS n FROM ::TAB
+        |WHERE user_id < :UID GROUP BY event_type ORDER BY event_type""".stripMargin
+    val spliced = graft.wrapper.Params.spliceIdentifiers(sql, Map("TAB" -> "events"))
+    s.sql(spliced, Map[String, Any]("UID" -> 50L))
+  }
+
+  private val q28Sql =
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |WHERE user_id < 50 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- export
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q01_count_star", q01, Some(q01Sql)),
+    QueryDef("q02_filter_conjunction", q02, Some(q02Sql)),
+    QueryDef("q03_projection_expr", q03, Some(q03Sql)),
+    QueryDef("q04_agg_groupby", q04, Some(q04Sql)),
+    QueryDef("q05_agg_max", q05, Some(q05Sql)),
+    QueryDef("q06_join_inner", q06, Some(q06Sql)),
+    QueryDef("q06b_join_outer", q06b, Some(q06bSql)),
+    QueryDef("q07_join_broadcast", q07, Some(q07Sql)),
+    QueryDef("q08_join_semi", q08, Some(q08Sql)),
+    QueryDef("q09_join_anti", q09, Some(q09Sql)),
+    QueryDef("q10_join_multiway", q10, Some(q10Sql)),
+    QueryDef("q11_window_rank", q11, Some(q11Sql)),
+    QueryDef("q12_window_frame", q12, Some(q12Sql)),
+    QueryDef("q13_topk", q13, Some(q13Sql)),
+    QueryDef("q14_union", q14, Some(q14Sql)),
+    QueryDef("q15_intersect", q15, Some(q15Sql)),
+    QueryDef("q16_except", q16, Some(q16Sql)),
+    QueryDef("q17_count_distinct", q17, Some(q17Sql)),
+    QueryDef("q18_rollup", q18, Some(q18Sql)),
+    QueryDef("q19_string_funcs", q19, Some(q19Sql)),
+    QueryDef("q20_datetime_funcs", q20, Some(q20Sql)),
+    QueryDef("q21_math_funcs", q21, Some(q21Sql)),
+    QueryDef("q22_case_null", q22, Some(q22Sql)),
+    QueryDef("q23_array_funcs", q23, Some(q23Sql)),
+    QueryDef("q24_sessionize", q24, Some(q24Sql)),
+    QueryDef("q25_dedup_exact", q25, Some(q25Sql)),
+    QueryDef("q26_similarity_topk", q26, None),
+    QueryDef("q27_text_tokens", q27, Some(q27Sql)),
+    QueryDef("q27b_json_extract", q27b, Some(q27bSql)),
+    QueryDef("q28_param_identifier", q28, Some(q28Sql)),
+  )
+}
