@@ -11,11 +11,13 @@ package graft.wrapper
   *
   * Spark ≥3.4 natively supports `:NAME` via `spark.sql(sql, args)`; the
   * identifier splice is performed here, pre-parse, exactly like the original
-  * does it before handing the text to the engine.
+  * does it before handing the text to the engine. The splice drives off
+  * [[SqlTokens.tokenize]] so `::x` inside string literals, quoted identifiers
+  * or comments is left untouched (the host engine's substitution operates on
+  * parsed tokens, never inside literals).
   */
 object Params {
 
-  private val IdentParam = "::([A-Za-z_][A-Za-z0-9_]*)".r
   private val SafeIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
 
   /** Backtick-quote an identifier unless it is already a safe bare name.
@@ -28,23 +30,31 @@ object Params {
 
   /** Splice `::NAME` identifier parameters into the SQL text. Works in any
     * identifier position, including two-part `::SCH.::TAB` (README.md:46).
-    * Unknown identifier params raise — matching the host-engine behaviour of
-    * failing the statement rather than passing `::x` through.
+    * Occurrences inside string literals, quoted identifiers and comments are
+    * NOT spliced. Unknown identifier params raise — matching the host-engine
+    * behaviour of failing the statement rather than passing `::x` through.
     */
   def spliceIdentifiers(sql: String, params: Map[String, Any]): String = {
     // Case-insensitive lookup: Exasol identifiers are case-insensitive.
     val byUpper = params.map { case (k, v) => k.toUpperCase -> v }
-    IdentParam.replaceAllIn(sql, m => {
-      val name = m.group(1)
-      byUpper.get(name.toUpperCase) match {
-        case Some(v) => java.util.regex.Matcher.quoteReplacement(quote(String.valueOf(v)))
-        case None =>
-          throw new IllegalArgumentException(s"identifier parameter ::$name is not bound")
-      }
-    })
+    SqlTokens.tokenize(sql).map {
+      case SqlTokens.Token(SqlTokens.IdentParam, text) =>
+        val name = text.drop(2)
+        byUpper.get(name.toUpperCase) match {
+          case Some(v) => quote(String.valueOf(v))
+          case None =>
+            throw new IllegalArgumentException(
+              s"identifier parameter ::$name is not bound")
+        }
+      case t => t.text
+    }.mkString
   }
 
-  /** The value-parameter subset (everything Spark's `sql(text, args)` binds).
-    * `::x` occurrences must be spliced out first via [[spliceIdentifiers]]. */
-  def valueArgs(params: Map[String, Any]): Map[String, Any] = params
+  /** Names of `:NAME` value parameters referenced in the SQL (outside
+    * literals/comments), after identifier splice. Lets the wrapper bind only
+    * the params a statement actually uses. */
+  def valueParamNames(sql: String): Set[String] =
+    SqlTokens.tokenize(sql).collect {
+      case SqlTokens.Token(SqlTokens.ValueParam, text) => text.drop(1)
+    }.toSet
 }
