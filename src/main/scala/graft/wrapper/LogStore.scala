@@ -1,0 +1,124 @@
+package graft.wrapper
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One buffered log message (the reference's `self.messages` entry,
+  * query_wrapper.sql:81): `{run_id, time, type, message, rowcount}` with the
+  * time pre-formatted as `yyyy-MM-dd HH:mm:ss` (QW:81 `os.date`). */
+final case class LogMessage(
+    runId: Option[Long],
+    msgTime: String,
+    msgType: String,
+    message: String,
+    rowcount: Option[Long])
+
+/** Parquet-backed persistence for the two reference log tables
+  * (query_wrapper.sql:4–19):
+  *
+  *   job_log     (run_id, script_name, status, start_time, end_time)
+  *   job_details (detail_id, run_id, log_time, log_level, log_message, rowcount)
+  *
+  * Id allocation mirrors the reference's INSERT-then-`SELECT MAX(run_id)`
+  * pattern (QW:255–274) under a JVM lock — the reference itself races across
+  * sessions and mitigates with an early COMMIT (QW:277); single-driver scope
+  * is the same practical contract (SURVEY §7.5-2).
+  *
+  * `job_log` updates (the `finish()` UPDATE, QW:168–175) are
+  * read-modify-overwrite: the table is O(number of job runs), so rewriting it
+  * is trivially cheap at any data scale — the 100 TB tables are the ones the
+  * wrapper *queries*, never these.
+  */
+final class LogStore(
+    spark: SparkSession,
+    rootDir: String,
+    clock: () => Instant = () => Instant.now()) {
+
+  val jobLogPath = s"$rootDir/job_log"
+  val jobDetailsPath = s"$rootDir/job_details"
+
+  val jobLogSchema: StructType = StructType(Seq(
+    StructField("run_id", LongType, nullable = false),
+    StructField("script_name", StringType, nullable = false),
+    StructField("status", StringType),
+    StructField("start_time", TimestampType),
+    StructField("end_time", TimestampType)))
+
+  val jobDetailsSchema: StructType = StructType(Seq(
+    StructField("detail_id", LongType, nullable = false),
+    StructField("run_id", LongType),
+    StructField("log_time", TimestampType),
+    StructField("log_level", StringType),
+    StructField("log_message", StringType),
+    StructField("rowcount", LongType)))
+
+  private def fs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def exists(path: String): Boolean = {
+    val (p, f) = fs(path); f.exists(p)
+  }
+
+  def jobLog: DataFrame =
+    if (exists(jobLogPath)) spark.read.schema(jobLogSchema).parquet(jobLogPath)
+    else spark.createDataFrame(new java.util.ArrayList[Row](), jobLogSchema)
+
+  def jobDetails: DataFrame =
+    if (exists(jobDetailsPath))
+      spark.read.schema(jobDetailsSchema).parquet(jobDetailsPath)
+    else spark.createDataFrame(new java.util.ArrayList[Row](), jobDetailsSchema)
+
+  private def maxId(df: DataFrame, col: String): Long = {
+    val r = df.agg(org.apache.spark.sql.functions.max(col)).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  private def append(path: String, schema: StructType, rows: Seq[Row]): Unit = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1) // log rows are few; avoid a file-per-partition explosion
+      .write.mode("append").parquet(path)
+  }
+
+  /** Allocate a run id and open its `job_log` row with status RUNNING
+    * (QW:255–275: INSERT → SELECT MAX). */
+  def register(scriptName: String): Long = synchronized {
+    val id = maxId(jobLog, "run_id") + 1
+    append(jobLogPath, jobLogSchema,
+      Seq(Row(id, scriptName, "RUNNING", Timestamp.from(clock()), null)))
+    id
+  }
+
+  /** Flush buffered messages into `job_details`, allocating detail ids.
+    * One batched append — Spark writes the whole batch natively, so the
+    * reference's `vector_size = 100` chunking (QW:103, an Exasol
+    * "out of resultsets" workaround) is obsolete here. */
+  def appendDetails(messages: Seq[LogMessage]): Unit = synchronized {
+    if (messages.nonEmpty) {
+      val base = maxId(jobDetails, "detail_id")
+      val rows = messages.zipWithIndex.map { case (m, i) =>
+        Row(base + i + 1, m.runId.map(Long.box).orNull,
+          Timestamp.valueOf(m.msgTime), m.msgType, m.message,
+          m.rowcount.map(Long.box).orNull)
+      }
+      append(jobDetailsPath, jobDetailsSchema, rows)
+    }
+  }
+
+  /** Close a run: set end_time + final status (the finish() UPDATE,
+    * QW:168–175) via read-modify-overwrite of the tiny job_log table. */
+  def close(runId: Long, status: String): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    val end = Timestamp.from(clock())
+    val updated = jobLog.collect().toSeq.map { r =>
+      if (r.getLong(0) == runId) Row(r(0), r(1), status, r(3), end) else r
+    }
+    spark.createDataFrame(updated.asJava, jobLogSchema)
+      .coalesce(1).write.mode("overwrite").parquet(jobLogPath)
+  }
+}
