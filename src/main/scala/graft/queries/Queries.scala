@@ -498,37 +498,35 @@ object Queries {
     """SELECT MD5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
 
-  /** Cosine top-5 per label centroid. Centroids are tiny (one per label) and
-    * broadcast; top-k is two-phase (per-salt then global) so no single
-    * reducer ever sees a whole label's rows — the 1000-executor-safe shape. */
-  private def q26(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val centroids = emb
-      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("c_label"), col("pos")).agg(avg(col("v")).as("cv"))
-      .groupBy(col("c_label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-      .select(col("c_label"), expr("transform(pairs, p -> p.cv)").as("centroid"))
+  /** Cosine top-5 per label centroid — see [[graft.ext.SimilarityOps]].
+    * Centroid build is a single Summarizer.mean shuffle (one vector per
+    * row); centroids broadcast; salted two-phase top-k. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    graft.ext.SimilarityOps.centroidTopK(t(s, d, "embeddings"), k = 5)
 
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("cos", expr(
-        """aggregate(zip_with(embedding, centroid, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x)
-          | / (sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-          |    * sqrt(aggregate(centroid, 0D, (a, x) -> a + x * x)))""".stripMargin))
-      .select(col("c_label"), col("vec_id"), col("cos"))
-
-    // Phase 1: top-5 within (label, salt) buckets; phase 2: top-5 of survivors.
-    val salted = scored.withColumn("salt", pmod(col("vec_id"), lit(32)))
-    val w1 = Window.partitionBy(col("c_label"), col("salt"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val w2 = Window.partitionBy(col("c_label")).orderBy(col("cos").desc, col("vec_id").asc)
-    salted
-      .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= 5)
-      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= 5)
-      .select(col("c_label").as("label"), col("rk"), col("vec_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy(col("label"), col("rk"))
-  }
+  private val q26Sql =
+    """WITH pos AS (
+      |  SELECT label, UNNEST(embedding) AS v,
+      |         GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS c_label, LIST(cv ORDER BY pos) AS centroid FROM (
+      |    SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS cv
+      |    FROM pos GROUP BY label, pos)
+      |  GROUP BY label),
+      |scored AS (
+      |  SELECT c.c_label AS label, e.vec_id,
+      |         LIST_COSINE_SIMILARITY(
+      |           LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+      |           c.centroid) AS cos
+      |  FROM embeddings e CROSS JOIN cent c),
+      |ranked AS (
+      |  SELECT label, vec_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY label
+      |                            ORDER BY cos DESC, vec_id ASC) AS rk
+      |  FROM scored)
+      |SELECT label, CAST(rk AS INTEGER) AS rk, vec_id, ROUND(cos, 4) AS cosine
+      |FROM ranked WHERE rk <= 5 ORDER BY label, rk""".stripMargin
 
   /** Token frequency: tokenize → explode → count → global top-20. */
   private def q27(s: SparkSession, d: String): DataFrame =
@@ -601,7 +599,7 @@ object Queries {
     QueryDef("q23_array_funcs", q23, Some(q23Sql)),
     QueryDef("q24_sessionize", q24, Some(q24Sql)),
     QueryDef("q25_dedup_exact", q25, Some(q25Sql)),
-    QueryDef("q26_similarity_topk", q26, None),
+    QueryDef("q26_similarity_topk", q26, Some(q26Sql)),
     QueryDef("q27_text_tokens", q27, Some(q27Sql)),
     QueryDef("q27b_json_extract", q27b, Some(q27bSql)),
     QueryDef("q28_param_identifier", q28, Some(q28Sql)),

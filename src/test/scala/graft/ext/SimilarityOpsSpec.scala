@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Fixed-vector correctness for the similarity operators (VERDICT r1: q26
+  * needed a non-oracle correctness signal) + LSH plumbing/recall. */
+class SimilarityOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sql = spark
+  import sql.implicits._
+
+  private def fixture = Seq(
+    (1L, Array(1.0f, 0.0f), 1),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(1.0f, 1.0f), 1),
+    (4L, Array(-1.0f, 0.0f), 2),
+    (5L, Array(-1.0f, -0.1f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("centroidTopK: hand-computed cosines against the label centroid") {
+    val out = SimilarityOps.centroidTopK(fixture, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // label 1 centroid = (2/3, 2/3): cos([1,1]) = 1, cos([1,0]) = 1/sqrt(2)
+    assert(out.filter(_._1 == 1).toSeq == Seq(
+      (1, 1, 3L, 1.0), (1, 2, 1L, 0.7071), (1, 3, 2L, 0.7071)))
+    // label 2 centroid = (-1, -0.05): every vector is scored against every
+    // centroid; nearest three are (-1,-0.1), (-1,0), then (0,1).
+    val l2 = out.filter(_._1 == 2).toSeq
+    assert(l2.map(_._3) == Seq(5L, 4L, 2L))
+    assert(l2.map(_._4) == l2.map(_._4).sorted.reverse)
+  }
+
+  test("bruteForceKnn: exact neighbors, self excluded") {
+    val queries = fixture.filter($"vec_id" === 1L)
+    val out = SimilarityOps.bruteForceKnn(fixture, queries, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall(_._1 == 1L))
+    assert(!out.exists(_._3 == 1L)) // no self-match
+    // For [1,0]: best is [1,1] (0.7071), then [0,1] (0), then the negatives.
+    assert(out.map(_._3).take(2).toSeq == Seq(3L, 2L))
+    assert(out.head._4 == 0.7071)
+  }
+
+  test("lshKnn: scoring agrees with brute force on shared pairs; recall > 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" <= 3)
+    val exact = SimilarityOps.bruteForceKnn(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = SimilarityOps.lshKnn(emb, queries, k = 10, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(approx.nonEmpty)
+    val shared = approx.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty, "LSH found none of the true top-10 neighbors")
+    // Same pair → identical cosine (identical scoring path):
+    shared.foreach { k => assert(math.abs(approx(k) - exact(k)) < 1e-9) }
+  }
+
+  test("lshBucket is deterministic and bounded by plane count") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val b1 = emb.select(SimilarityOps.lshBucket($"embedding", 8).as("b"))
+      .collect().map(_.getLong(0))
+    val b2 = emb.select(SimilarityOps.lshBucket($"embedding", 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
+}
