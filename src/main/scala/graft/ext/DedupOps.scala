@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for LLM-training-data pipelines: MinHash+LSH
+  * (shingle → minhash → band → bucket-join) and SimHash.
+  *
+  * Scale contract: candidate generation NEVER goes all-pairs — pairs are
+  * produced only inside LSH buckets (shuffle keyed on band hash), and the
+  * exact-Jaccard verification joins shingle sets back by doc id rather than
+  * dragging them through the band explode. Exact dedup (hash-groupBy) lives
+  * in the query inventory (q25): one shuffle on the content digest.
+  */
+object DedupOps {
+
+  /** Lowercased whitespace word tokens, empties dropped. */
+  def wordTokens(c: Column): Column =
+    filter(split(lower(c), " "), t => length(t) > 0)
+
+  /** Distinct word n-shingles. n=1 → the distinct token set (bag-of-words
+    * Jaccard, the right granularity for small-vocab corpora); n≥2 → sliding
+    * windows joined with a space. */
+  def shingles(tokens: Column, n: Int): Column =
+    if (n <= 1) array_distinct(tokens)
+    else when(size(tokens) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** k-permutation MinHash signature: element j is the minimum of
+    * `xxhash64(j, shingle)` over the shingle set. One projection, no
+    * shuffle, codegen'd HOFs throughout. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleSet, s => xxhash64(j, s))))
+
+  /** LSH band keys: the signature cut into `bands` rows-per-band slices,
+    * each hashed to one long. Two docs collide in a band iff that slice
+    * matches exactly. */
+  def bandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * lit(r) + lit(1), lit(r))))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Plan shape (the 1000-executor-safe one):
+    *  1. per-doc signature — narrow projection;
+    *  2. explode band keys, self-join on (band, bandHash), `id1 < id2`,
+    *     distinct — candidates only ever meet inside a bucket;
+    *  3. join shingle sets back by id (two hash joins) and verify Jaccard.
+    *
+    * Returns (id1, id2, jaccard·4dp) with jaccard ≥ `minJaccard`, ordered. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 1,
+      minJaccard: Double = 0.0): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("id"),
+      shingles(wordTokens(col(textCol)), shingleSize).as("shingle_set"))
+
+    val banded = sets
+      .select(col("id"),
+        posexplode(bandKeys(minhashSignature(col("shingle_set"), numHashes),
+          numHashes, bands)).as(Seq("band", "band_hash")))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+
+    candidates
+      .join(sets.select(col("id").as("id1"), col("shingle_set").as("s1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("shingle_set").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("s1"), col("s2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
+  /** 64-bit SimHash of the column named `tokensCol` (an array<string>):
+    * per-token xxhash64, each bit voting ±1, fingerprint = sign bits packed
+    * into a long. Pure codegen'd HOFs — SQL-expression form because the
+    * Scala `shiftleft`/`shiftright` wrappers only take literal shift
+    * amounts. */
+  def simhashExpr(tokensCol: String): Column = expr(
+    s"""aggregate(
+       |  transform($tokensCol, t -> xxhash64(t)),
+       |  array_repeat(CAST(0 AS BIGINT), 64),
+       |  (acc, h) -> zip_with(acc,
+       |      transform(sequence(0, 63),
+       |        i -> IF(((shiftright(h, CAST(i AS INT))) & 1) = 1,
+       |                CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+       |      (a, b) -> a + b),
+       |  acc -> aggregate(
+       |      zip_with(acc, sequence(0, 63),
+       |        (a, i) -> IF(a > 0,
+       |                     shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),
+       |                     CAST(0 AS BIGINT))),
+       |      CAST(0 AS BIGINT), (x, y) -> x + y))""".stripMargin)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs: fingerprints banded into four 16-bit
+    * keys (two fingerprints within Hamming ≤3 of each other agree on at
+    * least one whole 16-bit band — pigeonhole), candidates joined per band,
+    * verified by exact Hamming distance. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val fp = docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("id"), simhashExpr("toks").as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (shiftright(fp, CAST(b * 16 AS INT))) & 65535)"))
+        .as(Seq("band", "band_key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hamming(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("id1"), col("id2"))
+  }
+}

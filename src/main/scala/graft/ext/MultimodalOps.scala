@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** A media row: opaque binary payload + typed metadata — the multimodal
+  * column pattern (image/audio/video as `binary`, metadata alongside). */
+final case class MediaRow(doc_id: Long, bytes: Array[Byte], mime: String)
+
+/** Decoded media features. In production `features` comes from a real
+  * codec/model; the schema and batch shape are what the pipeline contracts
+  * on. */
+final case class MediaFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    features: Array[Float])
+
+/** Multimodal-column plumbing. The container ships no image/audio codecs,
+  * so the decode step is a clearly-marked deterministic STUB — but the
+  * Spark-side shape is the real one: binary columns with typed metadata,
+  * decode as `mapPartitions` (one codec/model init per partition, streaming
+  * batch iteration, no driver involvement), typed output schema. */
+object MultimodalOps {
+
+  /** Project a text table into the media shape: payload as `binary` +
+    * mime metadata. With real data this is the parquet/`binaryFile` read. */
+  def asMedia(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col(textCol).cast("binary").as("bytes"),
+      lit("application/octet-stream").as("mime"))
+
+  /** STUB decode, deterministic: dimensions derived from payload length,
+    * features = normalized 16-bin byte histogram. Replace the body with the
+    * codec call in production — the `mapPartitions` harness (per-partition
+    * init, iterator-to-iterator streaming) is the part that matters. */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val typed = media.as(Encoders.product[MediaRow])
+    typed.mapPartitions { rows =>
+      // Production: val codec = Codec.open() — once per partition.
+      rows.map { m =>
+        val n = m.bytes.length
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < n) { hist((m.bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+        if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
+        MediaFeatures(m.doc_id, 16 + n % 64, 16 + n % 48, 3, hist)
+      }
+    }(Encoders.product[MediaFeatures])
+  }
+
+  /** Frame-sampling shape: pick every `stride`-th byte as a stand-in for
+    * every n-th video frame — the real operator slices the payload the same
+    * way. Pure SQL expression, codegen'd. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      octet_length(col("bytes")).as("n_bytes"),
+      expr(s"filter(transform(sequence(1, octet_length(bytes)), " +
+        s"i -> IF(i % $stride = 1, substring(bytes, i, 1), NULL)), x -> x IS NOT NULL)")
+        .as("frames"))
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-training-data pipelines: language ID (n-gram /
+  * stopword heuristic), quality scoring, token counting, document
+  * fingerprinting. Everything is per-row codegen'd expressions — no UDFs,
+  * no shuffles; these run at scan speed over 100 TB. */
+object TextOps {
+
+  /** Tiny per-language stopword lists for the overlap heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una"))
+
+  private def stopArray(lang: String): Column =
+    array(stopwords(lang).map(lit): _*)
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** Distinct-token overlap with each language's stopword list, plus the
+    * argmax guess (ties break by the en→de→fr→es order of the CASE). */
+  def langScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hits = Seq("en", "de", "fr", "es").map(l =>
+      size(array_intersect(toks, stopArray(l))).as(s"${l}_hits"))
+    val guess = when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+      .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+      .when(col("fr_hits") >= col("es_hits"), "fr")
+      .otherwise("es")
+    df.select(col("doc_id") +: hits: _*).withColumn("guessed_lang", guess)
+  }
+
+  /** Length / token / punctuation / stopword-ratio quality features and a
+    * bounded composite score — the classic cheap pre-filter before
+    * expensive model-based scoring. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      regexp_count(col(textCol), lit("[.!?,;:]")).as("n_punct"),
+      size(filter(toks, t => array_contains(stopArray("en"), t))).as("n_stop"))
+      .withColumn("raw_ratio",
+        col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)))
+      // FLOOR(x*1e4+0.5)/1e4 rather than round(): identical IEEE half-up on
+      // every engine, immune to the Spark-vs-DuckDB midpoint divergence.
+      .withColumn("stop_ratio", floor(col("raw_ratio") * 10000 + 0.5) / 10000)
+      .withColumn("quality",
+        floor(least(col("n_tokens").cast("double") / 50.0d, lit(1.0d)) *
+          (lit(0.5d) + col("raw_ratio") / 2.0d) * 10000 + 0.5) / 10000)
+      .drop("raw_ratio")
+  }
+
+  /** Whitespace vs BPE-ish token counts. The BPE-ish regex is the standard
+    * letters-run | digits-run | single-symbol split — a cheap, deterministic
+    * proxy for subword token counts. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+        .as("bpe_tokens"))
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the character
+    * codepoints — a deterministic document fingerprint computable
+    * identically in any engine (the cross-engine-stable alternative to
+    * xxhash64-based fingerprints). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+}

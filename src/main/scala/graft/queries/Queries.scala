@@ -570,6 +570,183 @@ object Queries {
     """SELECT event_type, COUNT(*) AS n FROM events
       |WHERE user_id < 50 GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------- wrapper + pipeline II
+
+  /** Wrapper lifecycle exercised end-to-end as a declared query (§2D last
+    * row): register → auto-logged counts incl. `::TAB`/`:MINKEY`
+    * substitution → custom log level → finish; returns the deterministic
+    * job_details projection (fixed injected clock). */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("q29_log").toString
+    val clock = () => java.time.Instant.parse("2026-01-02T03:04:05Z")
+    val store = new graft.wrapper.LogStore(s, dir, clock)
+    val w = graft.wrapper.QueryWrapper(s, Some(store), "q29_job", clock)
+    t(s, d, "lineitem").createOrReplaceTempView("q29_lineitem")
+    t(s, d, "orders").createOrReplaceTempView("q29_orders")
+    w.query("SELECT count(*) FROM q29_lineitem")
+    w.setParam("TAB", "q29_orders")
+    w.setParam("MINKEY", 0L)
+    w.query("SELECT count(*) FROM ::TAB WHERE o_orderkey > :MINKEY")
+    w.log("MY_LOG", "lifecycle complete")
+    w.finish()
+    store.jobDetails
+      .select(col("detail_id"), col("log_level"), col("log_message"), col("rowcount"))
+      .orderBy(col("detail_id"))
+  }
+
+  /** MinHash+LSH near-dup candidates (bag-of-words shingles), verified by
+    * exact Jaccard — see [[graft.ext.DedupOps.nearDupPairs]]. Top-20 most
+    * similar pairs under a total order. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    graft.ext.DedupOps.nearDupPairs(t(s, d, "documents")).limit(20)
+
+  /** 64-bit SimHash fingerprint per document (token-hash sign votes). */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.select(col("doc_id"),
+        graft.ext.DedupOps.wordTokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.ext.DedupOps.simhashExpr("toks").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-set Jaccard for all pairs among doc_id < 25 — matches
+    * DuckDB's JACCARD() semantics exactly, giving the near-dup family an
+    * oracle-checked member. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val small = t(s, d, "documents").filter(col("doc_id") < 25)
+      .select(col("doc_id"), array_distinct(split(col("text"), "")).as("cs"))
+    small.as("a").join(small.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        round(graft.ext.DedupOps.jaccard(col("a.cs"), col("b.cs")), 4).as("jac"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q32Sql =
+    """SELECT a.doc_id AS id1, b.doc_id AS id2, ROUND(JACCARD(a.text, b.text), 4) AS jac
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id AND a.doc_id < 25 AND b.doc_id < 25
+      |ORDER BY id1, id2""".stripMargin
+
+  /** Stopword-overlap language ID — [[graft.ext.TextOps.langScores]]. */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.langScores(t(s, d, "documents")).orderBy(col("doc_id"))
+
+  private val q33Sql = {
+    def hits(l: String) = {
+      val list = graft.ext.TextOps.stopwords(l).map("'" + _ + "'").mkString("[", ", ", "]")
+      s"CAST(LEN(LIST_INTERSECT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0), $list)) AS INTEGER)"
+    }
+    s"""SELECT doc_id, ${hits("en")} AS en_hits, ${hits("de")} AS de_hits,
+       |       ${hits("fr")} AS fr_hits, ${hits("es")} AS es_hits,
+       |       CASE WHEN ${hits("en")} >= GREATEST(${hits("de")}, ${hits("fr")}, ${hits("es")}) THEN 'en'
+       |            WHEN ${hits("de")} >= GREATEST(${hits("fr")}, ${hits("es")}) THEN 'de'
+       |            WHEN ${hits("fr")} >= ${hits("es")} THEN 'fr'
+       |            ELSE 'es' END AS guessed_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Cheap quality pre-filter features — [[graft.ext.TextOps.qualityFeatures]]. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.qualityFeatures(t(s, d, "documents")).orderBy(col("doc_id"))
+
+  private val q34Sql = {
+    val stops = graft.ext.TextOps.stopwords("en").map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(LENGTH(text) AS INTEGER) AS n_chars,
+       |         CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS INTEGER) AS n_tokens,
+       |         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?,;:]')) AS INTEGER) AS n_punct,
+       |         CAST(LEN(LIST_FILTER(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0),
+       |                              t -> LIST_CONTAINS($stops, t))) AS INTEGER) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+       |       FLOOR(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) * 10000 + 0.5) / 10000 AS stop_ratio,
+       |       FLOOR(LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) *
+       |             (0.5 + CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) / 2.0) * 10000 + 0.5) / 10000 AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Whitespace vs BPE-ish token counting — [[graft.ext.TextOps.tokenCounts]]. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))
+
+  private val q35Sql =
+    """SELECT doc_id,
+      |       CAST(LENGTH(text) AS INTEGER) AS n_chars,
+      |       CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0)) AS INTEGER) AS ws_tokens,
+      |       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling-hash document fingerprint — engine-independent arithmetic
+    * (base-31 polynomial mod 1e9+7), so it oracle-checks exactly. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextOps.rollingFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q36Sql =
+    """SELECT doc_id,
+      |       LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(text, ''), c -> CAST(ORD(c) AS BIGINT)),
+      |                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-10 for a broadcast query set — the exact ANN
+    * baseline ([[graft.ext.SimilarityOps.bruteForceKnn]]). */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    graft.ext.SimilarityOps.bruteForceKnn(emb, emb.filter(col("vec_id") <= 4), k = 10)
+  }
+
+  private val q37Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 4),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         LIST_COSINE_SIMILARITY(
+      |           LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+      |           LIST_TRANSFORM(q.qe, x -> CAST(x AS DOUBLE))) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+      |      FROM scored)
+      |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, ROUND(cos, 4) AS cosine
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** LSH-bucketed approximate KNN (the scale path; recall measured in
+    * SimilarityOpsSpec against the brute-force baseline). */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    graft.ext.SimilarityOps.lshKnn(emb, emb.filter(col("vec_id") <= 4), k = 10)
+  }
+
+  /** Multimodal metadata over the binary payload: byte length, content
+    * digest, first byte — the decode-free part, exactly oracle-checkable. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"))
+      .orderBy(col("doc_id"))
+
+  private val q39Sql =
+    """SELECT doc_id,
+      |       CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+      |       MD5(text) AS digest,
+      |       CAST(ORD(LEFT(text, 1)) AS INTEGER) AS first_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stubbed decode through the real mapPartitions harness
+    * ([[graft.ext.MultimodalOps.decodeFeatures]]): typed schema, per-row
+    * deterministic fake features. */
+  private def q39b(s: SparkSession, d: String): DataFrame = {
+    val media = graft.ext.MultimodalOps.asMedia(t(s, d, "documents"))
+    graft.ext.MultimodalOps.decodeFeatures(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -603,5 +780,17 @@ object Queries {
     QueryDef("q27_text_tokens", q27, Some(q27Sql)),
     QueryDef("q27b_json_extract", q27b, Some(q27bSql)),
     QueryDef("q28_param_identifier", q28, Some(q28Sql)),
+    QueryDef("q29_wrapper_lifecycle", q29, None),
+    QueryDef("q30_minhash_neardup", q30, None),
+    QueryDef("q31_simhash", q31, None),
+    QueryDef("q32_jaccard_chars", q32, Some(q32Sql)),
+    QueryDef("q33_lang_id", q33, Some(q33Sql)),
+    QueryDef("q34_quality_score", q34, Some(q34Sql)),
+    QueryDef("q35_token_count", q35, Some(q35Sql)),
+    QueryDef("q36_fingerprint", q36, Some(q36Sql)),
+    QueryDef("q37_ann_bruteforce", q37, Some(q37Sql)),
+    QueryDef("q38_ann_lsh", q38, None),
+    QueryDef("q39_multimodal_meta", q39, Some(q39Sql)),
+    QueryDef("q39b_multimodal_decode", q39b, None),
   )
 }

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Planted-duplicate tests for MinHash+LSH and SimHash (VERDICT r1 #9:
+  * near-dup must find planted near-duplicates, never all-pairs). */
+class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sql = spark
+  import sql.implicits._
+
+  private def planted = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+    (3L, "completely different words entirely unrelated content here now"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("nearDupPairs finds planted exact + near duplicates, not unrelated") {
+    val pairs = DedupOps.nearDupPairs(planted, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 4L)) == 1.0) // exact dup
+    assert(byPair((1L, 2L)) == 0.7778) // 7 shared of 9 union
+    assert(!byPair.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("word shingles: n=1 distinct tokens; n=3 sliding windows") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val s1 = df.select(DedupOps.shingles(
+      DedupOps.wordTokens(org.apache.spark.sql.functions.col("text")), 1))
+      .head().getSeq[String](0)
+    assert(s1.toSet == Set("a", "b", "c", "d"))
+    val s3 = df.select(DedupOps.shingles(
+      DedupOps.wordTokens(org.apache.spark.sql.functions.col("text")), 3))
+      .head().getSeq[String](0)
+    assert(s3.toSet == Set("a b c", "b c d"))
+    // Shorter than n: whole doc as one shingle, no failure:
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(DedupOps.shingles(
+        DedupOps.wordTokens(org.apache.spark.sql.functions.col("text")), 3))
+      .head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash signature is deterministic with the declared arity") {
+    val sig = planted.select(DedupOps.minhashSignature(
+      DedupOps.shingles(DedupOps.wordTokens(
+        org.apache.spark.sql.functions.col("text")), 1), 64).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length == 64))
+    assert(sig(0) == sig(3)) // identical docs → identical signatures
+    assert(sig(0) != sig(2))
+  }
+
+  test("simhash: identical docs equal; near-dups closer than unrelated") {
+    import org.apache.spark.sql.functions.col
+    val fp = planted
+      .select(col("doc_id"), DedupOps.wordTokens(col("text")).as("toks"))
+      .select(col("doc_id"), DedupOps.simhashExpr("toks").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(4L))
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("simhashPairs surfaces the exact dup at hamming 0") {
+    val pairs = DedupOps.simhashPairs(planted, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 4L, 0)))
+  }
+
+  test("near-dup over testdata documents is well-formed") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = DedupOps.nearDupPairs(docs).limit(20).collect()
+    assert(out.nonEmpty, "expected LSH candidates on the word-soup corpus")
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+}

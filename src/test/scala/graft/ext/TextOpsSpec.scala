@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+class TextOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sql = spark
+  import sql.implicits._
+
+  test("langScores: stopword overlap picks the right language") {
+    val docs = Seq(
+      (1L, "the cat and the dog is in a house"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "le chat et la maison est une belle"),
+      (4L, "el perro y la casa es un gato")
+    ).toDF("doc_id", "text")
+    val out = TextOps.langScores(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("guessed_lang")).toSeq ==
+      Seq("en", "de", "fr", "es"))
+    assert(out(0).getAs[Int]("en_hits") == 5) // the, and, is, in, a
+  }
+
+  test("qualityFeatures: hand-computed features and composite") {
+    val docs = Seq((1L, "the cat sat. the mat!")).toDF("doc_id", "text")
+    val r = TextOps.qualityFeatures(docs).head()
+    assert(r.getAs[Int]("n_chars") == 21)
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Int]("n_punct") == 2)
+    assert(r.getAs[Int]("n_stop") == 2) // 'the' twice, non-distinct
+    assert(r.getAs[Double]("stop_ratio") == 0.4)
+    // quality = min(5/50,1) * (0.5 + 0.4/2) = 0.1 * 0.7 = 0.07
+    assert(r.getAs[Double]("quality") == 0.07)
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish regex") {
+    val docs = Seq((1L, "ab 12 c!")).toDF("doc_id", "text")
+    val r = TextOps.tokenCounts(docs).head()
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    assert(r.getAs[Int]("bpe_tokens") == 4) // ab | 12 | c | !
+  }
+
+  test("rollingFingerprint: hand-computed polynomial hash") {
+    val docs = Seq((1L, "ab"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
+    val fps = docs.select(TextOps.rollingFingerprint(col("text")))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    assert(fps(0) == 97L * 31 + 98) // 'a'=97 then *31 + 'b'=98
+    assert(fps(1) == 0L) // empty fold = init
+    assert(fps(0) == fps(2))
+  }
+}
