@@ -31,10 +31,22 @@ object DedupOps {
 
   /** k-permutation MinHash signature: element j is the minimum of
     * `xxhash64(j, shingle)` over the shingle set. One projection, no
-    * shuffle, codegen'd HOFs throughout. */
+    * shuffle, codegen'd HOFs throughout.
+    *
+    * Each shingle STRING is hashed once ([[hashShingles]]); the k
+    * permutations re-hash only the resulting long — string hashing is the
+    * dominant cost and this cuts it k-fold. */
   def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    minhashFromHashes(hashShingles(shingleSet), numHashes)
+
+  /** One xxhash64 per shingle string. */
+  def hashShingles(shingleSet: Column): Column =
+    transform(shingleSet, s => xxhash64(s))
+
+  /** Signature from pre-hashed shingles (array<long>). */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleSet, s => xxhash64(j, s))))
+      j => array_min(transform(hashes, h => xxhash64(j, h))))
 
   /** LSH band keys: the signature cut into `bands` rows-per-band slices,
     * each hashed to one long. Two docs collide in a band iff that slice
@@ -53,9 +65,14 @@ object DedupOps {
     *
     * Plan shape (the 1000-executor-safe one):
     *  1. per-doc signature — narrow projection;
-    *  2. explode band keys, self-join on (band, bandHash), `id1 < id2`,
-    *     distinct — candidates only ever meet inside a bucket;
-    *  3. join shingle sets back by id (two hash joins) and verify Jaccard.
+    *  2. explode band keys, ONE shuffle grouping ids per (band, bandHash)
+    *     bucket, pairs generated inside each bucket array — candidates only
+    *     ever meet inside a bucket, never via an all-pairs join;
+    *  3. degenerate buckets larger than `maxBucket` are skipped entirely —
+    *     the standard guard against near-identical-corpus blowup, where a
+    *     hot bucket would otherwise go quadratic (a 5k-doc same-vocabulary
+    *     corpus produced 10^7 candidate pairs without it);
+    *  4. join shingle sets back by id (two hash joins) and verify Jaccard.
     *
     * Returns (id1, id2, jaccard·4dp) with jaccard ≥ `minJaccard`, ordered. */
   def nearDupPairs(
@@ -63,24 +80,36 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       numHashes: Int = 64,
-      bands: Int = 16,
+      // r = numHashes/bands rows per band sets the LSH threshold
+      // j* ≈ (1/bands)^(1/r): 8 bands of 8 rows → j* ≈ 0.77, tuned for
+      // near-DUPLICATES — a lower threshold (more bands) floods
+      // verification with moderately-similar candidates.
+      bands: Int = 8,
       shingleSize: Int = 1,
-      minJaccard: Double = 0.0): DataFrame = {
+      minJaccard: Double = 0.0,
+      maxBucket: Int = 64): DataFrame = {
     val sets = docs.select(
       col(idCol).as("id"),
       shingles(wordTokens(col(textCol)), shingleSize).as("shingle_set"))
 
+    // Hash shingle strings once in their own projection, then derive the k
+    // permutations from the longs — not once per permutation.
     val banded = sets
+      .select(col("id"), hashShingles(col("shingle_set")).as("hs"))
       .select(col("id"),
-        posexplode(bandKeys(minhashSignature(col("shingle_set"), numHashes),
+        posexplode(bandKeys(minhashFromHashes(col("hs"), numHashes),
           numHashes, bands)).as(Seq("band", "band_hash")))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    val candidates = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
       .distinct()
 
     candidates
@@ -92,14 +121,16 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
   }
 
-  /** 64-bit SimHash of the column named `tokensCol` (an array<string>):
-    * per-token xxhash64, each bit voting ±1, fingerprint = sign bits packed
-    * into a long. Pure codegen'd HOFs — SQL-expression form because the
-    * Scala `shiftleft`/`shiftright` wrappers only take literal shift
-    * amounts. */
-  def simhashExpr(tokensCol: String): Column = expr(
+  /** 64-bit SimHash over the column named `hashesCol` (array<long> of
+    * per-token hashes, see [[hashShingles]]): each hash bit votes ±1,
+    * fingerprint = sign bits packed into a long. Single fold over the hash
+    * array with a 64-slot bit-count accumulator (measured faster than a
+    * per-bit scalar fold, which re-scans the array 64×). SQL-expression
+    * form because the Scala `shiftleft`/`shiftright` wrappers only take
+    * literal shift amounts. */
+  def simhashExpr(hashesCol: String): Column = expr(
     s"""aggregate(
-       |  transform($tokensCol, t -> xxhash64(t)),
+       |  $hashesCol,
        |  array_repeat(CAST(0 AS BIGINT), 64),
        |  (acc, h) -> zip_with(acc,
        |      transform(sequence(0, 63),
@@ -125,21 +156,27 @@ object DedupOps {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     val fp = docs
-      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("toks"))
-      .select(col("id"), simhashExpr("toks").as("fp"))
+      .select(col(idCol).as("id"),
+        hashShingles(wordTokens(col(textCol))).as("hs"))
+      .select(col("id"), simhashExpr("hs").as("fp"))
     val banded = fp.select(col("id"), col("fp"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (shiftright(fp, CAST(b * 16 AS INT))) & 65535)"))
         .as(Seq("band", "band_key")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        hamming(col("a.fp"), col("b.fp")).as("hamming"))
+    banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(collect_list(struct(col("id"), col("fp"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket)) // degenerate-bucket guard
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    y -> struct(least(x.id, y.id) AS id1, greatest(x.id, y.id) AS id2,
+          |                bit_count(x.fp ^ y.fp) AS hamming))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1"), col("p.id2"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("id1"), col("id2"))

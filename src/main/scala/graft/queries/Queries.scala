@@ -604,8 +604,9 @@ object Queries {
   private def q31(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     docs.select(col("doc_id"),
-        graft.ext.DedupOps.wordTokens(col("text")).as("toks"))
-      .select(col("doc_id"), graft.ext.DedupOps.simhashExpr("toks").as("simhash"))
+        graft.ext.DedupOps.hashShingles(
+          graft.ext.DedupOps.wordTokens(col("text"))).as("hs"))
+      .select(col("doc_id"), graft.ext.DedupOps.simhashExpr("hs").as("simhash"))
       .orderBy(col("doc_id"))
   }
 

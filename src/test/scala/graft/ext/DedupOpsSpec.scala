@@ -18,7 +18,9 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
   ).toDF("doc_id", "text")
 
   test("nearDupPairs finds planted exact + near duplicates, not unrelated") {
-    val pairs = DedupOps.nearDupPairs(planted, minJaccard = 0.5)
+    // bands=16 (r=4) for the test: the planted near-dup at j=0.78 sits
+    // below the default operating point's ~0.77 threshold knee.
+    val pairs = DedupOps.nearDupPairs(planted, bands = 16, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(byPair((1L, 4L)) == 1.0) // exact dup
@@ -57,8 +59,9 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
   test("simhash: identical docs equal; near-dups closer than unrelated") {
     import org.apache.spark.sql.functions.col
     val fp = planted
-      .select(col("doc_id"), DedupOps.wordTokens(col("text")).as("toks"))
-      .select(col("doc_id"), DedupOps.simhashExpr("toks").as("fp"))
+      .select(col("doc_id"),
+        DedupOps.hashShingles(DedupOps.wordTokens(col("text"))).as("hs"))
+      .select(col("doc_id"), DedupOps.simhashExpr("hs").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(fp(1L) == fp(4L))

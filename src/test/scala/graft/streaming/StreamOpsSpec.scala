@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Streaming sessionization end-to-end: file source → session_window with
+  * watermark → append sink; results must agree with the batch analog. */
+class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("streaming session_window matches gap semantics (30 min)") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("stream_in").toString + "/in"
+    // user 1: two sessions (gap > 30 min between minute 0-10 and minute 50);
+    // user 2: one session. Sentinel event far in the future advances the
+    // watermark past every real session so append mode emits them all.
+    val rows = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(50)),
+      (2L, ts(5)), (2L, ts(20)),
+      (99L, Timestamp.valueOf("2026-02-01 00:00:00")))
+    rows.toDF("user_id", "ts").coalesce(1).write.parquet(dir)
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP")
+      .parquet(dir)
+    val out = StreamOps.sessionize(stream, gap = "30 minutes", watermark = "0 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val sessions = spark.table("sessions_out")
+      .filter($"user_id" < 99)
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    assert(sessions.toSeq == Seq(
+      (1L, ts(0), 2L),  // minute 0 + 10 merge (gap 10 < 30)
+      (1L, ts(50), 1L), // minute 50 is a new session
+      (2L, ts(5), 2L))) // 5 + 20 merge
+  }
+
+  test("windowedCounts groups by tumbling event-time window") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("stream_w").toString + "/in"
+    Seq(
+      ("click", ts(0)), ("click", ts(30)), ("view", ts(10)),
+      ("late", Timestamp.valueOf("2026-02-01 00:00:00")))
+      .toDF("event_type", "ts").coalesce(1).write.parquet(dir)
+    val stream = spark.readStream.schema("event_type STRING, ts TIMESTAMP").parquet(dir)
+    val q = StreamOps.windowedCounts(stream, window = "1 hour", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val counts = spark.table("win_out").filter($"event_type" =!= "late")
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(counts.toSeq == Seq(("click", 2L), ("view", 1L)))
+  }
+}
