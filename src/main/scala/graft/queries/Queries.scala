@@ -570,6 +570,32 @@ object Queries {
     """SELECT event_type, COUNT(*) AS n FROM events
       |WHERE user_id < 50 GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Approximate COUNT(DISTINCT) via HyperLogLog++ — the sketch that
+    * replaces q17's exact two-phase distinct at 100 TB (fixed-size partial
+    * state instead of a distinct shuffle). Accuracy vs q17 asserted in
+    * QueriesSpec; no oracle (DuckDB's approx sketch differs). */
+  private def q17b(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
+      approx_count_distinct(col("l_suppkey")).as("n_supps_approx"))
+
+  /** GROUP BY CUBE — the full grouping-sets lattice (rollup's sibling). */
+  private def q18b(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("acct"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+
+  private val q18bSql =
+    """SELECT r_name, c_mktsegment, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS acct
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, c_mktsegment)
+      |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------- wrapper + pipeline II
 
   /** Wrapper lifecycle exercised end-to-end as a declared query (§2D last
@@ -737,6 +763,32 @@ object Queries {
       |       CAST(ORD(LEFT(text, 1)) AS INTEGER) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Backward as-of join ([[graft.operators.AsOfJoin]]): for each event,
+    * the user's latest purchase value at-or-before its timestamp —
+    * union+window composition (one shuffle), oracled against DuckDB's
+    * native ASOF LEFT JOIN. */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pval"))
+    graft.operators.AsOfJoin.backward(
+      ev, purchases, Seq("user_id"), "ts", "ts", Seq("pval"))
+      .select(col("event_id"), col("user_id"),
+        (floor(col("pval") * 100 + lit(0.5)) / 100).as("last_purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q40Sql =
+    """WITH p AS (
+      |  SELECT user_id, ts, MAX(value) AS pval FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id,
+      |       FLOOR(p.pval * 100 + 0.5) / 100 AS last_purchase
+      |FROM events e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Stubbed decode through the real mapPartitions harness
     * ([[graft.ext.MultimodalOps.decodeFeatures]]): typed schema, per-row
     * deterministic fake features. */
@@ -769,7 +821,9 @@ object Queries {
     QueryDef("q15_intersect", q15, Some(q15Sql)),
     QueryDef("q16_except", q16, Some(q16Sql)),
     QueryDef("q17_count_distinct", q17, Some(q17Sql)),
+    QueryDef("q17b_approx_distinct", q17b, None),
     QueryDef("q18_rollup", q18, Some(q18Sql)),
+    QueryDef("q18b_cube", q18b, Some(q18bSql)),
     QueryDef("q19_string_funcs", q19, Some(q19Sql)),
     QueryDef("q20_datetime_funcs", q20, Some(q20Sql)),
     QueryDef("q21_math_funcs", q21, Some(q21Sql)),
@@ -793,5 +847,6 @@ object Queries {
     QueryDef("q38_ann_lsh", q38, None),
     QueryDef("q39_multimodal_meta", q39, Some(q39Sql)),
     QueryDef("q39b_multimodal_decode", q39b, None),
+    QueryDef("q40_asof_join", q40, Some(q40Sql)),
   )
 }

@@ -144,6 +144,13 @@ final class QueryWrapper private (
         // B8: OPEN SCHEMA s → USE s.
         spark.sql(s"USE ${Params.quote(ident)}")
         QueryResult.empty(stmt)
+      case _ if SqlCompat.parseUpdate(stmt)
+          .exists(u => SqlCompat.canHandle(spark, u)) =>
+        // B4: UPDATE on a parquet catalog table — read-transform-overwrite
+        // (SqlCompat); rows_affected = matched rows, like the host engine.
+        val affected =
+          SqlCompat.runUpdate(spark, SqlCompat.parseUpdate(stmt).get)
+        new QueryResult(stmt, None, Some(affected), None)
       case _ =>
         val referenced = Params.valueParamNames(stmt)
         val args: Map[String, Any] = referenced.flatMap { name =>

@@ -1,0 +1,49 @@
+package graft.wrapper
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** B4: UPDATE pass-through on parquet catalog tables via
+  * read-transform-overwrite, with old-row SET semantics. */
+class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
+
+  test("parseUpdate handles SET lists, WHERE, and literal commas") {
+    val u = SqlCompat.parseUpdate(
+      "UPDATE t SET a = concat(b, ',', c), b = a WHERE a > 1").get
+    assert(u.table == "t")
+    assert(u.assignments == Seq(("a", "concat(b, ',', c)"), ("b", "a")))
+    assert(u.where.contains("a > 1"))
+    assert(SqlCompat.parseUpdate("SELECT * FROM t").isEmpty)
+    val noWhere = SqlCompat.parseUpdate("update s.t set x = 1").get
+    assert(noWhere.table == "s.t" && noWhere.where.isEmpty)
+  }
+
+  test("wrapper UPDATE: rows_affected, WHERE gating, old-row semantics") {
+    val loc = Files.createTempDirectory("upd").toString
+    spark.sql(s"CREATE TABLE upd_t (a BIGINT, b BIGINT) USING parquet LOCATION '$loc/t'")
+    try {
+      spark.sql("INSERT INTO upd_t VALUES (1, 10), (2, 20), (3, 30)")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query("UPDATE upd_t SET a = b, b = a WHERE a >= 2")
+      assert(ok)
+      assert(res.rowsAffected.contains(2L))
+      assert(res.normalizedRowCount == 2)
+      val rows = spark.table("upd_t").orderBy("b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // rows 2 and 3 swapped (old-row semantics); row 1 untouched
+      assert(rows.toSet == Set((1L, 10L), (20L, 2L), (30L, 3L)))
+      // auto-log carries the DML rowcount:
+      assert(w.messages.last.rowcount.contains(2L))
+    } finally spark.sql("DROP TABLE IF EXISTS upd_t")
+  }
+
+  test("UPDATE on a missing table falls through to the error path") {
+    val w = QueryWrapper(spark)
+    w.onError = "continue"
+    val (ok, res) = w.query("UPDATE no_such_table_xyz SET a = 1")
+    assert(!ok)
+    assert(res.error.isDefined)
+  }
+}
