@@ -43,10 +43,12 @@ object DedupOps {
   def hashShingles(shingleSet: Column): Column =
     transform(shingleSet, s => xxhash64(s))
 
-  /** Signature from pre-hashed shingles (array<long>). */
+  /** Signature from pre-hashed shingles (array<long>) — native codegen'd
+    * expression ([[graft.functions.MinHashSignature]]); the equivalent HOF
+    * composition evaluated its lambdas interpreted and was the profiled
+    * bottleneck of near-dup at sf0.1. */
   def minhashFromHashes(hashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(hashes, h => xxhash64(j, h))))
+    graft.functions.HashFunctions.minhashSignature(hashes, numHashes)
 
   /** LSH band keys: the signature cut into `bands` rows-per-band slices,
     * each hashed to one long. Two docs collide in a band iff that slice
@@ -123,26 +125,11 @@ object DedupOps {
 
   /** 64-bit SimHash over the column named `hashesCol` (array<long> of
     * per-token hashes, see [[hashShingles]]): each hash bit votes ±1,
-    * fingerprint = sign bits packed into a long. Single fold over the hash
-    * array with a 64-slot bit-count accumulator (measured faster than a
-    * per-bit scalar fold, which re-scans the array 64×). SQL-expression
-    * form because the Scala `shiftleft`/`shiftright` wrappers only take
-    * literal shift amounts. */
-  def simhashExpr(hashesCol: String): Column = expr(
-    s"""aggregate(
-       |  $hashesCol,
-       |  array_repeat(CAST(0 AS BIGINT), 64),
-       |  (acc, h) -> zip_with(acc,
-       |      transform(sequence(0, 63),
-       |        i -> IF(((shiftright(h, CAST(i AS INT))) & 1) = 1,
-       |                CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
-       |      (a, b) -> a + b),
-       |  acc -> aggregate(
-       |      zip_with(acc, sequence(0, 63),
-       |        (a, i) -> IF(a > 0,
-       |                     shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),
-       |                     CAST(0 AS BIGINT))),
-       |      CAST(0 AS BIGINT), (x, y) -> x + y))""".stripMargin)
+    * fingerprint = sign bits packed into a long. Native codegen'd
+    * expression ([[graft.functions.SimHash64]]) — single primitive-loop
+    * pass, replacing the interpreted HOF fold. */
+  def simhashExpr(hashesCol: String): Column =
+    graft.functions.HashFunctions.simhash64(col(hashesCol))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column =

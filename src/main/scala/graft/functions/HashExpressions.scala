@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch hot paths.
+  *
+  * The HOF compositions (`transform(sequence(0,k-1), j -> array_min(...))`)
+  * are correct but evaluate the per-element lambdas interpreted — profiled
+  * at ~150 ns per hash eval, the dominant cost of MinHash/SimHash over a
+  * corpus (k×|shingles| evals per document). These expressions generate a
+  * tight primitive loop instead (whole-stage codegen'd, zero boxing,
+  * single pass over the input array): the mission's "drop to a custom
+  * `Expression` only where the built-ins genuinely can't" case, with
+  * `nullSafeEval` kept as the interpreted fallback. */
+
+/** `minhash_signature(hashes, k)`: element j of the result is
+  * min over the input array of `XXH64(h, seed = j)`. Input: the per-shingle
+  * long hashes ([[graft.ext.DedupOps.hashShingles]]); empty input yields
+  * Long.MaxValue sentinels. */
+final case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  require(numHashes > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashLong(h, j.toLong)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int ${i}n = $c.numElements();
+         |for (int $i = 0; $i < ${i}n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, (long) $j);
+         |    if ($v < $out[$j]) $out[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `simhash64(hashes)`: 64-bit SimHash — every bit of every input hash
+  * votes ±1, the fingerprint packs the positive-sum bits. Single pass,
+  * no allocation beyond the 64-slot accumulator. */
+final case class SimHash64(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $counts = new int[64];
+         |int ${i}n = $c.numElements();
+         |for (int $i = 0; $i < ${i}n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $counts[$j] += (((${h} >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $fp |= (1L << $j);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-API entry points. */
+object HashFunctions {
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(hashes), numHashes))
+
+  def simhash64(hashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(hashes)))
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.functions.col
+
+/** Native sketch expressions: codegen and interpreted paths must agree, and
+  * match a Scala-side model. */
+class HashExpressionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sql = spark
+  import sql.implicits._
+
+  private def model(hashes: Seq[Long], k: Int): Seq[Long] =
+    (0 until k).map(j => hashes.map(h => XXH64.hashLong(h, j.toLong)).min)
+
+  test("minhash_signature matches the Scala model (codegen path)") {
+    val df = Seq((1L, Seq(11L, 22L, 33L)), (2L, Seq.empty[Long]))
+      .toDF("id", "hs")
+    val out = df.select(col("id"),
+      HashFunctions.minhashSignature(col("hs"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == model(Seq(11L, 22L, 33L), 8))
+    assert(out(2L) == Seq.fill(8)(Long.MaxValue))
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val hashes = Seq(5L, -7L, 123456789L)
+    val interp = MinHashSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        hashes.toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), 16)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp == model(hashes, 16))
+    val viaDf = Seq(Tuple1(hashes)).toDF("hs")
+      .select(HashFunctions.minhashSignature(col("hs"), 16))
+      .head().getSeq[Long](0)
+    assert(viaDf == interp)
+  }
+
+  test("simhash64: sign-vote semantics and codegen/interpreted agreement") {
+    // A single hash votes its own bits: fingerprint == that hash's bits.
+    val single = Seq(Tuple1(Seq(0x0F0FL))).toDF("hs")
+      .select(HashFunctions.simhash64(col("hs"))).head().getLong(0)
+    assert(single == 0x0F0FL)
+    // Two identical hashes reinforce; the opposite pattern cancels to 0
+    // votes per bit -> count 0 is not > 0 -> bit off.
+    val cancel = Seq(Tuple1(Seq(0x5555L, ~0x5555L))).toDF("hs")
+      .select(HashFunctions.simhash64(col("hs"))).head().getLong(0)
+    assert(cancel == 0L)
+    val interp = SimHash64(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0x5555L, ~0x5555L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+      .eval(null)
+    assert(interp == 0L)
+  }
+}
