@@ -30,6 +30,20 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming deduplication with bounded state: duplicates of `idCols`
+    * are dropped as long as they arrive within the watermark delay of the
+    * first occurrence; state for older ids is evicted. The streaming twin
+    * of q25's exact dedup — the pattern for deduping a document feed
+    * without unbounded state. */
+  def dedupeStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Tumbling-window event counts with watermarking — the canonical
     * streaming aggregation shape. */
   def windowedCounts(

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Bucketed layout: a join between two tables bucketed on the join key
+  * plans with NO shuffle exchange — the co-located-join contract. */
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sql = spark
+  import sql.implicits._
+
+  test("join of co-bucketed tables has no shuffle exchange") {
+    val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "av")
+    val b = (1L to 200L).map(i => (i, i * 2.0)).toDF("k", "bv")
+    Layout.writeBucketed(a, "bt_a", Seq("k"), numBuckets = 4, sortCols = Seq("k"))
+    Layout.writeBucketed(b, "bt_b", Seq("k"), numBuckets = 4, sortCols = Seq("k"))
+    val broadcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force a sort-merge join so the bucket layout (not a broadcast)
+      // is what eliminates the exchanges.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket-local join, plan was:\n$plan")
+      assert(joined.count() == 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastBefore)
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
+}
