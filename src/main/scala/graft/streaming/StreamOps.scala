@@ -1,7 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+final case class SessionOut(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
 
 /** Structured Streaming operators — the streaming analogs of the batch
   * inventory (SURVEY §7.7): `readStream` → event-time transforms with
@@ -29,6 +41,59 @@ object StreamOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API for semantics `session_window` can't express
+    * (here: per-session value totals maintained incrementally, sessions
+    * closed either by a later event beyond the gap or by an event-time
+    * timeout once the watermark passes last+gap). State per user is one
+    * [[SessionState]]; the watermark bounds it. */
+  def statefulSessions(
+      events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val typed = events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "value")
+      .as(Encoders.product[SessionEvent])
+
+    def close(key: Long, s: SessionState): SessionOut =
+      SessionOut(key, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+
+    def fn(key: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(key, _)).iterator
+        state.remove()
+        out
+      } else {
+        val out = List.newBuilder[SessionOut]
+        var st = state.getOption
+        it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val t = e.ts.getTime
+          st match {
+            case Some(s) if t - s.last <= gapMs =>
+              st = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+            case Some(s) =>
+              out += close(key, s)
+              st = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              st = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    typed
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        fn)(Encoders.product[SessionState], Encoders.product[SessionOut])
+  }
 
   /** Streaming deduplication with bounded state: duplicates of `idCols`
     * are dropped as long as they arrive within the watermark delay of the
