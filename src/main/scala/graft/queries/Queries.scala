@@ -366,6 +366,33 @@ object Queries {
       |            ELSE c_name END AS trunc_name
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Extended string surface: reverse/repeat/pad/replace/translate/
+    * levenshtein — the rest of the scalar string toolkit an ETL author
+    * reaches for. */
+  private def q19b(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .select(
+        col("n_nationkey"),
+        reverse(col("n_name")).as("rev"),
+        repeat(substring(col("n_name"), 1, 2), 3).as("rep"),
+        lpad(col("n_name"), 12, ".").as("lp"),
+        rpad(col("n_name"), 12, "_").as("rp"),
+        regexp_replace(col("n_name"), "[AEIOU]", "*").as("novowel"),
+        translate(col("n_name"), "AEI", "xyz").as("tr"),
+        levenshtein(col("n_name"), lit("UNITED STATES")).as("lev"))
+      .orderBy(col("n_nationkey"))
+
+  private val q19bSql =
+    """SELECT n_nationkey,
+      |       REVERSE(n_name) AS rev,
+      |       REPEAT(SUBSTRING(n_name, 1, 2), 3) AS rep,
+      |       LPAD(n_name, 12, '.') AS lp,
+      |       RPAD(n_name, 12, '_') AS rp,
+      |       REGEXP_REPLACE(n_name, '[AEIOU]', '*', 'g') AS novowel,
+      |       TRANSLATE(n_name, 'AEI', 'xyz') AS tr,
+      |       CAST(LEVENSHTEIN(n_name, 'UNITED STATES') AS INTEGER) AS lev
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Date/time functions on shipdate (TO_TIMESTAMP / CURRENT_TIMESTAMP
     * family, query_wrapper.sql:98,170 — format dialect translated). */
   private def q20(s: SparkSession, d: String): DataFrame =
@@ -384,6 +411,32 @@ object Queries {
       |       COUNT(*) AS n,
       |       CAST(DATE_TRUNC('month', MIN(l_shipdate)) AS DATE) AS first_day
       |FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  /** Extended datetime surface: quarter/dayofweek/last_day/date_add/
+    * datediff (dialect-translated: Spark dayofweek is 1-based Sunday,
+    * DuckDB dow is 0-based Sunday; Spark datediff(end, start) vs DuckDB
+    * datediff('day', start, end)). */
+  private def q20b(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow1"),
+        last_day(col("o_orderdate")).as("eom"),
+        date_add(col("o_orderdate"), 30).as("due"),
+        datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
+          .as("age_days"))
+      .orderBy(col("o_orderkey"))
+
+  private val q20bSql =
+    """SELECT o_orderkey,
+      |       CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+      |       CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow1,
+      |       LAST_DAY(o_orderdate) AS eom,
+      |       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+      |       CAST(DATEDIFF('day', o_orderdate, DATE '1998-12-31') AS INTEGER) AS age_days
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
 
   /** Math functions (Spark ceil/floor return BIGINT; DuckDB's stay DOUBLE —
     * cast on the oracle side). */
@@ -825,7 +878,9 @@ object Queries {
     QueryDef("q18_rollup", q18, Some(q18Sql)),
     QueryDef("q18b_cube", q18b, Some(q18bSql)),
     QueryDef("q19_string_funcs", q19, Some(q19Sql)),
+    QueryDef("q19b_string_funcs2", q19b, Some(q19bSql)),
     QueryDef("q20_datetime_funcs", q20, Some(q20Sql)),
+    QueryDef("q20b_datetime_funcs2", q20b, Some(q20bSql)),
     QueryDef("q21_math_funcs", q21, Some(q21Sql)),
     QueryDef("q22_case_null", q22, Some(q22Sql)),
     QueryDef("q23_array_funcs", q23, Some(q23Sql)),
