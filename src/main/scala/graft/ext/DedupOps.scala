@@ -135,6 +135,36 @@ object DedupOps {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Embedding-cosine near-duplicates: random-hyperplane LSH buckets
+    * ([[SimilarityOps.lshBucket]]) generate candidates — same
+    * bucket-array pair pattern as the text paths, degenerate-bucket
+    * guard included — verified by exact cosine ≥ `minCosine`.
+    * Returns (id1, id2, cosine·4dp). */
+  def embeddingNearDups(
+      emb: DataFrame,
+      minCosine: Double = 0.95,
+      planes: Int = 12,
+      maxBucket: Int = 64): DataFrame = {
+    val bucketed = emb.select(
+      col("vec_id").as("id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"),
+      SimilarityOps.lshBucket(col("embedding"), planes).as("bucket"))
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    y -> struct(least(x.id, y.id) AS id1, greatest(x.id, y.id) AS id2,
+          |                x.vec AS v1, y.vec AS v2))))""".stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"),
+        round(SimilarityOps.cosine(col("p.v1"), col("p.v2")), 4).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("cosine").desc, col("id1"), col("id2"))
+  }
+
   /** SimHash near-duplicate pairs: fingerprints banded into four 16-bit
     * keys (two fingerprints within Hamming ≤3 of each other agree on at
     * least one whole 16-bit band — pigeonhole), candidates joined per band,

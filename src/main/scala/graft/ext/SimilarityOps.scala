@@ -114,6 +114,68 @@ object SimilarityOps {
     bits.reduce(_ + _)
   }
 
+  /** Deterministic k-means-lite centroids for IVF: init = the k rows with
+    * the smallest `xxhash64(vec_id)` (hash-spread, reproducible), then
+    * `iters` Lloyd rounds — assign against broadcast centroids, recompute
+    * via one `Summarizer.mean` shuffle. Each round is one corpus pass. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+    var centroids = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+        col("vec").as("centroid"))
+    (1 to iters).foreach { _ =>
+      centroids = assignCells(vecs, centroids)
+        .groupBy(col("cell"))
+        .agg(Summarizer.mean(array_to_vector(col("vec"))).as("mv"))
+        .select(col("cell"), vector_to_array(col("mv")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (cosine): broadcast centroids, per-row
+    * argmax via `max_by` — no shuffle of the corpus. */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col("vec"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("vec")), col("cos")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.vec").as("vec"))
+
+  /** IVF approximate KNN: corpus rows indexed into `nCells` centroid
+    * cells; each query probes its `nProbe` nearest cells and scores only
+    * those rows — the classic inverted-file ANN layout. The cell index is
+    * a corpus partition key: at scale, write the corpus bucketed by cell
+    * and probing touches only matching buckets. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nCells, iters)
+    val indexed = assignCells(
+      corpus.select(col("vec_id"), toDoubleArray(col("embedding")).as("vec")),
+      centroids)
+
+    // Tiny per-query probe list: query × centroid (both broadcast-scale).
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), toDoubleArray(col("embedding")).as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qvec"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    indexed.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** LSH-bucketed approximate KNN: bucket both sides on `planes` hyperplane
     * sign bits, score only same-bucket candidates, top-k per query.
     * Recall < 1 by construction; the companion test measures it against

@@ -842,6 +842,22 @@ object Queries {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** IVF approximate KNN (inverted-file cells from deterministic
+    * k-means-lite; queries probe their nearest cells only) — the second
+    * ANN scale path beside q38's LSH. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    graft.ext.SimilarityOps.ivfKnn(
+      emb, emb.filter(col("vec_id") <= 4), k = 10, nCells = 16, nProbe = 4)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets + exact cosine
+    * verification — the embedding flavor of the dedup family. Threshold 0
+    * with top-20 keeps the output non-empty on corpora without true dups. */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    graft.ext.DedupOps.embeddingNearDups(
+      t(s, d, "embeddings"), minCosine = 0.0).limit(20)
+
   /** Stubbed decode through the real mapPartitions harness
     * ([[graft.ext.MultimodalOps.decodeFeatures]]): typed schema, per-row
     * deterministic fake features. */
@@ -903,5 +919,7 @@ object Queries {
     QueryDef("q39_multimodal_meta", q39, Some(q39Sql)),
     QueryDef("q39b_multimodal_decode", q39b, None),
     QueryDef("q40_asof_join", q40, Some(q40Sql)),
+    QueryDef("q41_ann_ivf", q41, None),
+    QueryDef("q42_embedding_neardup", q42, None),
   )
 }
