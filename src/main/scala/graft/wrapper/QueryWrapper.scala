@@ -152,11 +152,16 @@ final class QueryWrapper private (
           SqlCompat.runUpdate(spark, SqlCompat.parseUpdate(stmt).get)
         new QueryResult(stmt, None, Some(affected), None)
       case _ =>
-        val referenced = Params.valueParamNames(stmt)
+        // B10: Exasol datetime-format dialect (the reference's own
+        // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), QW:98) → Spark
+        // patterns; TO_CHAR → date_format. No-op for Spark-native SQL.
+        val translated = SqlCompat.translateDatetimeFormats(stmt)
+        val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>
           params.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => name -> v }
         }.toMap
-        val df = if (args.isEmpty) spark.sql(stmt) else spark.sql(stmt, args)
+        val df = if (args.isEmpty) spark.sql(translated)
+                 else spark.sql(translated, args)
         val res = QueryResult.success(stmt, df, rowsAffectedOf(df))
         // Force the rowcount here so RUNTIME failures (not just analysis
         // errors) hit the wrapper's error path — `pquery` materializes

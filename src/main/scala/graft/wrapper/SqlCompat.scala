@@ -78,4 +78,96 @@ object SqlCompat {
   /** Whether the UPDATE target is a catalog table this path can serve. */
   def canHandle(spark: SparkSession, u: Update): Boolean =
     scala.util.Try(spark.catalog.tableExists(u.table)).getOrElse(false)
+
+  // ---------------------------------------------------------------- B10:
+  // Exasol/Oracle datetime format dialect → Spark (JDK DateTimeFormatter)
+  // patterns. The reference's own SQL uses e.g.
+  // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS') (QW:98): 'YYYY' is week-year
+  // in Spark (silently wrong) and 'HH24'/'MI' are invalid. The translator
+  // rewrites format STRING LITERALS inside TO_TIMESTAMP/TO_DATE/TO_CHAR
+  // calls only (token-aware, paren-depth tracked) and maps TO_CHAR to
+  // date_format.
+
+  private val formatTokenMap: Seq[(String, String)] = Seq(
+    "YYYY" -> "yyyy", "YY" -> "yy",
+    "HH24" -> "HH", "HH12" -> "hh",
+    "MI" -> "mm", "SS" -> "ss",
+    "MON" -> "MMM", "DAY" -> "EEEE", "DY" -> "E",
+    "DD" -> "dd", "FF3" -> "SSS", "FF" -> "SSS",
+    "AM" -> "a", "PM" -> "a")
+  // NOTE: 'MM' (month) and 'HH' (12-hour in both dialects) need no entry;
+  // HH24/HH12 are handled before a bare HH would match anything.
+
+  private[wrapper] def translateFormatLiteral(lit: String): String = {
+    // lit includes the surrounding quotes; translate the body token-wise,
+    // longest token first, case-sensitive on the uppercase dialect tokens.
+    val body = lit.substring(1, lit.length - 1)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      formatTokenMap.find { case (from, _) => body.startsWith(from, i) } match {
+        case Some((from, to)) => sb ++= to; i += from.length
+        case None => sb += body.charAt(i); i += 1
+      }
+    }
+    "'" + sb.result() + "'"
+  }
+
+  private val ToFns = Set("to_timestamp", "to_date", "to_char")
+
+  /** Rewrite Exasol-style datetime format literals (and `TO_CHAR` →
+    * `date_format`) in a SQL text. Token-aware and call-aware: only string
+    * literals lexically inside a TO_* argument list, and only from the
+    * SECOND argument on (the format position — first-arg data literals are
+    * never touched). */
+  def translateDatetimeFormats(sql: String): String = {
+    // (depth, commasSeen) per active TO_* call, innermost first.
+    final case class Frame(depth: Int, var commas: Int)
+    val out = new StringBuilder
+    var frames = List.empty[Frame]
+    var depth = 0
+    var lastWord = ""        // most recent identifier word seen
+    var lastWordStart = -1   // its start offset in `out`
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+
+    SqlTokens.tokenize(sql).foreach {
+      case SqlTokens.Token(SqlTokens.Other, text) =>
+        var inWord = false
+        text.foreach { c =>
+          if (isWordChar(c)) {
+            if (!inWord) { lastWordStart = out.length; lastWord = ""; inWord = true }
+            lastWord += c
+          } else {
+            inWord = false
+            c match {
+              case '(' =>
+                depth += 1
+                if (ToFns.contains(lastWord.toLowerCase)) {
+                  if (lastWord.equalsIgnoreCase("to_char"))
+                    out.replace(lastWordStart, lastWordStart + lastWord.length,
+                      "date_format")
+                  frames ::= Frame(depth, 0)
+                }
+                lastWord = ""
+              case ')' =>
+                if (frames.headOption.exists(_.depth == depth)) frames = frames.tail
+                depth -= 1
+              case ',' =>
+                frames.headOption.filter(_.depth == depth).foreach(_.commas += 1)
+              case w if w.isWhitespace => () // word survives spaces before '('
+              case _ => lastWord = ""
+            }
+          }
+          out += c
+        }
+      case SqlTokens.Token(SqlTokens.Str, text)
+          if frames.headOption.exists(_.commas >= 1) =>
+        lastWord = ""
+        out ++= translateFormatLiteral(text)
+      case t =>
+        lastWord = ""
+        out ++= t.text
+    }
+    out.result()
+  }
 }

@@ -39,6 +39,32 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS upd_t")
   }
 
+  test("datetime format dialect translates inside TO_* calls only") {
+    val in = "INSERT INTO t VALUES (?, TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), 'YYYY')"
+    assert(SqlCompat.translateDatetimeFormats(in) ==
+      "INSERT INTO t VALUES (?, TO_TIMESTAMP(?, 'yyyy-MM-dd HH:mm:ss'), 'YYYY')")
+    // First-arg data literal untouched; second-arg format translated:
+    assert(SqlCompat.translateDatetimeFormats(
+      "SELECT TO_DATE('2026-01-02', 'YYYY-MM-DD')") ==
+      "SELECT TO_DATE('2026-01-02', 'yyyy-MM-dd')")
+    // TO_CHAR renames to date_format:
+    assert(SqlCompat.translateDatetimeFormats(
+      "SELECT TO_CHAR(ts, 'DD.MON.YYYY') FROM t") ==
+      "SELECT date_format(ts, 'dd.MMM.yyyy') FROM t")
+    // Outside a TO_* call nothing changes, including comments/strings:
+    val noop = "SELECT 'HH24:MI' AS s -- YYYY\nFROM t"
+    assert(SqlCompat.translateDatetimeFormats(noop) == noop)
+  }
+
+  test("wrapper executes the reference's QW:98 format end-to-end") {
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query(
+      "SELECT TO_TIMESTAMP('2026-01-02 03:04:05', 'YYYY-MM-DD HH24:MI:SS') AS t")
+    assert(ok)
+    assert(res.rows.head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2026-01-02 03:04:05"))
+  }
+
   test("UPDATE on a missing table falls through to the error path") {
     val w = QueryWrapper(spark)
     w.onError = "continue"
