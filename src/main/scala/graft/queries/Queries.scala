@@ -607,6 +607,34 @@ object Queries {
     """SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** JSON construction: to_json over a struct — the export half of the
+    * JSON surface (compact key:value format identical across engines). */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("j"))
+      .orderBy(col("event_id"))
+
+  private val q43Sql =
+    """SELECT event_id,
+      |       CAST(TO_JSON(STRUCT_PACK(event_id := event_id,
+      |                                event_type := event_type)) AS VARCHAR) AS j
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Schema'd JSON parsing: from_json with a declared struct schema (the
+    * typed counterpart of q27b's path extraction). */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_parsed"))
+      .orderBy(col("event_id"))
+
+  private val q44Sql =
+    """SELECT event_id, CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) AS k_parsed
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Wrapper-style parameterized query: `::TAB` identifier splice +
     * `:UID` value binding (README.md:43–57 pattern), resolved pre-parse by
     * [[graft.wrapper.Params]] then run through `spark.sql(sql, args)`. */
@@ -921,5 +949,7 @@ object Queries {
     QueryDef("q40_asof_join", q40, Some(q40Sql)),
     QueryDef("q41_ann_ivf", q41, None),
     QueryDef("q42_embedding_neardup", q42, None),
+    QueryDef("q43_json_build", q43, Some(q43Sql)),
+    QueryDef("q44_from_json", q44, Some(q44Sql)),
   )
 }
