@@ -253,6 +253,101 @@ object Queries {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** RANGE frame over event time: rolling 90-day spend per customer —
+    * the value-based frame (vs q12's ROWS frame). */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-90L * 24 * 3600, 0)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_90d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q45Sql =
+    """SELECT o_custkey, o_orderkey,
+      |       ROUND(SUM(o_totalprice) OVER (
+      |         PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+      |         RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW), 2) AS spend_90d
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Analytic window functions: first/last value, ntile, lead. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(wf).as("first_key"),
+        last(col("o_orderkey")).over(wf).as("last_key"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q46Sql =
+    """SELECT o_custkey, o_orderkey,
+      |       FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+      |       LAST_VALUE(o_orderkey) OVER wf AS last_key,
+      |       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |       LEAD(o_orderkey, 1) OVER w AS next_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`). */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (floor(expr("percentile(o_totalprice, 0.5)") * 100 + lit(0.5)) / 100).as("p50"),
+        (floor(expr("percentile(o_totalprice, 0.9)") * 100 + lit(0.5)) / 100).as("p90"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q47Sql =
+    """SELECT o_orderstatus,
+      |       FLOOR(QUANTILE_CONT(o_totalprice, 0.5) * 100 + 0.5) / 100 AS p50,
+      |       FLOOR(QUANTILE_CONT(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Correlated scalar subquery — exercises Catalyst decorrelation (the
+    * subquery rewrites to an outer join + aggregate). */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("q48_customer")
+    t(s, d, "orders").createOrReplaceTempView("q48_orders")
+    s.sql(
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM q48_orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM q48_customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q48Sql =
+    """SELECT c_custkey,
+      |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Pivot: order counts per market segment, one column per order status. */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("c_mktsegment"))
+
+  private val q49Sql =
+    """SELECT c_mktsegment,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Global top-k: Spark plans this as TakeOrderedAndProject (per-partition
     * top-k then a single merge — no full sort, no full shuffle). */
   private def q13(s: SparkSession, d: String): DataFrame =
@@ -951,5 +1046,10 @@ object Queries {
     QueryDef("q42_embedding_neardup", q42, None),
     QueryDef("q43_json_build", q43, Some(q43Sql)),
     QueryDef("q44_from_json", q44, Some(q44Sql)),
+    QueryDef("q45_window_range", q45, Some(q45Sql)),
+    QueryDef("q46_window_analytics", q46, Some(q46Sql)),
+    QueryDef("q47_percentiles", q47, Some(q47Sql)),
+    QueryDef("q48_scalar_subquery", q48, Some(q48Sql)),
+    QueryDef("q49_pivot", q49, Some(q49Sql)),
   )
 }
