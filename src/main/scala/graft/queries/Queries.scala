@@ -348,6 +348,47 @@ object Queries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): 12 monthly compounding
+    * steps seeded from an aggregate. */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "region").createOrReplaceTempView("q50_region")
+    s.sql(
+      """WITH RECURSIVE series AS (
+        |  SELECT 1 AS n, CAST((SELECT count(*) FROM q50_region) AS DOUBLE) AS v
+        |  UNION ALL
+        |  SELECT n + 1, v * 1.1 FROM series WHERE n < 12)
+        |SELECT n, FLOOR(v * 100 + 0.5) / 100 AS v FROM series ORDER BY n""".stripMargin)
+  }
+
+  private val q50Sql =
+    """WITH RECURSIVE series AS (
+      |  SELECT 1 AS n, CAST((SELECT count(*) FROM region) AS DOUBLE) AS v
+      |  UNION ALL
+      |  SELECT n + 1, v * 1.1 FROM series WHERE n < 12)
+      |SELECT n, FLOOR(v * 100 + 0.5) / 100 AS v FROM series ORDER BY n""".stripMargin
+
+  /** LATERAL correlated subquery: top-2 orders per customer — the
+    * per-row-subquery join form (planned as a lateral join). */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("q51_customer")
+    t(s, d, "orders").createOrReplaceTempView("q51_orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, FLOOR(o_totalprice * 100 + 0.5) / 100 AS total
+        |FROM q51_customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM q51_orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, total DESC, o_orderkey""".stripMargin)
+  }
+
+  private val q51Sql =
+    """SELECT c_custkey, o_orderkey, FLOOR(o_totalprice * 100 + 0.5) / 100 AS total
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      |ORDER BY c_custkey, total DESC, o_orderkey""".stripMargin
+
   /** Global top-k: Spark plans this as TakeOrderedAndProject (per-partition
     * top-k then a single merge — no full sort, no full shuffle). */
   private def q13(s: SparkSession, d: String): DataFrame =
@@ -1051,5 +1092,7 @@ object Queries {
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
     QueryDef("q48_scalar_subquery", q48, Some(q48Sql)),
     QueryDef("q49_pivot", q49, Some(q49Sql)),
+    QueryDef("q50_recursive_cte", q50, Some(q50Sql)),
+    QueryDef("q51_lateral", q51, Some(q51Sql)),
   )
 }
