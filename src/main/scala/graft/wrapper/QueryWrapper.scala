@@ -151,6 +151,12 @@ final class QueryWrapper private (
         val affected =
           SqlCompat.runUpdate(spark, SqlCompat.parseUpdate(stmt).get)
         new QueryResult(stmt, None, Some(affected), None)
+      case _ if SqlCompat.parseDelete(stmt)
+          .exists(del => SqlCompat.canHandle(spark, del)) =>
+        // DELETE, same emulation: keep-complement + overwrite.
+        val affected =
+          SqlCompat.runDelete(spark, SqlCompat.parseDelete(stmt).get)
+        new QueryResult(stmt, None, Some(affected), None)
       case _ =>
         // B10: Exasol datetime-format dialect (the reference's own
         // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), QW:98) → Spark

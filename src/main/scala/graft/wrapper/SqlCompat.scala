@@ -77,7 +77,42 @@ object SqlCompat {
 
   /** Whether the UPDATE target is a catalog table this path can serve. */
   def canHandle(spark: SparkSession, u: Update): Boolean =
-    scala.util.Try(spark.catalog.tableExists(u.table)).getOrElse(false)
+    tableExists(spark, u.table)
+
+  private def tableExists(spark: SparkSession, t: String): Boolean =
+    scala.util.Try(spark.catalog.tableExists(t)).getOrElse(false)
+
+  // ---------------------------------------------------------------- DELETE
+
+  private val DeleteRe =
+    "(?is)^\\s*delete\\s+from\\s+([\\w.`]+)(?:\\s+where\\s+(.+?))?\\s*;?\\s*$".r
+
+  final case class Delete(table: String, where: Option[String])
+
+  def parseDelete(sql: String): Option[Delete] = sql match {
+    case DeleteRe(table, whereClause) =>
+      Some(Delete(table, Option(whereClause).map(_.trim)))
+    case _ => None
+  }
+
+  def canHandle(spark: SparkSession, d: Delete): Boolean =
+    tableExists(spark, d.table)
+
+  /** DELETE FROM t [WHERE p] on a parquet catalog table: keep the
+    * complement, checkpoint, overwrite. Returns the deleted-row count. */
+  def runDelete(spark: SparkSession, d: Delete): Long = {
+    val df = spark.table(d.table)
+    val cond = d.where.map(expr).getOrElse(lit(true))
+    val affected = df.filter(cond).count()
+    // Rows with a NULL predicate are NOT deleted (SQL semantics): keep
+    // everything whose condition is not strictly TRUE.
+    val remaining = df.filter(coalesce(!cond, lit(true)))
+    val tmp = java.nio.file.Files.createTempDirectory("qw_delete").toString + "/data"
+    remaining.write.parquet(tmp)
+    spark.read.schema(df.schema).parquet(tmp)
+      .write.mode("overwrite").insertInto(d.table)
+    affected
+  }
 
   // ---------------------------------------------------------------- B10:
   // Exasol/Oracle datetime format dialect → Spark (JDK DateTimeFormatter)

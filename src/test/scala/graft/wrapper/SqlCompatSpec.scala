@@ -65,6 +65,25 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
       java.sql.Timestamp.valueOf("2026-01-02 03:04:05"))
   }
 
+  test("wrapper DELETE: rows_affected, WHERE gating, NULL predicate keeps") {
+    val loc = Files.createTempDirectory("del").toString
+    spark.sql(s"CREATE TABLE del_t (a BIGINT, b BIGINT) USING parquet LOCATION '$loc/t'")
+    try {
+      spark.sql("INSERT INTO del_t VALUES (1, 10), (2, NULL), (3, 30)")
+      val w = QueryWrapper(spark)
+      // b > 15 is NULL for row 2 -> row 2 must survive.
+      val (ok, res) = w.query("DELETE FROM del_t WHERE b > 15")
+      assert(ok)
+      assert(res.rowsAffected.contains(1L))
+      val left = spark.table("del_t").orderBy("a").collect().map(_.getLong(0))
+      assert(left.toSeq == Seq(1L, 2L))
+      // Unconditional delete empties the table:
+      val (_, res2) = w.query("DELETE FROM del_t")
+      assert(res2.rowsAffected.contains(2L))
+      assert(spark.table("del_t").count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS del_t")
+  }
+
   test("UPDATE on a missing table falls through to the error path") {
     val w = QueryWrapper(spark)
     w.onError = "continue"
