@@ -104,6 +104,25 @@ object Queries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Exact DECIMAL aggregation (Exasol's native money type, reference
+    * DECIMAL(18) rowcounts QW:18): casting to decimal before summing gives
+    * bit-exact cross-engine totals — no fp rounding tricks needed. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("sum_price"),
+        sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val q52Sql =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** MIN/MAX agg — the run-id allocation pattern (query_wrapper.sql:268). */
   private def q05(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders").agg(
@@ -1011,8 +1030,12 @@ object Queries {
     * ANN scale path beside q38's LSH. */
   private def q41(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
+    // iters=1: this declared query rebuilds the index per execution; a
+    // deployment builds it once (Layout.writeBucketed by cell) and pays
+    // more Lloyd rounds there instead.
     graft.ext.SimilarityOps.ivfKnn(
-      emb, emb.filter(col("vec_id") <= 4), k = 10, nCells = 16, nProbe = 4)
+      emb, emb.filter(col("vec_id") <= 4), k = 10, nCells = 16, nProbe = 4,
+      iters = 1)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets + exact cosine
@@ -1094,5 +1117,6 @@ object Queries {
     QueryDef("q49_pivot", q49, Some(q49Sql)),
     QueryDef("q50_recursive_cte", q50, Some(q50Sql)),
     QueryDef("q51_lateral", q51, Some(q51Sql)),
+    QueryDef("q52_decimal_agg", q52, Some(q52Sql)),
   )
 }
