@@ -495,6 +495,31 @@ object Queries {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping() markers — the general form of
+    * q18's rollup / q18b's cube. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("q53_customer")
+    s.sql(
+      """SELECT c_mktsegment, c_nationkey,
+        |       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+        |       CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+        |       COUNT(*) AS n
+        |FROM q53_customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST,
+        |         c_nationkey ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q53Sql =
+    """SELECT c_mktsegment, c_nationkey,
+      |       CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+      |       CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+      |       COUNT(*) AS n
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST,
+      |         c_nationkey ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- scalars
 
   /** String functions, incl. the wrapper's log-level truncation rule
@@ -1118,5 +1143,6 @@ object Queries {
     QueryDef("q50_recursive_cte", q50, Some(q50Sql)),
     QueryDef("q51_lateral", q51, Some(q51Sql)),
     QueryDef("q52_decimal_agg", q52, Some(q52Sql)),
+    QueryDef("q53_grouping_sets", q53, Some(q53Sql)),
   )
 }
