@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistable IVF index — the production shape of [[SimilarityOps.ivfKnn]]:
+  * build once (k-means centroids + corpus laid out partitioned BY CELL),
+  * query many times touching only the probed cells' files.
+  *
+  * The cell directory layout is the inverted file: a probe of `nProbe`
+  * cells reads `nProbe/nCells` of the corpus (partition pruning — verified
+  * in IvfIndexSpec via the scan's PartitionFilters), which is what makes
+  * ANN sublinear at 100 TB. The probe list is per-query-set metadata
+  * (≤ queries × nProbe cell ids) — driver-side by design. */
+object IvfIndex {
+
+  def build(spark: SparkSession, emb: DataFrame, path: String,
+      nCells: Int = 16, iters: Int = 2): Unit = {
+    val centroids = SimilarityOps.kmeansCentroids(emb, nCells, iters)
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val vecs = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("vec")), col("cos")).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.vec").as("vec"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Top-k per query against a built index. Reads ONLY the probed cell
+    * partitions. */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", SimilarityOps.cosine(col("qvec"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+
+    // Static partition pruning: the probed cell set is tiny metadata.
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val posting = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    posting.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("qvec")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Build-once/query-many IVF index: correctness vs the inline operator and
+  * the partition-pruning contract (only probed cells are scanned). */
+class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sql = spark
+  import sql.implicits._
+
+  test("index query scores agree with brute force; partitions are pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivf").toString + "/idx"
+    IvfIndex.build(spark, emb, dir, nCells = 8, iters = 2)
+
+    val queries = emb.filter($"vec_id" <= 3)
+    val out = IvfIndex.query(spark, dir, queries, k = 10, nProbe = 3)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty)
+
+    val exact = SimilarityOps.bruteForceKnn(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val shared = got.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { k => assert(math.abs(got(k) - exact(k)) < 1e-9) }
+
+    // Pruning contract: the posting scan carries a partition filter on
+    // cell, so unprobed cell directories are never read.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected a cell partition filter in:\n$plan")
+  }
+
+  test("cells layout holds one directory per cell") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivf2").toString + "/idx"
+    IvfIndex.build(spark, emb, dir, nCells = 4, iters = 1)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.length <= 4)
+  }
+}
