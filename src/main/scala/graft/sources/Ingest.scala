@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Schema'd text-format ingestion with a quarantine lane — the data-quality
+  * shape a training-data pipeline needs at the edge: rows that fail the
+  * declared schema are captured verbatim (PERMISSIVE +
+  * `columnNameOfCorruptRecord`), not dropped and not fatal.
+  *
+  * `good` carries only schema-conforming rows; `quarantined` carries the
+  * raw offending text for triage/replay. */
+object Ingest {
+
+  final case class IngestResult(good: DataFrame, quarantined: DataFrame)
+
+  private val CorruptCol = "_corrupt_record"
+
+  private def split(raw: DataFrame, schema: StructType): IngestResult = {
+    // Spark requires materialization before referencing only the corrupt
+    // column of a PERMISSIVE read (SPARK-21610) — cache once here.
+    raw.cache()
+    val good = raw.filter(col(CorruptCol).isNull)
+      .select(schema.fieldNames.map(col): _*)
+    val quarantined = raw.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_record"))
+    IngestResult(good, quarantined)
+  }
+
+  private def withCorrupt(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField(CorruptCol, StringType))
+
+  /** JSON-lines ingestion against a declared schema. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): IngestResult =
+    split(
+      spark.read
+        .schema(withCorrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .json(path),
+      schema)
+
+  /** CSV ingestion against a declared schema. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): IngestResult =
+    split(
+      spark.read
+        .schema(withCorrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .option("header", header.toString)
+        .csv(path),
+      schema)
+}
