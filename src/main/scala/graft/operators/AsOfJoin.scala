@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * expect from a native as-of.
   *
   * Contract: payload column names must not collide with left columns; right
-  * rows should be unique per (key, time) — pre-aggregate otherwise.
+  * rows should be unique per (key, time) — pre-aggregate otherwise. Right
+  * payload values MAY be NULL: each payload is carried through the window in
+  * a non-null `(present, v)` struct, so a matched right row with a NULL
+  * payload yields NULL (not an older row's value), and "no right row yet"
+  * also yields NULL.
   */
 object AsOfJoin {
 
@@ -28,11 +32,15 @@ object AsOfJoin {
       rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    def wrapType(p: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("present",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("v", right.schema(p).dataType)))
 
     val leftSide = left.select(
       leftCols.map(col) ++
         Seq(col(leftTime).as("__t"), lit(0).as("__is_right")) ++
-        payloadCols.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        payloadCols.map(p => lit(null).cast(wrapType(p)).as(p)): _*)
 
     val rightSide = right.select(
       leftCols.map { c =>
@@ -40,7 +48,10 @@ object AsOfJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++
         Seq(col(rightTime).as("__t"), lit(1).as("__is_right")) ++
-        payloadCols.map(col): _*)
+        // Wrap so that ignoreNulls skips only "no right row" sentinels,
+        // never a real right row whose payload happens to be NULL.
+        payloadCols.map(p =>
+          struct(lit(true).as("present"), col(p).as("v")).as(p)): _*)
 
     // At equal times the right row sorts first (__is_right desc), so a left
     // row sees a same-timestamp right row — inclusive <= semantics.
@@ -52,6 +63,8 @@ object AsOfJoin {
       (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
 
-    filled.filter(col("__is_right") === 0).drop("__t", "__is_right")
+    filled.filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(p => col(p).getField("v").as(p)): _*)
   }
 }

@@ -103,13 +103,21 @@ final class LogStore(
       val base = maxId(jobDetails, "detail_id")
       val rows = messages.zipWithIndex.map { case (m, i) =>
         Row(base + i + 1, m.runId.map(Long.box).orNull,
-          Timestamp.valueOf(m.msgTime), m.msgType, m.message,
+          parseMsgTime(m.msgTime), m.msgType, m.message,
           m.rowcount.map(Long.box).orNull)
       }
       append(jobDetailsPath, jobDetailsSchema, rows)
     }
   }
 
+  /** msgTime strings are formatted in UTC (QueryWrapper's `os.date`
+    * equivalent); parse them back with the SAME zone — `Timestamp.valueOf`
+    * would use the JVM default zone and skew job_details.log_time against
+    * the real-instant job_log start/end times on any non-UTC JVM. */
+  private def parseMsgTime(s: String): Timestamp =
+    Timestamp.from(
+      java.time.LocalDateTime.parse(s, LogStore.MsgTimeFormat)
+        .toInstant(java.time.ZoneOffset.UTC))
   /** Close a run: set end_time + final status (the finish() UPDATE,
     * QW:168–175) via read-modify-overwrite of the tiny job_log table. */
   def close(runId: Long, status: String): Unit = synchronized {
@@ -121,4 +129,11 @@ final class LogStore(
     spark.createDataFrame(updated.asJava, jobLogSchema)
       .coalesce(1).write.mode("overwrite").parquet(jobLogPath)
   }
+}
+
+object LogStore {
+  /** The QW:81 `os.date('%Y-%m-%d %H:%M:%S')` wire format, pinned to UTC on
+    * both the format (QueryWrapper.timeFmt) and parse (appendDetails) side. */
+  val MsgTimeFormat: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 }

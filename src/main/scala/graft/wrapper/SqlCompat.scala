@@ -15,22 +15,69 @@ import org.apache.spark.sql.functions._
   * an UPDATE; rows_affected is the matched-row count. */
 object SqlCompat {
 
-  private val UpdateRe =
-    "(?is)^\\s*update\\s+([\\w.`]+)\\s+set\\s+(.+?)(?:\\s+where\\s+(.+?))?\\s*;?\\s*$".r
+  private val UpdateHeadRe = "(?is)^\\s*update\\s+([\\w.`]+)\\s+set\\s".r
+  private val WhereRe = "(?i)\\bwhere\\b".r
 
   final case class Update(table: String, assignments: Seq[(String, String)],
       where: Option[String])
 
-  /** Parse an UPDATE statement, or None if `sql` is not one. */
-  def parseUpdate(sql: String): Option[Update] = sql match {
-    case UpdateRe(table, setClause, whereClause) =>
+  /** A copy of `sql` (same length, so match offsets map 1:1) where string
+    * literals, comments, and everything nested inside parentheses is blanked
+    * out. Clause keywords (SET/WHERE) are then located by regex over THIS
+    * text, so a `where` inside a literal (`SET note = 'see where it goes'`)
+    * or a SET-clause subquery can never split the statement. Quoted
+    * identifiers are kept (they are structure, not data). */
+  private def maskNonTopLevel(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var depth = 0
+    SqlTokens.tokenize(sql).foreach {
+      case SqlTokens.Token(SqlTokens.Other, text) =>
+        text.foreach {
+          case '(' => sb += (if (depth == 0) '(' else ' '); depth += 1
+          case ')' => depth -= 1; sb += (if (depth == 0) ')' else ' ')
+          case c => sb += (if (depth == 0) c else ' ')
+        }
+      case SqlTokens.Token(SqlTokens.QuotedIdent, text) if depth == 0 =>
+        sb ++= text
+      case t =>
+        // Blank char-for-char, preserving length (newlines too — the
+        // regexes are (?s) and never anchor on line structure).
+        (0 until t.text.length).foreach(_ => sb += ' ')
+    }
+    sb.result()
+  }
+
+  /** End offset of the statement body: trailing whitespace and one optional
+    * `;` stripped. */
+  private def bodyEnd(sql: String): Int = {
+    var e = sql.length
+    while (e > 0 && sql.charAt(e - 1).isWhitespace) e -= 1
+    if (e > 0 && sql.charAt(e - 1) == ';') {
+      e -= 1
+      while (e > 0 && sql.charAt(e - 1).isWhitespace) e -= 1
+    }
+    e
+  }
+
+  /** Parse an UPDATE statement, or None if `sql` is not one. Keyword
+    * detection (UPDATE/SET head, top-level WHERE) runs over the masked text;
+    * clause bodies are sliced from the ORIGINAL at the matched offsets, so
+    * literal/comment/subquery content is preserved verbatim. */
+  def parseUpdate(sql: String): Option[Update] = {
+    val masked = maskNonTopLevel(sql)
+    UpdateHeadRe.findFirstMatchIn(masked).map { m =>
+      val end = bodyEnd(sql)
+      val whereKw = WhereRe.findFirstMatchIn(masked.substring(m.end, end))
+        .map(w => (m.end + w.start, m.end + w.end))
+      val setClause = sql.substring(m.end, whereKw.map(_._1).getOrElse(end))
       val assignments = splitTopLevel(setClause).map { a =>
         val i = a.indexOf('=')
         require(i > 0, s"malformed SET assignment: $a")
         (a.substring(0, i).trim, a.substring(i + 1).trim)
       }
-      Some(Update(table, assignments, Option(whereClause).map(_.trim)))
-    case _ => None
+      Update(sql.substring(m.start(1), m.end(1)), assignments,
+        whereKw.map { case (_, kwEnd) => sql.substring(kwEnd, end).trim })
+    }
   }
 
   /** Split on top-level commas (outside strings/comments/parens). */
@@ -46,6 +93,8 @@ object SqlCompat {
           case ',' if depth == 0 => parts += cur.result(); cur.clear()
           case c => cur += c
         }
+      case SqlTokens.Token(SqlTokens.Comment, _) =>
+        cur += ' ' // comments are not part of the assignment expression
       case t => cur ++= t.text
     }
     parts += cur.result()
@@ -57,7 +106,10 @@ object SqlCompat {
   def runUpdate(spark: SparkSession, u: Update): Long = {
     val df = spark.table(u.table)
     val cond = u.where.map(expr).getOrElse(lit(true))
-    val affected = df.filter(cond).count()
+    // One scan for both counts: total (staging validation) + matched.
+    val counts = df.agg(
+      count(lit(1)), count(when(cond, lit(1)))).head()
+    val (total, affected) = (counts.getLong(0), counts.getLong(1))
 
     val updated = df.select(df.columns.map { c =>
       u.assignments.find(_._1.equalsIgnoreCase(c)) match {
@@ -66,13 +118,40 @@ object SqlCompat {
       }
     }.toSeq: _*)
 
-    // Checkpoint through a temp location: the overwrite would otherwise
-    // read from the files it is replacing.
-    val tmp = java.nio.file.Files.createTempDirectory("qw_update").toString + "/data"
-    updated.write.parquet(tmp)
-    spark.read.schema(df.schema).parquet(tmp)
-      .write.mode("overwrite").insertInto(u.table)
+    checkpointOverwrite(spark, u.table, df, updated, expectedRows = total)
     affected
+  }
+
+  /** Checkpoint `transformed` to a staging dir on the TABLE'S filesystem
+    * (visible to every executor — a driver-local temp dir is not, on a real
+    * cluster), verify the staged row count, then overwrite the table from
+    * the staging copy. The two-step dance is required because the overwrite
+    * would otherwise read from the very files it is replacing; staging next
+    * to the table keeps the copy on the same storage system (and quota) as
+    * the data. Staging is removed in `finally`, so a failed overwrite leaves
+    * no litter — and because the staged copy is verified complete BEFORE the
+    * destructive overwrite starts, a crash mid-overwrite can be repaired
+    * from source data + statement replay rather than silently losing rows. */
+  private def checkpointOverwrite(spark: SparkSession, table: String,
+      source: org.apache.spark.sql.DataFrame,
+      transformed: org.apache.spark.sql.DataFrame, expectedRows: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val location = new Path(
+      org.apache.spark.sql.graftbridge.Bridge.tableLocation(spark, table))
+    val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(location.getParent,
+      s".${location.getName}_staging_${java.util.UUID.randomUUID()}")
+    try {
+      transformed.write.parquet(staging.toString)
+      val staged = spark.read.schema(source.schema).parquet(staging.toString)
+      val stagedRows = staged.count()
+      require(stagedRows == expectedRows,
+        s"staged checkpoint for $table has $stagedRows rows, expected " +
+          s"$expectedRows — aborting before the destructive overwrite")
+      staged.write.mode("overwrite").insertInto(table)
+    } finally {
+      fs.delete(staging, true)
+    }
   }
 
   /** Whether the UPDATE target is a catalog table this path can serve. */
@@ -84,15 +163,18 @@ object SqlCompat {
 
   // ---------------------------------------------------------------- DELETE
 
-  private val DeleteRe =
-    "(?is)^\\s*delete\\s+from\\s+([\\w.`]+)(?:\\s+where\\s+(.+?))?\\s*;?\\s*$".r
+  private val DeleteHeadRe = "(?is)^\\s*delete\\s+from\\s+([\\w.`]+)\\s*".r
 
   final case class Delete(table: String, where: Option[String])
 
-  def parseDelete(sql: String): Option[Delete] = sql match {
-    case DeleteRe(table, whereClause) =>
-      Some(Delete(table, Option(whereClause).map(_.trim)))
-    case _ => None
+  def parseDelete(sql: String): Option[Delete] = {
+    val masked = maskNonTopLevel(sql)
+    DeleteHeadRe.findFirstMatchIn(masked).map { m =>
+      val end = bodyEnd(sql)
+      val where = WhereRe.findFirstMatchIn(masked.substring(m.end, end))
+        .map(w => sql.substring(m.end + w.end, end).trim)
+      Delete(sql.substring(m.start(1), m.end(1)), where)
+    }
   }
 
   def canHandle(spark: SparkSession, d: Delete): Boolean =
@@ -103,14 +185,14 @@ object SqlCompat {
   def runDelete(spark: SparkSession, d: Delete): Long = {
     val df = spark.table(d.table)
     val cond = d.where.map(expr).getOrElse(lit(true))
-    val affected = df.filter(cond).count()
+    val counts = df.agg(
+      count(lit(1)), count(when(cond, lit(1)))).head()
+    val (total, affected) = (counts.getLong(0), counts.getLong(1))
     // Rows with a NULL predicate are NOT deleted (SQL semantics): keep
     // everything whose condition is not strictly TRUE.
     val remaining = df.filter(coalesce(!cond, lit(true)))
-    val tmp = java.nio.file.Files.createTempDirectory("qw_delete").toString + "/data"
-    remaining.write.parquet(tmp)
-    spark.read.schema(df.schema).parquet(tmp)
-      .write.mode("overwrite").insertInto(d.table)
+    checkpointOverwrite(spark, d.table, df, remaining,
+      expectedRows = total - affected)
     affected
   }
 

@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Storage location of a catalog table (`sessionState` is `private[sql]`).
+    * Used by the DML emulation to stage checkpoints on the TABLE'S
+    * filesystem rather than a driver-local temp dir. */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): java.net.URI = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ident = cs.sessionState.sqlParser.parseTableIdentifier(table)
+    cs.sessionState.catalog.getTableMetadata(ident).location
+  }
 }

@@ -1,44 +1,60 @@
 package graft.operators
 
-import java.sql.Timestamp
-
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
+/** Backward as-of join semantics, including the nullable-payload contract:
+  * a matched right row whose payload is NULL must yield NULL (not an older
+  * right row's value), and a left row before any right row yields NULL. */
 class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
 
-  private lazy val sql = spark
-  import sql.implicits._
+  test("backward as-of: latest right row at or before each left time") {
+    import graft.SparkTestBase.spark.implicits._
+    val left = Seq(("a", 1L), ("a", 5L), ("a", 10L), ("b", 3L))
+      .toDF("k", "lt")
+    val right = Seq(("a", 2L, 100.0), ("a", 5L, 200.0), ("b", 9L, 300.0))
+      .toDF("k", "rt", "price")
 
-  private def ts(h: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("price"))
+      .orderBy("k", "lt")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
 
-  test("backward as-of: latest right value at-or-before, inclusive") {
-    val left = Seq(
-      (1L, 100L, ts(0)), (2L, 100L, ts(1)), (3L, 100L, ts(3)), (4L, 100L, ts(7)),
-      (5L, 200L, ts(2))
-    ).toDF("event_id", "user_id", "ts")
-    val right = Seq(
-      (100L, ts(1), 10.0), (100L, ts(5), 50.0),
-      (200L, ts(9), 99.0)
-    ).toDF("user_id", "rts", "val")
-
-    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "rts", Seq("val"))
-      .orderBy("event_id").collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3)))
     assert(out.toSeq == Seq(
-      (1L, null), // before any right row
-      (2L, 10.0), // equal timestamp → inclusive
-      (3L, 10.0), // carried forward
-      (4L, 50.0), // newer right row wins
-      (5L, null)  // right row is in the future
-    ))
+      ("a", 1L, null),      // before any right row
+      ("a", 5L, 200.0),     // inclusive <= picks the same-time right row
+      ("a", 10L, 200.0),    // latest at-or-before
+      ("b", 3L, null)))     // b's only right row is later
   }
 
-  test("payload stays null-typed and left row count is preserved") {
-    val left = Seq((1L, 9L, ts(0))).toDF("event_id", "user_id", "ts")
-    val right = Seq((8L, ts(0), 1.0)).toDF("user_id", "rts", "val")
-    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "rts", Seq("val"))
-    assert(out.count() == 1)
-    assert(out.head().isNullAt(3)) // no matching key
+  test("NULL right payload is carried, not skipped for an older value") {
+    import graft.SparkTestBase.spark.implicits._
+    val left = Seq(("a", 3L), ("a", 7L)).toDF("k", "lt")
+    val right = Seq(("a", 1L, Some(100.0)), ("a", 5L, None))
+      .toDF("k", "rt", "price")
+
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("price"))
+      .orderBy("lt")
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+
+    // lt=3 sees the rt=1 row (100.0); lt=7's as-of row is rt=5 whose payload
+    // is genuinely NULL — it must NOT inherit 100.0 from rt=1.
+    assert(out.toSeq == Seq((3L, 100.0), (7L, null)))
+  }
+
+  test("multiple payload columns resolve independently per as-of row") {
+    import graft.SparkTestBase.spark.implicits._
+    val left = Seq(("a", 6L)).toDF("k", "lt")
+    val right = Seq(("a", 2L, Some(1.0), Option.empty[String]),
+      ("a", 4L, Option.empty[Double], Some("x")))
+      .toDF("k", "rt", "p1", "p2")
+
+    val out = AsOfJoin.backward(
+      left, right, Seq("k"), "lt", "rt", Seq("p1", "p2")).collect()(0)
+    // Both payloads come from the SAME as-of row (rt=4): p1 NULL, p2 "x" —
+    // per-column last() must not mix rows.
+    assert(out.isNullAt(2) && out.getString(3) == "x")
   }
 }

@@ -55,6 +55,24 @@ class LifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(store.jobDetails.collect().forall(_.getLong(1) == 1L))
   }
 
+  test("job_details.log_time is UTC-consistent with job_log on non-UTC JVMs") {
+    val prevTz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+    try {
+      val dir = Files.createTempDirectory("tz").toString
+      val t0 = Instant.parse("2026-01-02T03:04:05Z")
+      val store = new LogStore(spark, dir, () => t0)
+      // msgTime strings are formatted in UTC by QueryWrapper; parsing them
+      // back must use UTC too, not the JVM default zone.
+      store.appendDetails(Seq(
+        LogMessage(Some(1L), "2026-01-02 03:04:05", "INFO", "tz probe", None)))
+      val logged = store.jobDetails.collect()(0).getTimestamp(2)
+      assert(logged.getTime == t0.toEpochMilli,
+        s"log_time ${logged.getTime} != instant ${t0.toEpochMilli} — " +
+          "msgTime was parsed in the JVM default zone")
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
+
   test("run ids are sequential across jobs (INSERT-then-MAX, QW:255-274)") {
     val dir = Files.createTempDirectory("seq").toString
     val clock = tickingClock()

@@ -16,8 +16,35 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     assert(u.assignments == Seq(("a", "concat(b, ',', c)"), ("b", "a")))
     assert(u.where.contains("a > 1"))
     assert(SqlCompat.parseUpdate("SELECT * FROM t").isEmpty)
-    val noWhere = SqlCompat.parseUpdate("update s.t set x = 1").get
-    assert(noWhere.table == "s.t" && noWhere.where.isEmpty)
+    val noWhere = SqlCompat.parseUpdate("update s.t set x = 1")
+    assert(noWhere.get.table == "s.t" && noWhere.get.where.isEmpty)
+  }
+
+  test("parse: WHERE inside literals, comments, and subqueries never splits") {
+    // 'where' inside a string literal in the SET clause:
+    val u = SqlCompat.parseUpdate(
+      "UPDATE t SET note = 'see where it goes' WHERE id > 5").get
+    assert(u.assignments == Seq(("note", "'see where it goes'")))
+    assert(u.where.contains("id > 5"))
+    // literal-only SET, no top-level WHERE at all:
+    val u2 = SqlCompat.parseUpdate("UPDATE t SET note = 'where am i';").get
+    assert(u2.where.isEmpty)
+    assert(u2.assignments == Seq(("note", "'where am i'")))
+    // WHERE inside a SET-clause subquery stays with the assignment:
+    val u3 = SqlCompat.parseUpdate(
+      "UPDATE t SET x = (SELECT max(v) FROM s WHERE s.id = 1) WHERE t.id = 2").get
+    assert(u3.assignments ==
+      Seq(("x", "(SELECT max(v) FROM s WHERE s.id = 1)")))
+    assert(u3.where.contains("t.id = 2"))
+    // comment containing 'where' is not a clause boundary:
+    val u4 = SqlCompat.parseUpdate(
+      "UPDATE t SET a = 1 -- where b = 2\n").get
+    assert(u4.where.isEmpty && u4.assignments == Seq(("a", "1")))
+    // DELETE with the predicate value containing 'where':
+    val d = SqlCompat.parseDelete(
+      "DELETE FROM t WHERE note = 'delete from x where y'").get
+    assert(d.where.contains("note = 'delete from x where y'"))
+    assert(SqlCompat.parseDelete("delete from t;").get.where.isEmpty)
   }
 
   test("wrapper UPDATE: rows_affected, WHERE gating, old-row semantics") {
