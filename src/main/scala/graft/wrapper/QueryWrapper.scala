@@ -157,6 +157,13 @@ final class QueryWrapper private (
         val affected =
           SqlCompat.runDelete(spark, SqlCompat.parseDelete(stmt).get)
         new QueryResult(stmt, None, Some(affected), None)
+      case _ if SqlCompat.parseMerge(stmt)
+          .exists(mg => SqlCompat.canHandle(spark, mg)) =>
+        // MERGE (Exasol/ANSI upsert): one full-outer join pass, then the
+        // same verified checkpoint-overwrite as UPDATE/DELETE.
+        val affected =
+          SqlCompat.runMerge(spark, SqlCompat.parseMerge(stmt).get)
+        new QueryResult(stmt, None, Some(affected), None)
       case _ =>
         // B10: Exasol datetime-format dialect (the reference's own
         // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), QW:98) → Spark

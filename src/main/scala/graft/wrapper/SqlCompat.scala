@@ -196,6 +196,137 @@ object SqlCompat {
     affected
   }
 
+  // ---------------------------------------------------------------- MERGE
+
+  private val MergeHeadRe =
+    ("(?is)^\\s*merge\\s+into\\s+([\\w.`]+)(?:\\s+(?:as\\s+)?(\\w+))?" +
+      "\\s+using\\s+([\\w.`]+)(?:\\s+(?:as\\s+)?(\\w+))?\\s+on\\s").r
+  // Clause starts match only the full `WHEN [NOT] MATCHED` phrase, so a
+  // CASE WHEN inside a SET expression is never a clause boundary.
+  private val WhenClauseRe = "(?i)\\bwhen\\s+(not\\s+)?matched\\b".r
+  private val UpdateBodyRe = "(?is)^\\s*then\\s+update\\s+set\\s(.*)$".r
+  private val DeleteBodyRe = "(?is)^\\s*then\\s+delete\\s*$".r
+  private val InsertBodyRe =
+    "(?is)^\\s*then\\s+insert\\s*(?:\\(([^)]*)\\))?\\s*values\\s*\\((.*)\\)\\s*$".r
+
+  /** `MERGE INTO target USING source ON cond WHEN MATCHED THEN UPDATE SET …
+    * | DELETE WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (…)` — the
+    * Exasol/ANSI upsert the reference's pass-through surface accepts. */
+  final case class Merge(
+      target: String, targetAlias: String,
+      source: String, sourceAlias: String,
+      condition: String,
+      matchedSet: Option[Seq[(String, String)]],
+      matchedDelete: Boolean,
+      insert: Option[(Option[Seq[String]], Seq[String])])
+
+  def parseMerge(sql: String): Option[Merge] = {
+    val masked = maskNonTopLevel(sql)
+    MergeHeadRe.findFirstMatchIn(masked).flatMap { m =>
+      val end = bodyEnd(sql)
+      val whens = WhenClauseRe.findAllMatchIn(masked.substring(m.end, end))
+        .map(w => (m.end + w.start, m.end + w.end, w.group(1) != null)).toList
+      if (whens.isEmpty) None
+      else {
+        val condition = sql.substring(m.end, whens.head._1).trim
+        var matchedSet: Option[Seq[(String, String)]] = None
+        var matchedDelete = false
+        var insert: Option[(Option[Seq[String]], Seq[String])] = None
+        whens.zipWithIndex.foreach { case ((_, kwEnd, isNotMatched), i) =>
+          val clauseEnd = whens.lift(i + 1).map(_._1).getOrElse(end)
+          val body = sql.substring(kwEnd, clauseEnd)
+          (isNotMatched, body) match {
+            case (false, UpdateBodyRe(assigns)) =>
+              matchedSet = Some(splitTopLevel(assigns).map { a =>
+                val eq = a.indexOf('=')
+                require(eq > 0, s"malformed MERGE SET assignment: $a")
+                (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+              })
+            case (false, DeleteBodyRe()) => matchedDelete = true
+            case (true, InsertBodyRe(cols, values)) =>
+              insert = Some((
+                Option(cols).map(_.split(",").map(_.trim).toSeq),
+                splitTopLevel(values).map(_.trim)))
+            case _ => throw new IllegalArgumentException(
+              s"unsupported MERGE clause: WHEN ${if (isNotMatched) "NOT " else ""}MATCHED$body")
+          }
+        }
+        val targetAlias = Option(m.group(2)).getOrElse(
+          sql.substring(m.start(1), m.end(1)).split('.').last)
+        val sourceAlias = Option(m.group(4)).getOrElse(
+          sql.substring(m.start(3), m.end(3)).split('.').last)
+        Some(Merge(sql.substring(m.start(1), m.end(1)), targetAlias,
+          sql.substring(m.start(3), m.end(3)), sourceAlias,
+          condition, matchedSet, matchedDelete, insert))
+      }
+    }
+  }
+
+  def canHandle(spark: SparkSession, m: Merge): Boolean =
+    tableExists(spark, m.target) &&
+      scala.util.Try(spark.table(m.source)).isSuccess
+
+  /** Execute MERGE in ONE join pass: full-outer target⋈source on the match
+    * condition; matched rows take the SET (old-row semantics) or are
+    * deleted, target-only rows pass through, source-only rows become the
+    * INSERT values. Multiple source matches for one target row abort (the
+    * host engines' ambiguous-MERGE error). Returns rows_affected =
+    * updated + deleted + inserted. */
+  def runMerge(spark: SparkSession, m: Merge): Long = {
+    val tid = "__graft_tid"
+    val smk = "__graft_smatch"
+    val tgtSchema = spark.table(m.target).schema
+    val tgt = spark.table(m.target)
+      .withColumn(tid, monotonically_increasing_id()).alias(m.targetAlias)
+    val src = spark.table(m.source)
+      .withColumn(smk, lit(1)).alias(m.sourceAlias)
+    val joined = tgt.join(src, expr(m.condition), "full_outer")
+    val matched = col(tid).isNotNull && col(smk).isNotNull
+
+    // Counts + ambiguity check in one pass over the join.
+    val statsRow = joined.groupBy(col(tid)).agg(
+      count(when(matched, lit(1))).as("m"),
+      count(when(col(tid).isNotNull && col(smk).isNull, lit(1))).as("t"),
+      count(when(col(tid).isNull, lit(1))).as("s"))
+      .agg(sum(col("m")), sum(col("t")), sum(col("s")), max(col("m"))).head()
+    val (nMatched, nTgtOnly, nSrcOnly) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
+    require(statsRow.getLong(3) <= 1L,
+      s"MERGE: a ${m.target} row is matched by multiple ${m.source} rows")
+
+    val kept = joined.filter(col(tid).isNotNull &&
+      (if (m.matchedDelete) !matched else lit(true)))
+    val updated = kept.select(tgtSchema.map { f =>
+      m.matchedSet.flatMap(_.find(_._1.equalsIgnoreCase(f.name))) match {
+        case Some((_, e)) =>
+          when(matched, expr(e).cast(f.dataType))
+            .otherwise(col(s"${m.targetAlias}.${f.name}")).as(f.name)
+        case None => col(s"${m.targetAlias}.${f.name}").as(f.name)
+      }
+    }.toSeq: _*)
+
+    val inserted = m.insert match {
+      case None => None
+      case Some((colsOpt, values)) =>
+        val names = colsOpt.getOrElse(tgtSchema.map(_.name).toSeq)
+        require(names.length == values.length,
+          s"MERGE INSERT: ${names.length} columns but ${values.length} values")
+        val byName = names.zip(values).toMap
+        Some(joined.filter(col(tid).isNull).select(tgtSchema.map { f =>
+          byName.collectFirst {
+            case (n, v) if n.equalsIgnoreCase(f.name) => expr(v).cast(f.dataType)
+          }.getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }.toSeq: _*))
+    }
+
+    val result = inserted.fold(updated)(updated.unionByName(_))
+    val nDeleted = if (m.matchedDelete) nMatched else 0L
+    val nInserted = if (m.insert.isDefined) nSrcOnly else 0L
+    checkpointOverwrite(spark, m.target, spark.table(m.target), result,
+      expectedRows = nMatched - nDeleted + nTgtOnly + nInserted)
+    nMatched + nInserted
+  }
+
   // ---------------------------------------------------------------- B10:
   // Exasol/Oracle datetime format dialect → Spark (JDK DateTimeFormatter)
   // patterns. The reference's own SQL uses e.g.

@@ -12,6 +12,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Register a SQL function on a LIVE session (`sessionState` is
+    * `private[sql]`; the public path, `SparkSessionExtensions`, only runs
+    * at session build). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
   /** Storage location of a catalog table (`sessionState` is `private[sql]`).
     * Used by the DML emulation to stage checkpoints on the TABLE'S
     * filesystem rather than a driver-local temp dir. */

@@ -111,6 +111,76 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS del_t")
   }
 
+  test("parseMerge: clauses, aliases, CASE WHEN in SET, cols/values") {
+    val m = SqlCompat.parseMerge(
+      """MERGE INTO tgt t USING src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.v > 0 THEN s.v ELSE t.v END
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin).get
+    assert(m.target == "tgt" && m.targetAlias == "t")
+    assert(m.source == "src" && m.sourceAlias == "s")
+    assert(m.condition == "t.id = s.id")
+    assert(m.matchedSet.contains(
+      Seq(("v", "CASE WHEN s.v > 0 THEN s.v ELSE t.v END"))))
+    assert(!m.matchedDelete)
+    assert(m.insert.contains((Some(Seq("id", "v")), Seq("s.id", "s.v"))))
+    // DELETE clause form; default aliases = table names:
+    val d = SqlCompat.parseMerge(
+      "MERGE INTO tgt USING src ON tgt.id = src.id WHEN MATCHED THEN DELETE").get
+    assert(d.matchedDelete && d.matchedSet.isEmpty && d.insert.isEmpty)
+    assert(d.targetAlias == "tgt" && d.sourceAlias == "src")
+    assert(SqlCompat.parseMerge("SELECT 1").isEmpty)
+  }
+
+  test("wrapper MERGE: update + insert + rows_affected") {
+    val loc = Files.createTempDirectory("mrg").toString
+    spark.sql(s"CREATE TABLE mrg_t (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/t'")
+    spark.sql(s"CREATE TABLE mrg_s (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/s'")
+    try {
+      spark.sql("INSERT INTO mrg_t VALUES (1, 10), (2, 20), (3, 30)")
+      spark.sql("INSERT INTO mrg_s VALUES (2, 200), (4, 400)")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        """MERGE INTO mrg_t t USING mrg_s s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(2L)) // 1 updated + 1 inserted
+      val rows = spark.table("mrg_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 400L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mrg_t")
+      spark.sql("DROP TABLE IF EXISTS mrg_s")
+    }
+  }
+
+  test("wrapper MERGE: DELETE clause and ambiguous-match abort") {
+    val loc = Files.createTempDirectory("mrg2").toString
+    spark.sql(s"CREATE TABLE mrg2_t (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/t'")
+    spark.sql(s"CREATE TABLE mrg2_s (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/s'")
+    try {
+      spark.sql("INSERT INTO mrg2_t VALUES (1, 10), (2, 20)")
+      spark.sql("INSERT INTO mrg2_s VALUES (2, 999)")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        "MERGE INTO mrg2_t t USING mrg2_s s ON t.id = s.id WHEN MATCHED THEN DELETE")
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(1L))
+      assert(spark.table("mrg2_t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+      // Two source rows matching one target row must abort, table unchanged:
+      spark.sql("INSERT INTO mrg2_s VALUES (1, 111), (1, 222)")
+      w.onError = "continue"
+      val (ok2, res2) = w.query(
+        "MERGE INTO mrg2_t t USING mrg2_s s ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v")
+      assert(!ok2 && res2.error.exists(_.message.contains("multiple")))
+      assert(spark.table("mrg2_t").collect().map(_.getLong(1)).toSeq == Seq(10L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mrg2_t")
+      spark.sql("DROP TABLE IF EXISTS mrg2_s")
+    }
+  }
+
   test("UPDATE on a missing table falls through to the error path") {
     val w = QueryWrapper(spark)
     w.onError = "continue"
