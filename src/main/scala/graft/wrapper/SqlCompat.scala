@@ -139,8 +139,10 @@ object SqlCompat {
     val location = new Path(
       org.apache.spark.sql.graftbridge.Bridge.tableLocation(spark, table))
     val fs = location.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Not dot-prefixed: hidden-path filters in Spark's file listing would
+    // treat a leading-dot dir inconsistently across read paths.
     val staging = new Path(location.getParent,
-      s".${location.getName}_staging_${java.util.UUID.randomUUID()}")
+      s"graft_staging_${location.getName}_${java.util.UUID.randomUUID()}")
     try {
       transformed.write.parquet(staging.toString)
       val staged = spark.read.schema(source.schema).parquet(staging.toString)
