@@ -17,6 +17,13 @@ final case class MediaFeatures(
     channels: Int,
     features: Array[Float])
 
+/** Average-pooled resize output: row-major `out_w`×`out_h` cells. */
+final case class ResizedMedia(
+    doc_id: Long,
+    out_w: Int,
+    out_h: Int,
+    pixels: Array[Float])
+
 /** Multimodal-column plumbing. The container ships no image/audio codecs,
   * so the decode step is a clearly-marked deterministic STUB — but the
   * Spark-side shape is the real one: binary columns with typed metadata,
@@ -49,6 +56,36 @@ object MultimodalOps {
         MediaFeatures(m.doc_id, 16 + n % 64, 16 + n % 48, 3, hist)
       }
     }(Encoders.product[MediaFeatures])
+  }
+
+  /** Resize via average pooling: the payload is treated as a square-ish
+    * 1-channel image (w = ⌈√n⌉) and pooled into an `outW`×`outH` grid —
+    * this IS the pooling math of a real image resize, applied to the raw
+    * bytes (no codec required), in the same per-partition harness as
+    * [[decodeFeatures]]. Output is row-major, one float per cell. */
+  def resizePooled(media: DataFrame, outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    require(outW > 0 && outH > 0)
+    media.as(Encoders.product[MediaRow]).mapPartitions { rows =>
+      rows.map { m =>
+        val n = m.bytes.length
+        val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val h = math.max(1, math.ceil(n.toDouble / w).toInt)
+        val out = new Array[Float](outW * outH)
+        val cnt = new Array[Int](outW * outH)
+        var i = 0
+        while (i < n) {
+          val oy = math.min((i / w) * outH / h, outH - 1)
+          val ox = math.min((i % w) * outW / w, outW - 1)
+          val o = oy * outW + ox
+          out(o) += (m.bytes(i) & 0xff)
+          cnt(o) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < out.length) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+        ResizedMedia(m.doc_id, outW, outH, out)
+      }
+    }(Encoders.product[ResizedMedia])
   }
 
   /** Frame-sampling shape: pick every `stride`-th byte as a stand-in for

@@ -35,6 +35,26 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(again(0).features.toSeq == f.features.toSeq)
   }
 
+  test("resizePooled: hand-computed average pooling to a 2x2 grid") {
+    // 9 bytes -> 3x3 "image" [[1,2,3],[4,5,6],[7,8,9]]; pooling to 2x2:
+    // cells are rows{0,1}x cols{0,1} vs row 2 / col 2 (integer grid map:
+    // src y in {0,1}->0, {2}->1; same for x).
+    val bytes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val m = Seq((1L, bytes, "raw")).toDF("doc_id", "bytes", "mime")
+    val r = MultimodalOps.resizePooled(m, 2, 2).head()
+    assert(r.out_w == 2 && r.out_h == 2 && r.pixels.length == 4)
+    assert(r.pixels(0) == (1 + 2 + 4 + 5) / 4.0f) // top-left 2x2 block
+    assert(r.pixels(1) == (3 + 6) / 2.0f)         // right column
+    assert(r.pixels(2) == (7 + 8) / 2.0f)         // bottom row
+    assert(r.pixels(3) == 9.0f)                   // bottom-right corner
+  }
+
+  test("resizePooled: empty payload yields zero grid, no failure") {
+    val m = Seq((1L, Array.empty[Byte], "raw")).toDF("doc_id", "bytes", "mime")
+    val r = MultimodalOps.resizePooled(m, 3, 2).head()
+    assert(r.pixels.toSeq == Seq.fill(6)(0.0f))
+  }
+
   test("sampleFrames: every stride-th byte") {
     val out = MultimodalOps.sampleFrames(MultimodalOps.asMedia(docs), 2)
       .orderBy("doc_id").collect()
