@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, TimestampAdd, TimestampDiff}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for the native sketch expressions: registers
@@ -47,7 +48,51 @@ object GraftExtensions {
         require(args.length == 1,
           s"simhash64(hashes) takes 1 argument, got ${args.length}")
         SimHash64(args.head)
-      }))
+      })) ++ dialectFunctions
+
+  // ------------------------------------------------- Exasol dialect aliases
+  //
+  // Functions Exasol ETL SQL uses routinely that Spark spells differently —
+  // registered as thin aliases (UnresolvedFunction delegation, so Spark's
+  // own type coercion applies) so reference-dialect statements run through
+  // `wrapper.query` unchanged. ADD_* return TIMESTAMP (Exasol preserves
+  // DATE for date inputs; builders run pre-analysis and cannot see types).
+
+  private def delegate(target: String)(args: Seq[Expression]): Expression =
+    UnresolvedFunction(target, args, isDistinct = false)
+
+  private def arity(fn: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n, s"$fn takes $n argument(s), got ${args.length}")
+      b(args)
+    }
+
+  private def dialectEntry(name: String, n: Int)(
+      b: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      arity(name, n)(b))
+
+  // lazy: referenced from `functions` above during object init.
+  private lazy val dialectFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    dialectEntry("zeroifnull", 1)(a => delegate("coalesce")(Seq(a.head, Literal(0)))),
+    dialectEntry("nullifzero", 1)(a => delegate("nullif")(Seq(a.head, Literal(0)))),
+    dialectEntry("hash_md5", 1)(delegate("md5")),
+    dialectEntry("hash_sha1", 1)(delegate("sha1")),
+    dialectEntry("hash_sha256", 1)(a => delegate("sha2")(Seq(a.head, Literal(256)))),
+    dialectEntry("edit_distance", 2)(delegate("levenshtein")),
+    dialectEntry("add_days", 2)(a => TimestampAdd("DAY", a(1), a.head)),
+    dialectEntry("add_hours", 2)(a => TimestampAdd("HOUR", a(1), a.head)),
+    dialectEntry("add_minutes", 2)(a => TimestampAdd("MINUTE", a(1), a.head)),
+    dialectEntry("add_seconds", 2)(a => TimestampAdd("SECOND", a(1), a.head)),
+    dialectEntry("add_weeks", 2)(a => TimestampAdd("WEEK", a(1), a.head)),
+    dialectEntry("add_years", 2)(a => TimestampAdd("YEAR", a(1), a.head)),
+    dialectEntry("seconds_between", 2)(a =>
+      TimestampDiff("SECOND", a(1), a.head)),
+    dialectEntry("days_between", 2)(a =>
+      TimestampDiff("DAY", a(1), a.head)))
 
   /** Register on an already-built session (the injection path above only
     * runs at session build). */

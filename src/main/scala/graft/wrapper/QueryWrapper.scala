@@ -365,6 +365,10 @@ final class QueryWrapper private (
   // ------------------------------------------------------------------ A21
 
   private[wrapper] def init(): Unit = {
+    // Dialect surface: make the Exasol function aliases + native sketch
+    // functions SQL-visible, so pass-through statements (QW:40 delegation)
+    // run unchanged. Idempotent re-registration.
+    graft.functions.GraftExtensions.register(spark)
     logStore.foreach { ls =>
       // QW:246–283: INSERT-then-MAX id allocation + early commit.
       val id = ls.register(scriptName)

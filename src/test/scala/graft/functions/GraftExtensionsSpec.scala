@@ -45,6 +45,29 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(messages.contains("integer literal"))
   }
 
+  test("Exasol dialect aliases evaluate with Spark semantics") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT zeroifnull(CAST(NULL AS BIGINT)) AS z,
+        |       nullifzero(0.0) AS nz,
+        |       hash_md5('abc') AS h,
+        |       edit_distance('kitten', 'sitting') AS ed,
+        |       add_days(timestamp'2026-01-31 12:00:00', 1) AS d,
+        |       add_years(timestamp'2024-02-29 00:00:00', 1) AS y,
+        |       seconds_between(timestamp'2026-01-01 00:01:40',
+        |                       timestamp'2026-01-01 00:00:00') AS sb,
+        |       days_between(date'2026-01-11', date'2026-01-01') AS db""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getInt(3) == 3)
+    assert(r.getTimestamp(4).toString.startsWith("2026-02-01 12:00:00"))
+    assert(r.getTimestamp(5).toString.startsWith("2025-02-28 00:00:00"))
+    assert(r.getLong(6) == 100L)
+    assert(r.getLong(7) == 10L)
+  }
+
   test("extension class injects at session build (builder path)") {
     // A sibling session from the same context, built WITH the extensions —
     // proves the spark.sql.extensions production path wires up.
