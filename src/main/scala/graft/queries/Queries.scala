@@ -500,6 +500,48 @@ object Queries {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  /** String aggregation (Exasol GROUP_CONCAT / ANSI LISTAGG): ordered,
+    * separator-joined member list per group — Spark 4's native `listagg`
+    * WITHIN GROUP, matched against DuckDB's STRING_AGG(… ORDER BY). */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "region").createOrReplaceTempView("q54_region")
+    t(s, d, "nation").createOrReplaceTempView("q54_nation")
+    s.sql(
+      """SELECT r_name,
+        |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |       COUNT(*) AS n
+        |FROM q54_region JOIN q54_nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  private val q54Sql =
+    """SELECT r_name,
+      |       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+      |       COUNT(*) AS n
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** ANSI FILTER-clause conditional aggregation — the idiomatic form of
+    * sum(CASE WHEN …) pivoting, identical syntax in both engines. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("q55_customer")
+    s.sql(
+      """SELECT c_mktsegment,
+        |       COUNT(*) AS n_all,
+        |       COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+        |       FLOOR(SUM(c_acctbal) FILTER (WHERE c_acctbal > 0) * 100 + 0.5) / 100 AS pos_bal,
+        |       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg
+        |FROM q55_customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val q55Sql =
+    """SELECT c_mktsegment,
+      |       COUNT(*) AS n_all,
+      |       COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+      |       FLOOR(SUM(c_acctbal) FILTER (WHERE c_acctbal > 0) * 100 + 0.5) / 100 AS pos_bal,
+      |       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_neg
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Explicit GROUPING SETS with grouping() markers — the general form of
     * q18's rollup / q18b's cube. */
   private def q53(s: SparkSession, d: String): DataFrame = {
@@ -1160,5 +1202,7 @@ object Queries {
     QueryDef("q51_lateral", q51, Some(q51Sql)),
     QueryDef("q52_decimal_agg", q52, Some(q52Sql)),
     QueryDef("q53_grouping_sets", q53, Some(q53Sql)),
+    QueryDef("q54_listagg", q54, Some(q54Sql)),
+    QueryDef("q55_filter_agg", q55, Some(q55Sql)),
   )
 }
