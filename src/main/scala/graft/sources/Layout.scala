@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Physical table layout for repeated big joins/aggregations — the 100 TB
   * lever Spark gives you at write time.
@@ -26,5 +26,44 @@ object Layout {
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     path.foreach(p => w = w.option("path", p))
     w.saveAsTable(table)
+  }
+
+  /** Compact a small-file parquet directory (the operational debt of
+    * streaming / incremental appends: every micro-batch adds files, and at
+    * 100 TB a scan's task count is file-bound) into ~`targetFileBytes`
+    * outputs. Sizing comes from the actual on-disk footprint, not a guess;
+    * the rewrite stages alongside the data and swaps in atomically-enough
+    * (write staged → verify count → delete old → rename), so a failure
+    * before the swap leaves the original intact. Returns (filesBefore,
+    * filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (parts.length <= nOut) return (parts.length, parts.length)
+
+    val df = spark.read.parquet(dir)
+    val before = df.count()
+    val staging = new Path(root.getParent,
+      s"graft_compact_${root.getName}_${java.util.UUID.randomUUID()}")
+    try {
+      // coalesce, not repartition: merging files needs no shuffle.
+      df.coalesce(nOut).write.parquet(staging.toString)
+      val staged = spark.read.schema(df.schema).parquet(staging.toString)
+      require(staged.count() == before,
+        s"compaction of $dir would change the row count — aborting")
+      fs.delete(root, true)
+      require(fs.rename(staging, root), s"rename $staging -> $root failed")
+      val after = fs.listStatus(root)
+        .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      (parts.length, after)
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 }

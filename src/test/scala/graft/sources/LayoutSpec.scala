@@ -10,6 +10,19 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
   private lazy val sql = spark
   import sql.implicits._
 
+  test("compact merges a small-file directory without changing the data") {
+    val dir = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
+    // 8 tiny files:
+    (1L to 80L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    val (before, after) = Layout.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(before == 8 && after == 1)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    assert(back.length == 80 && back(0).getLong(0) == 1L && back(79).getLong(0) == 80L)
+    // Already compact → no-op:
+    assert(Layout.compact(spark, dir, targetFileBytes = 1L << 30) == ((1, 1)))
+  }
+
   test("join of co-bucketed tables has no shuffle exchange") {
     val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "av")
     val b = (1L to 200L).map(i => (i, i * 2.0)).toDF("k", "bv")
