@@ -48,6 +48,25 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("property: masked DML parsing never splits at keywords in literals") {
+    // Random literal bodies (including clause keywords and quote escapes)
+    // must come back verbatim in the parsed assignment / predicate.
+    val body = Gen.listOf(Gen.frequency(
+      (4, Gen.alphaNumChar.map(_.toString)),
+      (1, Gen.const(" where ")), (1, Gen.const(" set ")),
+      (1, Gen.const(" when matched ")), (1, Gen.const("''")),
+      (1, Gen.const(" -- ")), (1, Gen.const("(")), (1, Gen.const(")"))))
+      .map(_.mkString)
+    check(Prop.forAll(body) { b =>
+      val lit = s"'${b.replace("'", "''")}'"
+      val u = SqlCompat.parseUpdate(s"UPDATE t SET a = $lit WHERE x = 1")
+      val d = SqlCompat.parseDelete(s"DELETE FROM t WHERE note = $lit")
+      u.exists(p => p.assignments == Seq(("a", lit)) &&
+        p.where.contains("x = 1")) &&
+        d.exists(_.where.contains(s"note = $lit"))
+    })
+  }
+
   test("sessionization is invariant under input partitioning/order") {
     val q24 = graft.queries.Queries.all.find(_.name == "q24_sessionize").get
     def rows(dir: String) = q24.fn(spark, dir).collect().toSeq
