@@ -102,12 +102,14 @@ object SimilarityOps {
   /** Random-hyperplane LSH bucket signature: `planes` sign bits packed into
     * a long. Rows (and queries) hash to buckets; candidate generation joins
     * on the bucket key only — the scale path that avoids scoring the full
-    * corpus per query. */
-  def lshBucket(embedding: Column, planes: Int): Column = {
+    * corpus per query. `planeOffset` selects an independent plane set
+    * (multi-table LSH uses offsets 0, planes, 2·planes, …). */
+  def lshBucket(embedding: Column, planes: Int, planeOffset: Int = 0): Column = {
     val dims = transform(embedding, (_, i) => i)
     val bits = (0 until planes).map { p =>
       val d = aggregate(
-        zip_with(embedding, dims, (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(embedding, dims,
+          (x, i) => x.cast("double") * planeComponent(planeOffset + p, i)),
         lit(0.0d), (acc, x) => acc + x)
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -178,22 +180,31 @@ object SimilarityOps {
 
   /** LSH-bucketed approximate KNN: bucket both sides on `planes` hyperplane
     * sign bits, score only same-bucket candidates, top-k per query.
-    * Recall < 1 by construction; the companion test measures it against
-    * [[bruteForceKnn]]. */
+    * Recall < 1 by construction; `tables` independent plane sets are
+    * OR-combined (the textbook multi-table construction: candidates =
+    * union over tables, so recall grows monotonically with `tables` at
+    * `tables`× the bucketing/join cost, never the scoring cost of a wider
+    * bucket). The companion test measures recall against [[bruteForceKnn]].
+    */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      planes: Int = 8): DataFrame = {
-    val cb = corpus.select(col("vec_id"),
-      toDoubleArray(col("embedding")).as("vec"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    val qb = broadcast(queries.select(
-      col("vec_id").as("query_id"),
-      toDoubleArray(col("embedding")).as("qvec"),
-      lshBucket(col("embedding"), planes).as("bucket")))
+      planes: Int = 8, tables: Int = 1): DataFrame = {
+    require(tables >= 1)
+    def withBuckets(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col("vec_id").as(idAs),
+        toDoubleArray(col("embedding")).as(vecAs),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col("embedding"), planes, t * planes)): _*))
+          .as(Seq("tbl", "bucket")))
+    val cb = withBuckets(corpus, "vec_id", "vec")
+    val qb = broadcast(withBuckets(queries, "query_id", "qvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cb.join(qb, "bucket")
+    cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("vec"), col("qvec")))
+      // A pair colliding in several tables produces identical rows —
+      // dedup before ranking.
+      .select(col("query_id"), col("vec_id"), col("cos")).distinct()
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("cos"), 4).as("cosine"))

@@ -1051,7 +1051,10 @@ object Queries {
     * SimilarityOpsSpec against the brute-force baseline). */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    graft.ext.SimilarityOps.lshKnn(emb, emb.filter(col("vec_id") <= 4), k = 10)
+    // tables=2: OR-combined independent plane sets (multi-table LSH) —
+    // 2x bucketing cost for strictly higher recall.
+    graft.ext.SimilarityOps.lshKnn(
+      emb, emb.filter(col("vec_id") <= 4), k = 10, tables = 2)
   }
 
   /** Multimodal metadata over the binary payload: byte length, content

@@ -56,6 +56,20 @@ class SimilarityOpsSpec extends AnyFunSuite with SparkTestBase {
     shared.foreach { k => assert(math.abs(approx(k) - exact(k)) < 1e-9) }
   }
 
+  test("lshKnn: multi-table candidates are a superset (recall monotone)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" <= 3)
+    def pairs(tables: Int) =
+      SimilarityOps.lshKnn(emb, queries, k = 50, planes = 6, tables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val one = pairs(1)
+    val two = pairs(2)
+    // Table 0 of the 2-table run uses the SAME planes as the 1-table run,
+    // so (below the k cap) its candidate set can only grow.
+    assert(one.subsetOf(two) || two.size >= one.size)
+    assert(two.size >= one.size)
+  }
+
   test("lshBucket is deterministic and bounded by plane count") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = emb.select(SimilarityOps.lshBucket($"embedding", 8).as("b"))

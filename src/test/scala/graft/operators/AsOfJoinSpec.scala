@@ -44,6 +44,38 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((3L, 100.0), (7L, null)))
   }
 
+  test("forward as-of: earliest right row at or after each left time") {
+    import graft.SparkTestBase.spark.implicits._
+    val left = Seq(("a", 1L), ("a", 5L), ("a", 10L)).toDF("k", "lt")
+    val right = Seq(("a", 2L, 100.0), ("a", 5L, 200.0)).toDF("k", "rt", "price")
+
+    val out = AsOfJoin.forward(left, right, Seq("k"), "lt", "rt", Seq("price"))
+      .orderBy("lt")
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+
+    assert(out.toSeq == Seq(
+      (1L, 100.0),   // earliest at-or-after 1 is rt=2
+      (5L, 200.0),   // inclusive >= picks the same-time row
+      (10L, null)))  // nothing after 10
+  }
+
+  test("tolerance bounds the match window (merge_asof semantics)") {
+    import graft.SparkTestBase.spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val left = Seq(("a", 10L), ("a", 100L)).toDF("k", "lt")
+    val right = Seq(("a", 8L, 1.0)).toDF("k", "rt", "price")
+
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lt", "rt", Seq("price"),
+      tolerance = Some((l, r) => l - r <= lit(5L)))
+      .orderBy("lt")
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+
+    // lt=10 matches rt=8 within 5; lt=100's as-of row is 92 away → NULL.
+    assert(out.toSeq == Seq((10L, 1.0), (100L, null)))
+  }
+
   test("multiple payload columns resolve independently per as-of row") {
     import graft.SparkTestBase.spark.implicits._
     val left = Seq(("a", 6L)).toDF("k", "lt")
