@@ -74,7 +74,8 @@ object DedupOps {
     *     the standard guard against near-identical-corpus blowup, where a
     *     hot bucket would otherwise go quadratic (a 5k-doc same-vocabulary
     *     corpus produced 10^7 candidate pairs without it);
-    *  4. join shingle sets back by id (two hash joins) and verify Jaccard.
+    *  4. join hashed shingle sets back by id (two hash joins) and verify
+    *     exact Jaccard on the longs.
     *
     * Returns (id1, id2, jaccard·4dp) with jaccard ≥ `minJaccard`, ordered. */
   def nearDupPairs(
@@ -90,14 +91,16 @@ object DedupOps {
       shingleSize: Int = 1,
       minJaccard: Double = 0.0,
       maxBucket: Int = 64): DataFrame = {
-    val sets = docs.select(
+    // Hash shingle strings once (one xxhash64 per shingle); every later
+    // stage — the k permutations AND the exact-Jaccard verification —
+    // works on the longs. Long-array intersection is far cheaper than
+    // string-array intersection, and |hashed ∩| = |string ∩| up to 64-bit
+    // collisions (≪ 1e-15 per pair; this is a sketch pipeline throughout).
+    val hashed = docs.select(
       col(idCol).as("id"),
-      shingles(wordTokens(col(textCol)), shingleSize).as("shingle_set"))
+      hashShingles(shingles(wordTokens(col(textCol)), shingleSize)).as("hs"))
 
-    // Hash shingle strings once in their own projection, then derive the k
-    // permutations from the longs — not once per permutation.
-    val banded = sets
-      .select(col("id"), hashShingles(col("shingle_set")).as("hs"))
+    val banded = hashed
       .select(col("id"),
         posexplode(bandKeys(minhashFromHashes(col("hs"), numHashes),
           numHashes, bands)).as(Seq("band", "band_hash")))
@@ -115,8 +118,8 @@ object DedupOps {
       .distinct()
 
     candidates
-      .join(sets.select(col("id").as("id1"), col("shingle_set").as("s1")), "id1")
-      .join(sets.select(col("id").as("id2"), col("shingle_set").as("s2")), "id2")
+      .join(hashed.select(col("id").as("id1"), col("hs").as("s1")), "id1")
+      .join(hashed.select(col("id").as("id2"), col("hs").as("s2")), "id2")
       .select(col("id1"), col("id2"),
         round(jaccard(col("s1"), col("s2")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
