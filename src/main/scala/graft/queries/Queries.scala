@@ -1057,6 +1057,38 @@ object Queries {
       emb, emb.filter(col("vec_id") <= 4), k = 10, tables = 2)
   }
 
+  /** Band (interval) join via [[graft.operators.RangeJoin.band]]: purchases
+    * within ±1 hour of each click, per user — bucketized hash join (one
+    * shuffle), never a nested loop. Times compared in integer microseconds
+    * (< 2^53, exact in double) so the boundary agrees bit-for-bit with the
+    * oracle's integer EPOCH_US arithmetic. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("lt"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("rt"), col("value"))
+    graft.operators.RangeJoin.band(
+      clicks, purchases, Seq("user_id"), "lt", "rt", delta = 3.6e9)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round2(sum(col("value"))).as("sum_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q56Sql =
+    """SELECT c.event_id, c.user_id,
+      |       COUNT(*) AS n_purchases,
+      |       FLOOR(SUM(p.value) * 100 + 0.5) / 100 AS sum_value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase'
+      | AND abs(EPOCH_US(c.ts) - EPOCH_US(p.ts)) <= 3600000000
+      |WHERE c.event_type = 'click'
+      |GROUP BY c.event_id, c.user_id
+      |ORDER BY c.event_id""".stripMargin
+
   /** Multimodal metadata over the binary payload: byte length, content
     * digest, first byte — the decode-free part, exactly oracle-checkable. */
   private def q39(s: SparkSession, d: String): DataFrame =
@@ -1207,5 +1239,6 @@ object Queries {
     QueryDef("q53_grouping_sets", q53, Some(q53Sql)),
     QueryDef("q54_listagg", q54, Some(q54Sql)),
     QueryDef("q55_filter_agg", q55, Some(q55Sql)),
+    QueryDef("q56_range_join", q56, Some(q56Sql)),
   )
 }
