@@ -95,10 +95,12 @@ object GraftExtensions {
       TimestampDiff("DAY", a(1), a.head)))
 
   /** Register on an already-built session (the injection path above only
-    * runs at session build). */
+    * runs at session build). Skips if already registered — re-registration
+    * is harmless but warns per function. */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (ident, info, builder) =>
-      org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-        spark, ident, info, builder)
-    }
+    if (!spark.catalog.functionExists("simhash64"))
+      functions.foreach { case (ident, info, builder) =>
+        org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+          spark, ident, info, builder)
+      }
 }
