@@ -22,6 +22,16 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
 
+  /** Materialize a `SparkSessionExtensions`' injected functions into a
+    * fresh registry and return their names — lets tests exercise the real
+    * session-build injection path (`registerFunctions` is `private[sql]`). */
+  def injectedFunctionNames(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
+
   /** Storage location of a catalog table (`sessionState` is `private[sql]`).
     * Used by the DML emulation to stage checkpoints on the TABLE'S
     * filesystem rather than a driver-local temp dir. */

@@ -35,6 +35,25 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       s"expected a cell partition filter in:\n$plan")
   }
 
+  test("recall against brute force grows monotonically with nProbe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivf3").toString + "/idx"
+    IvfIndex.build(spark, emb, dir, nCells = 8, iters = 2)
+    val queries = emb.filter($"vec_id" <= 3)
+    val exact = SimilarityOps.bruteForceKnn(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(nProbe: Int): Double = {
+      val got = IvfIndex.query(spark, dir, queries, k = 10, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r8 = recall(8)
+    // Probe sets are nested (top-1 ⊂ top-4 ⊂ all-8 cells), so candidates —
+    // and thus recall — can only grow; at nProbe = nCells it is exhaustive.
+    assert(r1 <= r4 && r4 <= r8, s"recall not monotone: $r1, $r4, $r8")
+    assert(r8 == 1.0, s"full probe should be exhaustive, got $r8")
+  }
+
   test("cells layout holds one directory per cell") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = Files.createTempDirectory("ivf2").toString + "/idx"

@@ -69,15 +69,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("extension class injects at session build (builder path)") {
-    // A sibling session from the same context, built WITH the extensions —
-    // proves the spark.sql.extensions production path wires up.
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .getOrCreate()
-    // getOrCreate may return the shared session (extensions then applied at
-    // build only if this created it); registration must not be double-bound.
-    GraftExtensions.register(s2)
-    assert(s2.sql("SELECT simhash64(array(5L)) AS fp").head().getLong(0) == 5L)
+    // Apply the extension class to a fresh SparkSessionExtensions and
+    // materialize into an empty registry — the exact code path a
+    // spark.sql.extensions-configured session build runs.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val names =
+      org.apache.spark.sql.graftbridge.Bridge.injectedFunctionNames(ext)
+    val expected = Set("minhash_signature", "simhash64", "zeroifnull",
+      "nullifzero", "hash_md5", "hash_sha1", "hash_sha256", "edit_distance",
+      "add_days", "add_hours", "add_minutes", "add_seconds", "add_weeks",
+      "add_years", "seconds_between", "days_between")
+    assert(expected.subsetOf(names.toSet), s"missing: ${expected -- names.toSet}")
   }
 }
