@@ -165,10 +165,13 @@ final class QueryWrapper private (
           SqlCompat.runMerge(spark, SqlCompat.parseMerge(stmt).get)
         new QueryResult(stmt, None, Some(affected), None)
       case _ =>
-        // B10: Exasol datetime-format dialect (the reference's own
+        // Dialect translations, no-ops for Spark-native SQL:
+        // CONNECT BY hierarchical queries → recursive CTE, then the
+        // B10 Exasol datetime-format dialect (the reference's own
         // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), QW:98) → Spark
-        // patterns; TO_CHAR → date_format. No-op for Spark-native SQL.
-        val translated = SqlCompat.translateDatetimeFormats(stmt)
+        // patterns; TO_CHAR → date_format.
+        val translated = SqlCompat.translateDatetimeFormats(
+          SqlCompat.translateConnectBy(stmt).getOrElse(stmt))
         val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>
           params.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => name -> v }

@@ -198,6 +198,62 @@ object SqlCompat {
     affected
   }
 
+  // ----------------------------------------------------------- CONNECT BY
+
+  private val ConnectByRe =
+    ("(?is)^\\s*select\\s+(.*?)\\s+from\\s+([\\w.`]+)\\s+" +
+      "(?:start\\s+with\\s+(.*?)\\s+connect\\s+by\\s+(?:nocycle\\s+)?(.*?)" +
+      "|connect\\s+by\\s+(?:nocycle\\s+)?(.*?)\\s+start\\s+with\\s+(.*?))" +
+      "\\s*;?\\s*$").r
+  private val PriorLeftRe = "(?is)^prior\\s+(\\w+)\\s*=\\s*(\\w+)$".r
+  private val PriorRightRe = "(?is)^(\\w+)\\s*=\\s*prior\\s+(\\w+)$".r
+
+  /** Translate an Exasol/Oracle `CONNECT BY` hierarchical query into a
+    * Spark 4 recursive CTE. Supported shape (either clause order):
+    *
+    *   SELECT <list> FROM <table>
+    *   START WITH <cond> CONNECT BY [NOCYCLE] PRIOR <a> = <b>   -- or b = PRIOR a
+    *
+    * `PRIOR x` refers to the parent row; `LEVEL` in the select list maps to
+    * the recursion depth (1-based, like the host engines). Notes: `SELECT *`
+    * includes the synthesized `level` column; cycles stop at Spark's
+    * recursion limit (`spark.sql.cteRecursionLevelLimit`) rather than
+    * NOCYCLE's silent pruning. Returns None if `sql` is not a CONNECT BY
+    * query of this shape. */
+  def translateConnectBy(sql: String): Option[String] = {
+    val masked = maskNonTopLevel(sql)
+    ConnectByRe.findFirstMatchIn(masked).flatMap { m =>
+      def grp(i: Int): Option[String] =
+        if (m.group(i) == null) None
+        else Some(sql.substring(m.start(i), m.end(i)).trim)
+      val selectList = sql.substring(m.start(1), m.end(1)).trim
+      val table = sql.substring(m.start(2), m.end(2))
+      val clauses = (grp(3), grp(4), grp(5), grp(6)) match {
+        case (Some(sw), Some(cc), _, _) => Some((sw, cc))
+        case (_, _, Some(cc), Some(sw)) => Some((sw, cc))
+        case _ => None
+      }
+      clauses.flatMap { case (startWith, connectCond) =>
+        val join = connectCond match {
+          case PriorLeftRe(parentCol, childCol) =>
+            Some(s"__c.$childCol = __p.$parentCol")
+          case PriorRightRe(childCol, parentCol) =>
+            Some(s"__c.$childCol = __p.$parentCol")
+          case _ => None
+        }
+        join.map { j =>
+          s"""WITH RECURSIVE __hier AS (
+             |  SELECT *, 1 AS level FROM $table WHERE $startWith
+             |  UNION ALL
+             |  SELECT __c.*, __p.level + 1 AS level
+             |  FROM $table __c JOIN __hier __p ON $j
+             |)
+             |SELECT $selectList FROM __hier""".stripMargin
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- MERGE
 
   private val MergeHeadRe =

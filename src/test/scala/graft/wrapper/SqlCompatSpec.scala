@@ -181,6 +181,35 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CONNECT BY translates to a recursive CTE and runs end-to-end") {
+    // Both clause orders parse; non-hierarchical SQL is untouched.
+    assert(SqlCompat.translateConnectBy("SELECT * FROM t WHERE x = 1").isEmpty)
+    assert(SqlCompat.translateConnectBy(
+      "SELECT name FROM emp CONNECT BY PRIOR id = mgr_id START WITH mgr_id IS NULL").isDefined)
+
+    // Org chart: 1 root, two children, one grandchild.
+    import graft.SparkTestBase.spark.implicits._
+    Seq((1L, Option.empty[Long], "ceo"), (2L, Some(1L), "vp_a"),
+      (3L, Some(1L), "vp_b"), (4L, Some(2L), "eng"))
+      .toDF("id", "mgr_id", "name").createOrReplaceTempView("cb_emp")
+
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query(
+      """SELECT name, LEVEL FROM cb_emp
+        |START WITH mgr_id IS NULL
+        |CONNECT BY PRIOR id = mgr_id""".stripMargin)
+    assert(ok, res.error)
+    val byName = res.rows.map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(byName == Map("ceo" -> 1, "vp_a" -> 2, "vp_b" -> 2, "eng" -> 3))
+
+    // PRIOR on the right-hand side descends the same hierarchy:
+    val (ok2, res2) = w.query(
+      """SELECT name FROM cb_emp
+        |CONNECT BY mgr_id = PRIOR id START WITH id = 2""".stripMargin)
+    assert(ok2, res2.error)
+    assert(res2.rows.map(_.getString(0)).toSet == Set("vp_a", "eng"))
+  }
+
   test("UPDATE on a missing table falls through to the error path") {
     val w = QueryWrapper(spark)
     w.onError = "continue"
