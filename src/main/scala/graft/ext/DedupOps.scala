@@ -126,6 +126,25 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
   }
 
+  /** Drop near-duplicates: keep every document except the HIGHER-id member
+    * of each confirmed near-dup pair ([[nearDupPairs]] emits id1 < id2, so
+    * the smallest id of any duplicate cluster always survives). The curated
+    * complement — what a training-data pipeline actually feeds downstream. */
+  def dropNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 8,
+      shingleSize: Int = 1,
+      minJaccard: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
+    val losers = nearDupPairs(docs, idCol, textCol, numHashes, bands,
+      shingleSize, minJaccard, maxBucket)
+      .select(col("id2").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over the column named `hashesCol` (array<long> of
     * per-token hashes, see [[hashShingles]]): each hash bit votes ±1,
     * fingerprint = sign bits packed into a long. Native codegen'd

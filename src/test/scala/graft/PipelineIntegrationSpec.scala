@@ -46,9 +46,7 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkTestBase {
     assert(nDeduped <= nKept)
 
     // 5. Near-dup removal: drop the HIGHER id of every confirmed pair.
-    val pairs = graft.ext.DedupOps.nearDupPairs(deduped, minJaccard = 0.8)
-    val losers = pairs.select(col("id2").as("doc_id")).distinct()
-    val curated = deduped.join(losers, Seq("doc_id"), "left_anti")
+    val curated = graft.ext.DedupOps.dropNearDups(deduped, minJaccard = 0.8)
     val nCurated = curated.count()
     assert(nCurated <= nDeduped && nCurated > 0)
     w.log("INFO", "near-dup removal", Some(nCurated))

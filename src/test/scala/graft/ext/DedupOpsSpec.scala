@@ -74,6 +74,14 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((1L, 4L, 0)))
   }
 
+  test("dropNearDups keeps the smallest id of each duplicate cluster") {
+    val out = DedupOps.dropNearDups(planted, bands = 16, minJaccard = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    // 1,2,4 form a near-dup cluster (2 and 4 are dups of 1) -> 1 survives;
+    // 3 is unrelated and survives.
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("near-dup over testdata documents is well-formed") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = DedupOps.nearDupPairs(docs).limit(20).collect()
