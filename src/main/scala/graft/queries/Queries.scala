@@ -338,6 +338,18 @@ object Queries {
       |       FLOOR(QUANTILE_CONT(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Approximate percentiles (q47's scale path): `approx_percentile` keeps
+    * a bounded GK sketch per group — exact `percentile` holds every
+    * distinct value in memory, which a 100 TB hot group cannot. Accuracy
+    * bound 1/1000; the companion spec checks it against exact q47. */
+  private def q47b(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (floor(expr("approx_percentile(o_totalprice, 0.5, 1000)") * 100 + lit(0.5)) / 100).as("p50"),
+        (floor(expr("approx_percentile(o_totalprice, 0.9, 1000)") * 100 + lit(0.5)) / 100).as("p90"))
+      .orderBy(col("o_orderstatus"))
+
   /** Correlated scalar subquery — exercises Catalyst decorrelation (the
     * subquery rewrites to an outer join + aggregate). */
   private def q48(s: SparkSession, d: String): DataFrame = {
@@ -1231,6 +1243,7 @@ object Queries {
     QueryDef("q45_window_range", q45, Some(q45Sql)),
     QueryDef("q46_window_analytics", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
+    QueryDef("q47b_approx_percentiles", q47b, None),
     QueryDef("q48_scalar_subquery", q48, Some(q48Sql)),
     QueryDef("q49_pivot", q49, Some(q49Sql)),
     QueryDef("q50_recursive_cte", q50, Some(q50Sql)),

@@ -21,6 +21,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q47b approx percentiles within 2% of exact q47 per group") {
+    val exact = run("q47_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = run("q47b_approx_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, (p50, p90)) =>
+      val (a50, a90) = approx(g)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$g p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.02, s"$g p90: $a90 vs $p90")
+    }
+  }
+
   test("every declared query runs and matches its declared column set") {
     Queries.all.foreach { q =>
       val df = q.fn(spark, sf)
