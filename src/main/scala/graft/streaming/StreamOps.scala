@@ -109,6 +109,32 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream event-time interval join: pair left rows with right
+    * rows of the same key whose time lies in
+    * `[leftTime - before, leftTime + after]`. Watermarks on BOTH sides +
+    * the two-sided time bound are exactly what lets Spark evict join state
+    * — an unbounded-condition stream join would hold both streams forever.
+    * The streaming twin of [[graft.operators.RangeJoin.band]]. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      before: String = "1 hour",
+      after: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    val keyCond = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond =
+      r(rightTime) >= l(leftTime) - expr(s"INTERVAL $before") &&
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $after")
+    keyCols.foldLeft(l.join(r, keyCond && timeCond, "inner")) {
+      (df, k) => df.drop(r(k))
+    }
+  }
+
   /** Tumbling-window event counts with watermarking — the canonical
     * streaming aggregation shape. */
   def windowedCounts(

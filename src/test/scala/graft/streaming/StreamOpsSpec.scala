@@ -49,6 +49,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, ts(5), 2L))) // 5 + 20 merge
   }
 
+  test("stream-stream interval join pairs rows within the time bound") {
+    val sql = spark
+    import sql.implicits._
+    val ldir = Files.createTempDirectory("stream_jl").toString + "/in"
+    val rdir = Files.createTempDirectory("stream_jr").toString + "/in"
+    // clicks at minute 0 and 50; purchases at minutes 10 (pairs with 0,
+    // within 30m) and 55 (pairs with 50). Purchase at minute 10 is 40m
+    // from the minute-50 click — outside the bound.
+    Seq((1L, ts(0), "c0"), (1L, ts(50), "c50"))
+      .toDF("user_id", "lt", "click").coalesce(1).write.parquet(ldir)
+    Seq((1L, ts(10), 5.0), (1L, ts(55), 7.0))
+      .toDF("user_id", "rt", "amount").coalesce(1).write.parquet(rdir)
+
+    val ls = spark.readStream
+      .schema("user_id BIGINT, lt TIMESTAMP, click STRING").parquet(ldir)
+    val rs = spark.readStream
+      .schema("user_id BIGINT, rt TIMESTAMP, amount DOUBLE").parquet(rdir)
+    val q = StreamOps.intervalJoin(ls, rs, Seq("user_id"), "lt", "rt",
+      before = "30 minutes", after = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val pairs = spark.table("ij_out")
+      .select("click", "amount").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(pairs == Set(("c0", 5.0), ("c50", 7.0)))
+  }
+
   test("windowedCounts groups by tumbling event-time window") {
     val sql = spark
     import sql.implicits._
