@@ -43,13 +43,14 @@ object Ingest {
 
   /** CSV ingestion against a declared schema. */
   def csv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true): IngestResult =
+      header: Boolean = true, sep: String = ","): IngestResult =
     split(
       spark.read
         .schema(withCorrupt(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CorruptCol)
         .option("header", header.toString)
+        .option("sep", sep)
         .csv(path),
       schema)
 }

@@ -164,6 +164,20 @@ final class QueryWrapper private (
         val affected =
           SqlCompat.runMerge(spark, SqlCompat.parseMerge(stmt).get)
         new QueryResult(stmt, None, Some(affected), None)
+      case _ if SqlCompat.parseImport(stmt)
+          .exists(im => SqlCompat.canHandle(spark, im)) =>
+        // Exasol IMPORT … FROM CSV: schema'd ingest with quarantine lane;
+        // rows_affected = loaded rows, quarantined count logged.
+        val (loaded, bad) =
+          SqlCompat.runImport(spark, SqlCompat.parseImport(stmt).get)
+        if (bad > 0) log("WARNING", s"IMPORT quarantined $bad malformed row(s)")
+        new QueryResult(stmt, None, Some(loaded), None)
+      case _ if SqlCompat.parseExport(stmt)
+          .exists(ex => SqlCompat.canHandle(spark, ex)) =>
+        // Exasol EXPORT … INTO CSV: table → CSV directory.
+        val exported =
+          SqlCompat.runExport(spark, SqlCompat.parseExport(stmt).get)
+        new QueryResult(stmt, None, Some(exported), None)
       case _ =>
         // Dialect translations, no-ops for Spark-native SQL:
         // CONNECT BY hierarchical queries → recursive CTE, then the

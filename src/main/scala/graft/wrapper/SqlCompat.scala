@@ -198,6 +198,93 @@ object SqlCompat {
     affected
   }
 
+  // -------------------------------------------------------- IMPORT/EXPORT
+
+  private val ImportRe =
+    ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?csv\\s+" +
+      "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
+  private val ExportRe =
+    ("(?is)^\\s*export\\s+([\\w.`]+)\\s+into\\s+(?:local\\s+)?csv\\s+" +
+      "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
+  private val SepOptRe = "(?is)column\\s+separator\\s*=\\s*'([^']*)'".r
+  private val SkipOptRe = "(?is)skip\\s*=\\s*(\\d+)".r
+
+  final case class CsvImport(table: String, path: String, sep: String,
+      header: Boolean)
+  final case class CsvExport(table: String, path: String, sep: String)
+
+  /** Exasol `IMPORT INTO t FROM [LOCAL] CSV FILE 'path'
+    * [COLUMN SEPARATOR = ','] [SKIP = 1]`. SKIP = 1 maps to a header row
+    * (the overwhelmingly common case); other skip counts are unsupported. */
+  def parseImport(sql: String): Option[CsvImport] =
+    ImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
+      val opts = sql.substring(m.start(3), m.end(3))
+      val skip = SkipOptRe.findFirstMatchIn(opts).map(_.group(1).toInt).getOrElse(0)
+      require(skip <= 1, s"IMPORT SKIP = $skip unsupported (only 0 or 1)")
+      CsvImport(sql.substring(m.start(1), m.end(1)),
+        sql.substring(m.start(2), m.end(2)),
+        SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
+        header = skip == 1)
+    }
+
+  /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [COLUMN SEPARATOR …]`.
+    * The path is written as a directory of part files (the distributed
+    * shape) with a header row. */
+  def parseExport(sql: String): Option[CsvExport] =
+    ExportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
+      val opts = sql.substring(m.start(3), m.end(3))
+      CsvExport(sql.substring(m.start(1), m.end(1)),
+        sql.substring(m.start(2), m.end(2)),
+        SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","))
+    }
+
+  // For IMPORT/EXPORT heads the quoted file path must stay visible to the
+  // regex, so mask only comments + depth>0 — not string literals.
+  private def maskOptions(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var depth = 0
+    SqlTokens.tokenize(sql).foreach {
+      case SqlTokens.Token(SqlTokens.Comment, text) =>
+        (0 until text.length).foreach(_ => sb += ' ')
+      case t =>
+        t.text.foreach {
+          case '(' => sb += (if (depth == 0) '(' else ' '); depth += 1
+          case ')' => depth -= 1; sb += (if (depth == 0) ')' else ' ')
+          case c => sb += (if (depth == 0) c else ' ')
+        }
+    }
+    sb.result()
+  }
+
+  def canHandle(spark: SparkSession, i: CsvImport): Boolean =
+    tableExists(spark, i.table)
+
+  def canHandle(spark: SparkSession, e: CsvExport): Boolean =
+    tableExists(spark, e.table)
+
+  /** Append the CSV file's schema-conforming rows to the table; malformed
+    * rows quarantine (never fatal, never silently dropped — logged by the
+    * caller via the returned counts). Returns (loaded, quarantined). */
+  def runImport(spark: SparkSession, i: CsvImport): (Long, Long) = {
+    val schema = spark.table(i.table).schema
+    val res = graft.sources.Ingest.csv(
+      spark, i.path, schema, header = i.header, sep = i.sep)
+    val loaded = res.good.count()
+    val bad = res.quarantined.count()
+    res.good.write.mode("append").insertInto(i.table)
+    (loaded, bad)
+  }
+
+  /** Write the table as a CSV directory (header + separator). Returns the
+    * exported row count. */
+  def runExport(spark: SparkSession, e: CsvExport): Long = {
+    val df = spark.table(e.table)
+    val n = df.count()
+    df.write.mode("overwrite").option("header", "true")
+      .option("sep", e.sep).csv(e.path)
+    n
+  }
+
   // ----------------------------------------------------------- CONNECT BY
 
   private val ConnectByRe =

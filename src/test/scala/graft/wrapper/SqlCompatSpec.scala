@@ -210,6 +210,31 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     assert(res2.rows.map(_.getString(0)).toSet == Set("vp_a", "eng"))
   }
 
+  test("IMPORT/EXPORT CSV round-trip through the wrapper") {
+    val loc = Files.createTempDirectory("impexp").toString
+    spark.sql(s"CREATE TABLE ie_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      // CSV with a header (SKIP = 1), semicolon-separated, one bad row.
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$loc/in.csv"),
+        "id;name\n1;alpha\n2;beta\nnot_a_number;gamma\n")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"IMPORT INTO ie_t FROM LOCAL CSV FILE '$loc/in.csv' COLUMN SEPARATOR = ';' SKIP = 1")
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(2L)) // the bad row quarantines
+      assert(w.messages.exists(m => m.msgType == "WARNING" &&
+        m.message.contains("quarantined 1")))
+      assert(spark.table("ie_t").count() == 2L)
+
+      val (ok2, res2) = w.query(s"EXPORT ie_t INTO CSV FILE '$loc/out'")
+      assert(ok2, res2.error)
+      assert(res2.rowsAffected.contains(2L))
+      val back = spark.read.option("header", "true").csv(s"$loc/out")
+        .orderBy("id").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(back.toSeq == Seq(("1", "alpha"), ("2", "beta")))
+    } finally spark.sql("DROP TABLE IF EXISTS ie_t")
+  }
+
   test("UPDATE on a missing table falls through to the error path") {
     val w = QueryWrapper(spark)
     w.onError = "continue"
