@@ -68,6 +68,33 @@ object TextOps {
       regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
         .as("bpe_tokens"))
 
+  /** Split documents into token-bounded chunks with overlap — the standard
+    * pre-tokenization step of a pretraining pipeline (long docs → windows a
+    * model context can hold; overlap preserves cross-boundary context).
+    * Pure HOF projection + one `posexplode`: chunking 100 TB is a scan, not
+    * a shuffle. Output: (doc_id, chunk_id, n_chunk_tokens, chunk) with
+    * chunk_id 0-based; a doc shorter than `maxTokens` yields one chunk. */
+  def chunk(df: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        posexplode(
+          transform(
+            // chunk starts: 0, stride, 2*stride, … (at least one chunk)
+            sequence(lit(0),
+              greatest(ceil((size(col("__toks")) - overlap).cast("double") / stride)
+                .cast("int") - 1, lit(0))),
+            i => slice(col("__toks"), i * stride + 1, lit(maxTokens))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk"))
+  }
+
   /** Rolling polynomial hash (base 31, mod 1e9+7) over the character
     * codepoints — a deterministic document fingerprint computable
     * identically in any engine (the cross-engine-stable alternative to

@@ -1101,6 +1101,27 @@ object Queries {
       |GROUP BY c.event_id, c.user_id
       |ORDER BY c.event_id""".stripMargin
 
+  /** Token-bounded document chunking with overlap
+    * ([[graft.ext.TextOps.chunk]]) — pre-tokenization windowing for a
+    * pretraining pipeline; pure projection + posexplode, a scan at 100 TB. */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.chunk(t(s, d, "documents"), maxTokens = 50, overlap = 10)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q57Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS chunk_id,
+      |         list_slice(toks, i * 40 + 1, i * 40 + 50) AS chunk_toks
+      |  FROM t, UNNEST(range(0, GREATEST(CAST(CEIL((len(toks) - 10) / 40.0) AS BIGINT), 1))) AS u(i))
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+      |       CAST(len(chunk_toks) AS INTEGER) AS n_chunk_tokens,
+      |       array_to_string(chunk_toks, ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Multimodal metadata over the binary payload: byte length, content
     * digest, first byte — the decode-free part, exactly oracle-checkable. */
   private def q39(s: SparkSession, d: String): DataFrame =
@@ -1253,5 +1274,6 @@ object Queries {
     QueryDef("q54_listagg", q54, Some(q54Sql)),
     QueryDef("q55_filter_agg", q55, Some(q55Sql)),
     QueryDef("q56_range_join", q56, Some(q56Sql)),
+    QueryDef("q57_chunking", q57, Some(q57Sql)),
   )
 }

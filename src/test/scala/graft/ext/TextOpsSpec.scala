@@ -41,6 +41,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Int]("bpe_tokens") == 4) // ab | 12 | c | !
   }
 
+  test("chunk: token windows with overlap, hand-checked") {
+    import graft.SparkTestBase.spark.implicits._
+    val doc = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("doc_id", "text")
+    // maxTokens=3, overlap=1 -> stride 2 -> starts 0,2,4,6(hmm): ceil((7-1)/2)=3 chunks
+    val out = TextOps.chunk(doc, maxTokens = 3, overlap = 1)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0, 3, "t1 t2 t3"),
+      (1, 3, "t3 t4 t5"),
+      (2, 3, "t5 t6 t7")))
+    // Short doc -> exactly one chunk; no overlap config:
+    val one = TextOps.chunk(Seq((2L, "a b")).toDF("doc_id", "text"), 10)
+      .collect().map(r => (r.getInt(1), r.getString(3)))
+    assert(one.toSeq == Seq((0, "a b")))
+    // Every token of a long doc appears in at least one chunk:
+    val words = (1 to 57).map(i => s"w$i").mkString(" ")
+    val covered = TextOps.chunk(Seq((3L, words)).toDF("doc_id", "text"),
+      maxTokens = 10, overlap = 3)
+      .collect().flatMap(_.getString(3).split(" ")).toSet
+    assert(covered == (1 to 57).map(i => s"w$i").toSet)
+  }
+
   test("rollingFingerprint: hand-computed polynomial hash") {
     val docs = Seq((1L, "ab"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
     val fps = docs.select(TextOps.rollingFingerprint(col("text")))
