@@ -72,6 +72,19 @@ class SqlTokensSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("unterminated strings/comments terminate at EOF without loss") {
+    // Malformed SQL must never hang or drop text — tokens always
+    // reassemble to the input (the error surfaces later, in the parser).
+    Seq("SELECT 'unterminated", "SELECT /* open", "SELECT x -- trailing",
+      "SELECT \"open ident", "'", "/*", "--", ":", "::").foreach { in =>
+      val toks = SqlTokens.tokenize(in)
+      assert(toks.map(_.text).mkString == in, s"lossy tokenize of: $in")
+    }
+    // A ? inside an unterminated literal still does not rewrite:
+    val (out, n) = SqlTokens.rewritePlaceholders("SELECT ?, 'open ?")
+    assert(n == 1 && out == "SELECT :PS_VAL_1, 'open ?")
+  }
+
   test("tokenize classifies :v and ::i params, skipping literals") {
     val toks = SqlTokens.tokenize("SELECT :A, '::no', ::T.::S, b::c FROM x")
     val idents = toks.collect { case SqlTokens.Token(SqlTokens.IdentParam, t) => t }
