@@ -28,6 +28,27 @@ object Layout {
     w.saveAsTable(table)
   }
 
+  /** Compact every leaf partition of a hive-layout parquet directory
+    * (`k=v` subdirs — the shape of a date-partitioned streaming sink, where
+    * small-file debt accrues per partition). Each leaf compacts
+    * independently with [[compact]]; partition values live in the directory
+    * names, so rewriting a leaf's files preserves the layout. Returns
+    * summed (filesBefore, filesAfter). */
+  def compactPartitioned(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val dirs = fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (dirs.isEmpty) Seq(p) else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    leaves(root)
+      .map(l => compact(spark, l.toString, targetFileBytes))
+      .foldLeft((0, 0)) { case ((b, a), (lb, la)) => (b + lb, a + la) }
+  }
+
   /** Compact a small-file parquet directory (the operational debt of
     * streaming / incremental appends: every micro-batch adds files, and at
     * 100 TB a scan's task count is file-bound) into ~`targetFileBytes`
@@ -49,8 +70,10 @@ object Layout {
 
     val df = spark.read.parquet(dir)
     val before = df.count()
+    // '=' stripped: a sibling dir named like "…day=0…" would be taken for a
+    // hive partition by any concurrent directory listing.
     val staging = new Path(root.getParent,
-      s"graft_compact_${root.getName}_${java.util.UUID.randomUUID()}")
+      s"graft_compact_${root.getName.replace('=', '_')}_${java.util.UUID.randomUUID()}")
     try {
       // coalesce, not repartition: merging files needs no shuffle.
       df.coalesce(nOut).write.parquet(staging.toString)

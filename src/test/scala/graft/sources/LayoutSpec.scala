@@ -23,6 +23,25 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(Layout.compact(spark, dir, targetFileBytes = 1L << 30) == ((1, 1)))
   }
 
+  test("compactPartitioned merges files per hive partition, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("cmpp").toString + "/t"
+    (1L to 60L).map(i => (i, i % 3))
+      .toDF("id", "day").repartition(6)
+      .write.partitionBy("day").parquet(dir)
+    val filesPer = (0 to 2).map(d =>
+      new java.io.File(s"$dir/day=$d").listFiles()
+        .count(_.getName.startsWith("part-")))
+    assert(filesPer.forall(_ > 1), s"fixture not fragmented: $filesPer")
+
+    val (before, after) = Layout.compactPartitioned(spark, dir, 1L << 30)
+    assert(before == filesPer.sum && after == 3) // one file per partition
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 60)
+    // partition column still derived from the directory layout:
+    assert(back.groupBy("day").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap == Map(0 -> 20L, 1 -> 20L, 2 -> 20L))
+  }
+
   test("join of co-bucketed tables has no shuffle exchange") {
     val a = (1L to 200L).map(i => (i, s"a$i")).toDF("k", "av")
     val b = (1L to 200L).map(i => (i, i * 2.0)).toDF("k", "bv")
