@@ -43,7 +43,14 @@ object Incremental {
 
   /** Load one increment: append `source` rows with `tsCol` strictly newer
     * than the stored watermark (optionally transformed) into `target`, then
-    * advance the watermark via MERGE. Returns the appended row count. */
+    * advance the watermark via MERGE. Returns the appended row count.
+    *
+    * `datePartitionCol`: name of a DATE-typed hive partition column derived
+    * from `tsCol` (the standard time-partitioned layout). When given, the
+    * delta also filters `datePartitionCol >= date(watermark)` — THAT filter
+    * is what the scan can push into partition pruning (the row-level
+    * `tsCol > watermark` predicate alone cannot prune directories), so a
+    * 100 TB source costs one day's partitions per run, not a rescan. */
   def loadIncrement(
       w: QueryWrapper,
       stateTable: String,
@@ -51,12 +58,16 @@ object Incremental {
       source: DataFrame,
       tsCol: String,
       target: String,
-      transform: DataFrame => DataFrame = identity): Long = {
+      transform: DataFrame => DataFrame = identity,
+      datePartitionCol: Option[String] = None): Long = {
     ensureStateTable(w, stateTable)
     val wm = currentWatermark(w, stateTable, jobName)
 
-    val delta = source.filter(
-      col(tsCol) > to_timestamp(lit(wm), WatermarkFmt))
+    val wmTs = to_timestamp(lit(wm), WatermarkFmt)
+    val delta = datePartitionCol
+      .foldLeft(source.filter(col(tsCol) > wmTs)) { (df, pc) =>
+        df.filter(col(pc) >= to_date(wmTs))
+      }
     // One pass over the delta for both the new watermark and the count —
     // BEFORE the append so a mid-write failure leaves the watermark put.
     val stats = delta.agg(

@@ -204,14 +204,15 @@ object SqlCompat {
     ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?csv\\s+" +
       "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
   private val ExportRe =
-    ("(?is)^\\s*export\\s+([\\w.`]+)\\s+into\\s+(?:local\\s+)?csv\\s+" +
+    ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+(?:local\\s+)?csv\\s+" +
       "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
   private val SepOptRe = "(?is)column\\s+separator\\s*=\\s*'([^']*)'".r
   private val SkipOptRe = "(?is)skip\\s*=\\s*(\\d+)".r
 
   final case class CsvImport(table: String, path: String, sep: String,
       header: Boolean)
-  final case class CsvExport(table: String, path: String, sep: String)
+  final case class CsvExport(source: Either[String, String], path: String,
+      sep: String) // Left = table name, Right = subquery text
 
   /** Exasol `IMPORT INTO t FROM [LOCAL] CSV FILE 'path'
     * [COLUMN SEPARATOR = ','] [SKIP = 1]`. SKIP = 1 maps to a header row
@@ -227,14 +228,17 @@ object SqlCompat {
         header = skip == 1)
     }
 
-  /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [COLUMN SEPARATOR …]`.
+  /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [COLUMN SEPARATOR …]`
+    * — `t` is a table name or a parenthesized query (`EXPORT (SELECT …)`).
     * The path is written as a directory of part files (the distributed
     * shape) with a header row. */
   def parseExport(sql: String): Option[CsvExport] =
     ExportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
-      val opts = sql.substring(m.start(3), m.end(3))
-      CsvExport(sql.substring(m.start(1), m.end(1)),
-        sql.substring(m.start(2), m.end(2)),
+      val opts = sql.substring(m.start(4), m.end(4))
+      val source =
+        if (m.group(1) != null) Left(sql.substring(m.start(1), m.end(1)))
+        else Right(sql.substring(m.start(2), m.end(2)).trim)
+      CsvExport(source, sql.substring(m.start(3), m.end(3)),
         SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","))
     }
 
@@ -259,8 +263,10 @@ object SqlCompat {
   def canHandle(spark: SparkSession, i: CsvImport): Boolean =
     tableExists(spark, i.table)
 
-  def canHandle(spark: SparkSession, e: CsvExport): Boolean =
-    tableExists(spark, e.table)
+  def canHandle(spark: SparkSession, e: CsvExport): Boolean = e.source match {
+    case Left(table) => tableExists(spark, table)
+    case Right(query) => scala.util.Try(spark.sql(query)).isSuccess
+  }
 
   /** Append the CSV file's schema-conforming rows to the table; malformed
     * rows quarantine (never fatal, never silently dropped — logged by the
@@ -275,10 +281,10 @@ object SqlCompat {
     (loaded, bad)
   }
 
-  /** Write the table as a CSV directory (header + separator). Returns the
-    * exported row count. */
+  /** Write the table/query result as a CSV directory (header + separator).
+    * Returns the exported row count. */
   def runExport(spark: SparkSession, e: CsvExport): Long = {
-    val df = spark.table(e.table)
+    val df = e.source.fold(spark.table, spark.sql)
     val n = df.count()
     df.write.mode("overwrite").option("header", "true")
       .option("sep", e.sep).csv(e.path)

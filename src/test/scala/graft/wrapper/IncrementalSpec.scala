@@ -56,6 +56,42 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("datePartitionCol bound reaches the scan as a partition filter") {
+    val loc = Files.createTempDirectory("inc3").toString
+    import graft.SparkTestBase.spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-02 10:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2026-01-03 10:00:00")))
+      .toDF("id", "ts").withColumn("day", to_date($"ts"))
+      .write.partitionBy("day").parquet(s"$loc/src")
+    spark.sql(s"CREATE TABLE inc3_tgt (id BIGINT, ts TIMESTAMP, day DATE) USING parquet LOCATION '$loc/tgt'")
+    spark.sql("DROP TABLE IF EXISTS inc3_state")
+    try {
+      val w = QueryWrapper(spark)
+      val src = spark.read.parquet(s"$loc/src")
+      // Seed the watermark by loading everything once:
+      Incremental.loadIncrement(w, "inc3_state", "job_p", src, "ts", "inc3_tgt",
+        datePartitionCol = Some("day"))
+      // The next delta's PLAN must prune on the day partition:
+      val wm = Incremental.currentWatermark(w, "inc3_state", "job_p")
+      val delta = src
+        .filter($"ts" > to_timestamp(lit(wm), Incremental.WatermarkFmt))
+        .filter($"day" >= to_date(to_timestamp(lit(wm), Incremental.WatermarkFmt)))
+      val plan = delta.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.contains("day"), s"no day partition filter in:\n$plan")
+      // And a second increment is a no-op with correct counts:
+      assert(Incremental.loadIncrement(w, "inc3_state", "job_p", src, "ts",
+        "inc3_tgt", datePartitionCol = Some("day")) == 0L)
+      assert(spark.table("inc3_tgt").count() == 3L)
+    } finally {
+      Seq("inc3_tgt", "inc3_state").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("transform applies to the delta before the append") {
     val loc = Files.createTempDirectory("inc2").toString
     spark.sql(s"CREATE TABLE inc2_src (id BIGINT, ts TIMESTAMP) USING parquet LOCATION '$loc/src'")

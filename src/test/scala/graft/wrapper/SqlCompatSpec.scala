@@ -232,6 +232,14 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
       val back = spark.read.option("header", "true").csv(s"$loc/out")
         .orderBy("id").collect().map(r => (r.getString(0), r.getString(1)))
       assert(back.toSeq == Seq(("1", "alpha"), ("2", "beta")))
+
+      // EXPORT of a parenthesized query:
+      val (ok3, res3) = w.query(
+        s"EXPORT (SELECT id * 10 AS id10 FROM ie_t WHERE id = 1) INTO CSV FILE '$loc/out2'")
+      assert(ok3, res3.error)
+      assert(res3.rowsAffected.contains(1L))
+      assert(spark.read.option("header", "true").csv(s"$loc/out2")
+        .head().getString(0) == "10")
     } finally spark.sql("DROP TABLE IF EXISTS ie_t")
   }
 
