@@ -71,18 +71,36 @@ object MultimodalOps {
         val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
         val h = math.max(1, math.ceil(n.toDouble / w).toInt)
         val out = new Array[Float](outW * outH)
-        val cnt = new Array[Int](outW * outH)
-        var i = 0
-        while (i < n) {
-          val oy = math.min((i / w) * outH / h, outH - 1)
-          val ox = math.min((i % w) * outW / w, outW - 1)
-          val o = oy * outW + ox
-          out(o) += (m.bytes(i) & 0xff)
-          cnt(o) += 1
-          i += 1
+        // Output-driven box sampling: every output cell averages its
+        // (≥1-pixel) source block, so upscales nearest-neighbor instead of
+        // leaving zero-striped cells, and downscales average-pool.
+        if (n > 0) {
+          var oy = 0
+          while (oy < outH) {
+            val y0 = oy * h / outH
+            val y1 = math.max(y0 + 1, (oy + 1) * h / outH)
+            var ox = 0
+            while (ox < outW) {
+              val x0 = ox * w / outW
+              val x1 = math.max(x0 + 1, (ox + 1) * w / outW)
+              var sum = 0L; var cnt = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  // clamp into the (possibly partial) last row
+                  val i = math.min(y * w + x, n - 1)
+                  sum += (m.bytes(i) & 0xff); cnt += 1
+                  x += 1
+                }
+                y += 1
+              }
+              out(oy * outW + ox) = sum.toFloat / cnt
+              ox += 1
+            }
+            oy += 1
+          }
         }
-        var j = 0
-        while (j < out.length) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
         ResizedMedia(m.doc_id, outW, outH, out)
       }
     }(Encoders.product[ResizedMedia])

@@ -1176,18 +1176,27 @@ object Queries {
       s, ivfIndexDir(s, d), emb.filter(col("vec_id") <= 4), k = 10, nProbe = 4)
   }
 
-  // One index build per (dataset dir, JVM); keyed cache under java.io.tmpdir.
-  // The v-tag invalidates stale on-disk indexes when build semantics change.
+  // One index build per (dataset dir + content fingerprint, JVM); keyed
+  // cache under java.io.tmpdir. The fingerprint (XOR of the source files'
+  // length^mtime) invalidates the on-disk index when the dataset at the
+  // same path is regenerated; the v-tag invalidates when build semantics
+  // change.
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfIndexDir(s: SparkSession, d: String): String =
-    ivfCache.computeIfAbsent(d, _ => {
+  private def ivfIndexDir(s: SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fingerprint = fs.listStatus(src)
+      .map(st => st.getLen ^ st.getModificationTime)
+      .foldLeft(d.hashCode.toLong)(_ ^ _)
+    ivfCache.computeIfAbsent(s"$d#$fingerprint", _ => {
       val dir = System.getProperty("java.io.tmpdir") +
-        s"/graft_ivf_v1_${math.abs(d.hashCode.toLong)}"
+        s"/graft_ivf_v1_${java.lang.Long.toHexString(fingerprint)}"
       if (!new java.io.File(s"$dir/cells/_SUCCESS").exists())
         graft.ext.IvfIndex.build(s, t(s, d, "embeddings"), dir,
           nCells = 16, iters = 2)
       dir
     })
+  }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets + exact cosine
     * verification — the embedding flavor of the dedup family. Threshold 0

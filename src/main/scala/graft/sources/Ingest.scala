@@ -13,19 +13,24 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * raw offending text for triage/replay. */
 object Ingest {
 
-  final case class IngestResult(good: DataFrame, quarantined: DataFrame)
+  final case class IngestResult(good: DataFrame, quarantined: DataFrame,
+      private val raw: DataFrame) {
+    /** Release the cached source read once both lanes are consumed. */
+    def unpersist(): Unit = { raw.unpersist(); () }
+  }
 
   private val CorruptCol = "_corrupt_record"
 
   private def split(raw: DataFrame, schema: StructType): IngestResult = {
     // Spark requires materialization before referencing only the corrupt
-    // column of a PERMISSIVE read (SPARK-21610) — cache once here.
+    // column of a PERMISSIVE read (SPARK-21610) — cache once here (also
+    // makes the good-count / bad-count / write trio a single source scan).
     raw.cache()
     val good = raw.filter(col(CorruptCol).isNull)
       .select(schema.fieldNames.map(col): _*)
     val quarantined = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_record"))
-    IngestResult(good, quarantined)
+    IngestResult(good, quarantined, raw)
   }
 
   private def withCorrupt(schema: StructType): StructType =

@@ -74,18 +74,30 @@ object Layout {
     // hive partition by any concurrent directory listing.
     val staging = new Path(root.getParent,
       s"graft_compact_${root.getName.replace('=', '_')}_${java.util.UUID.randomUUID()}")
+    // Swap via a backup rename, never a delete-then-rename: at every point
+    // either the original or the verified compacted copy exists at a known
+    // location, so no single failure can destroy both.
+    val backup = new Path(root.getParent,
+      s"graft_compact_bak_${root.getName.replace('=', '_')}_${java.util.UUID.randomUUID()}")
     try {
       // coalesce, not repartition: merging files needs no shuffle.
       df.coalesce(nOut).write.parquet(staging.toString)
       val staged = spark.read.schema(df.schema).parquet(staging.toString)
       require(staged.count() == before,
         s"compaction of $dir would change the row count — aborting")
-      fs.delete(root, true)
-      require(fs.rename(staging, root), s"rename $staging -> $root failed")
+      require(fs.rename(root, backup), s"could not move $root aside — aborting")
+      if (!fs.rename(staging, root)) {
+        fs.rename(backup, root) // restore the original
+        throw new IllegalStateException(
+          s"rename $staging -> $root failed; original restored")
+      }
+      fs.delete(backup, true)
       val after = fs.listStatus(root)
         .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
       (parts.length, after)
     } finally {
+      // Reached with staging still present only when the swap never
+      // happened (original intact) — safe to clean.
       if (fs.exists(staging)) fs.delete(staging, true)
     }
   }

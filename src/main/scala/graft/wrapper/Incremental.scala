@@ -72,13 +72,16 @@ object Incremental {
     // BEFORE the append so a mid-write failure leaves the watermark put.
     val stats = delta.agg(
       max(date_format(col(tsCol), WatermarkFmt)), count(lit(1))).head()
-    val loaded = stats.getLong(1)
-    if (loaded == 0L) {
+    if (stats.getLong(1) == 0L) {
       w.log("INFO", s"$jobName: no rows past watermark $wm")
       return 0L
     }
 
-    transform(delta).write.mode("append").insertInto(target)
+    // Count what is actually appended: a filtering/expanding transform
+    // makes the delta count wrong for the audit log and the return value.
+    val out = transform(delta)
+    val loaded = out.count()
+    out.write.mode("append").insertInto(target)
     w.log("INFO", s"$jobName: appended rows past watermark $wm",
       Some(loaded))
 

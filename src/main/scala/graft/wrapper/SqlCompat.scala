@@ -38,7 +38,13 @@ object SqlCompat {
           case c => sb += (if (depth == 0) c else ' ')
         }
       case SqlTokens.Token(SqlTokens.QuotedIdent, text) if depth == 0 =>
-        sb ++= text
+        // Keep the quote characters (so `...` spans still look like
+        // identifiers) but overwrite the interior with a neutral word
+        // char: a quoted identifier that IS a keyword (`where`, `matched`
+        // — the main reason users quote) must never match a clause regex.
+        sb += text.head
+        (1 until text.length - 1).foreach(_ => sb += 'x')
+        if (text.length > 1) sb += text.last
       case t =>
         // Blank char-for-char, preserving length (newlines too — the
         // regexes are (?s) and never anchor on line structure).
@@ -143,6 +149,7 @@ object SqlCompat {
     // treat a leading-dot dir inconsistently across read paths.
     val staging = new Path(location.getParent,
       s"graft_staging_${location.getName}_${java.util.UUID.randomUUID()}")
+    var overwriteFailed = false
     try {
       transformed.write.parquet(staging.toString)
       val staged = spark.read.schema(source.schema).parquet(staging.toString)
@@ -150,9 +157,18 @@ object SqlCompat {
       require(stagedRows == expectedRows,
         s"staged checkpoint for $table has $stagedRows rows, expected " +
           s"$expectedRows — aborting before the destructive overwrite")
-      staged.write.mode("overwrite").insertInto(table)
+      try staged.write.mode("overwrite").insertInto(table)
+      catch {
+        case e: Throwable =>
+          // The overwrite may have destroyed table files; the staging copy
+          // is now the only complete version — keep it for recovery.
+          overwriteFailed = true
+          throw new IllegalStateException(
+            s"overwrite of $table failed mid-write; verified checkpoint " +
+              s"preserved at $staging for recovery", e)
+      }
     } finally {
-      fs.delete(staging, true)
+      if (!overwriteFailed) fs.delete(staging, true)
     }
   }
 
@@ -218,14 +234,17 @@ object SqlCompat {
     * [COLUMN SEPARATOR = ','] [SKIP = 1]`. SKIP = 1 maps to a header row
     * (the overwhelmingly common case); other skip counts are unsupported. */
   def parseImport(sql: String): Option[CsvImport] =
-    ImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
+    ImportRe.findFirstMatchIn(maskOptions(sql)).flatMap { m =>
       val opts = sql.substring(m.start(3), m.end(3))
       val skip = SkipOptRe.findFirstMatchIn(opts).map(_.group(1).toInt).getOrElse(0)
-      require(skip <= 1, s"IMPORT SKIP = $skip unsupported (only 0 or 1)")
-      CsvImport(sql.substring(m.start(1), m.end(1)),
+      // Unsupported shape -> None (parse contract): the statement falls
+      // through to spark.sql and fails THERE with a clear parse error,
+      // instead of a wrapper-internal throw from inside the dispatch guard.
+      if (skip > 1) None
+      else Some(CsvImport(sql.substring(m.start(1), m.end(1)),
         sql.substring(m.start(2), m.end(2)),
         SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
-        header = skip == 1)
+        header = skip == 1))
     }
 
   /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [COLUMN SEPARATOR …]`
@@ -243,13 +262,19 @@ object SqlCompat {
     }
 
   // For IMPORT/EXPORT heads the quoted file path must stay visible to the
-  // regex, so mask only comments + depth>0 — not string literals.
+  // regex, so mask only comments + depth>0 — not string literals. String
+  // and quoted-identifier tokens pass through WITHOUT paren counting: a
+  // '(' or ')' inside a literal (subquery text, a path) is data, not
+  // nesting.
   private def maskOptions(sql: String): String = {
     val sb = new StringBuilder(sql.length)
     var depth = 0
     SqlTokens.tokenize(sql).foreach {
       case SqlTokens.Token(SqlTokens.Comment, text) =>
         (0 until text.length).foreach(_ => sb += ' ')
+      case SqlTokens.Token(SqlTokens.Str | SqlTokens.QuotedIdent, text) =>
+        if (depth == 0) sb ++= text
+        else (0 until text.length).foreach(_ => sb += ' ')
       case t =>
         t.text.foreach {
           case '(' => sb += (if (depth == 0) '(' else ' '); depth += 1
@@ -275,10 +300,12 @@ object SqlCompat {
     val schema = spark.table(i.table).schema
     val res = graft.sources.Ingest.csv(
       spark, i.path, schema, header = i.header, sep = i.sep)
-    val loaded = res.good.count()
-    val bad = res.quarantined.count()
-    res.good.write.mode("append").insertInto(i.table)
-    (loaded, bad)
+    try {
+      val loaded = res.good.count()
+      val bad = res.quarantined.count()
+      res.good.write.mode("append").insertInto(i.table)
+      (loaded, bad)
+    } finally res.unpersist()
   }
 
   /** Write the table/query result as a CSV directory (header + separator).
@@ -383,6 +410,7 @@ object SqlCompat {
         var matchedSet: Option[Seq[(String, String)]] = None
         var matchedDelete = false
         var insert: Option[(Option[Seq[String]], Seq[String])] = None
+        var unsupported = false
         whens.zipWithIndex.foreach { case ((_, kwEnd, isNotMatched), i) =>
           val clauseEnd = whens.lift(i + 1).map(_._1).getOrElse(end)
           val body = sql.substring(kwEnd, clauseEnd)
@@ -398,15 +426,18 @@ object SqlCompat {
               insert = Some((
                 Option(cols).map(_.split(",").map(_.trim).toSeq),
                 splitTopLevel(values).map(_.trim)))
-            case _ => throw new IllegalArgumentException(
-              s"unsupported MERGE clause: WHEN ${if (isNotMatched) "NOT " else ""}MATCHED$body")
+            case _ =>
+              // Unsupported clause shape (e.g. ANSI 'WHEN MATCHED AND
+              // <cond> THEN'): not ours -> whole statement parses to None.
+              unsupported = true
           }
         }
         val targetAlias = Option(m.group(2)).getOrElse(
           sql.substring(m.start(1), m.end(1)).split('.').last)
         val sourceAlias = Option(m.group(4)).getOrElse(
           sql.substring(m.start(3), m.end(3)).split('.').last)
-        Some(Merge(sql.substring(m.start(1), m.end(1)), targetAlias,
+        if (unsupported) None
+        else Some(Merge(sql.substring(m.start(1), m.end(1)), targetAlias,
           sql.substring(m.start(3), m.end(3)), sourceAlias,
           condition, matchedSet, matchedDelete, insert))
       }
@@ -434,12 +465,17 @@ object SqlCompat {
     val joined = tgt.join(src, expr(m.condition), "full_outer")
     val matched = col(tid).isNotNull && col(smk).isNotNull
 
-    // Counts + ambiguity check in one pass over the join.
+    // Counts + ambiguity check in one pass over the join. coalesce(…, 0):
+    // with both sides empty the grouped aggregate has ZERO rows and the
+    // outer sums/max come back NULL — that is a valid no-op MERGE, not an
+    // error.
     val statsRow = joined.groupBy(col(tid)).agg(
       count(when(matched, lit(1))).as("m"),
       count(when(col(tid).isNotNull && col(smk).isNull, lit(1))).as("t"),
       count(when(col(tid).isNull, lit(1))).as("s"))
-      .agg(sum(col("m")), sum(col("t")), sum(col("s")), max(col("m"))).head()
+      .agg(coalesce(sum(col("m")), lit(0L)), coalesce(sum(col("t")), lit(0L)),
+        coalesce(sum(col("s")), lit(0L)), coalesce(max(col("m")), lit(0L)))
+      .head()
     val (nMatched, nTgtOnly, nSrcOnly) =
       (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
     require(statsRow.getLong(3) <= 1L,

@@ -35,18 +35,29 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(again(0).features.toSeq == f.features.toSeq)
   }
 
-  test("resizePooled: hand-computed average pooling to a 2x2 grid") {
-    // 9 bytes -> 3x3 "image" [[1,2,3],[4,5,6],[7,8,9]]; pooling to 2x2:
-    // cells are rows{0,1}x cols{0,1} vs row 2 / col 2 (integer grid map:
-    // src y in {0,1}->0, {2}->1; same for x).
+  test("resizePooled: hand-computed box sampling to a 2x2 grid") {
+    // 9 bytes -> 3x3 "image" [[1,2,3],[4,5,6],[7,8,9]]; output-driven
+    // boxes: out row 0 covers src row [0,1), out row 1 covers rows [1,3)
+    // (same split for columns).
     val bytes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
     val m = Seq((1L, bytes, "raw")).toDF("doc_id", "bytes", "mime")
     val r = MultimodalOps.resizePooled(m, 2, 2).head()
     assert(r.out_w == 2 && r.out_h == 2 && r.pixels.length == 4)
-    assert(r.pixels(0) == (1 + 2 + 4 + 5) / 4.0f) // top-left 2x2 block
-    assert(r.pixels(1) == (3 + 6) / 2.0f)         // right column
-    assert(r.pixels(2) == (7 + 8) / 2.0f)         // bottom row
-    assert(r.pixels(3) == 9.0f)                   // bottom-right corner
+    assert(r.pixels(0) == 1.0f)                   // src (0,0)
+    assert(r.pixels(1) == (2 + 3) / 2.0f)         // src row 0, cols 1-2
+    assert(r.pixels(2) == (4 + 7) / 2.0f)         // src rows 1-2, col 0
+    assert(r.pixels(3) == (5 + 6 + 8 + 9) / 4.0f) // bottom-right 2x2 block
+  }
+
+  test("resizePooled: upscaling leaves no zero cells (nearest-neighbor)") {
+    // 4 bytes -> 2x2 image; upscale to 4x4: every cell must hold a real
+    // source value, not a zero stripe.
+    val m = Seq((1L, Array[Byte](10, 20, 30, 40), "raw"))
+      .toDF("doc_id", "bytes", "mime")
+    val r = MultimodalOps.resizePooled(m, 4, 4).head()
+    assert(r.pixels.length == 16)
+    assert(r.pixels.forall(v => Set(10f, 20f, 30f, 40f).contains(v)))
+    assert(r.pixels(0) == 10f && r.pixels(15) == 40f)
   }
 
   test("resizePooled: empty payload yields zero grid, no failure") {

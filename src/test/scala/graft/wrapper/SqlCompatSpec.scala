@@ -243,6 +243,48 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ie_t")
   }
 
+  test("quoted keyword identifiers never match clause keywords") {
+    // `where` as a column name (the main reason users quote identifiers):
+    val u = SqlCompat.parseUpdate("UPDATE t SET `where` = 1 WHERE id = 2").get
+    assert(u.assignments == Seq(("`where`", "1")))
+    assert(u.where.contains("id = 2"))
+    val u2 = SqlCompat.parseUpdate("UPDATE t SET `where` = 1").get
+    assert(u2.where.isEmpty && u2.assignments == Seq(("`where`", "1")))
+  }
+
+  test("unsupported MERGE/IMPORT shapes parse to None, not a throw") {
+    // ANSI conditional-matched clause is out of scope -> None:
+    assert(SqlCompat.parseMerge(
+      "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED AND s.del = 'Y' THEN DELETE").isEmpty)
+    // SKIP > 1 is out of scope -> None:
+    assert(SqlCompat.parseImport(
+      "IMPORT INTO t FROM CSV FILE '/tmp/x.csv' SKIP = 2").isEmpty)
+    // A paren inside the EXPORT query's string literal must not break
+    // the head match:
+    val e = SqlCompat.parseExport(
+      "EXPORT (SELECT ')' AS c FROM t) INTO CSV FILE '/tmp/o'").get
+    assert(e.source == Right("SELECT ')' AS c FROM t"))
+  }
+
+  test("MERGE with empty target and source is a clean no-op") {
+    val loc = Files.createTempDirectory("mrg3").toString
+    spark.sql(s"CREATE TABLE mrg3_t (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/t'")
+    spark.sql(s"CREATE TABLE mrg3_s (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/s'")
+    try {
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        """MERGE INTO mrg3_t t USING mrg3_s s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(0L))
+      assert(spark.table("mrg3_t").count() == 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mrg3_t")
+      spark.sql("DROP TABLE IF EXISTS mrg3_s")
+    }
+  }
+
   test("UPDATE on a missing table falls through to the error path") {
     val w = QueryWrapper(spark)
     w.onError = "continue"
