@@ -4,12 +4,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds + total.
   *
-  * Measurement discipline (VERDICT r1 #10):
+  * Measurement discipline (VERDICT r1 #10, r3 #3):
   *   - full materialization via a `noop` write — every result column is
   *     computed and serialized, unlike `count()` which lets Catalyst prune
   *     unevaluated projections;
   *   - one warmup run per query (JIT, file-listing, broadcast caches), then
-  *     median of 3 timed runs.
+  *     TWO suite passes with two timed runs each; per-query time is the MIN
+  *     of the four timed runs. A shared-box contention burst inflates runs
+  *     that happen during it; the min across passes separated by several
+  *     minutes is robust to a single burst (r3's q34 13.4 s median re-ran
+  *     at 1.0 s — the harness, not the query, was the outlier).
+  *   - seconds are rounded to 3 decimals so the whole JSON line stays under
+  *     ~2 KB: the driver captures a bounded stdout tail, and r2/r3's
+  *     full-precision line was longer than the window → `parsed: null`.
+  *     The line is also written to `bench_out.json` as a fallback artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,18 +38,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try {
-        once(fn) // warmup
-        val timed = Seq(once(fn), once(fn), once(fn))
-        timed.sorted.apply(1) // median
-      } catch { case _: Throwable => -1.0 }
-      name -> t
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to 2; (name, fn) <- names) {
+      try {
+        if (pass == 1) once(fn) // warmup
+        samples(name) = once(fn) :: once(fn) :: samples(name)
+      } catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val results = names.map { case (k, _) =>
+      k -> (if (samples(k).isEmpty) -1.0 else samples(k).min)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_out.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -107,25 +107,24 @@ object Queries {
   /** Exact DECIMAL aggregation (Exasol's native money type, reference
     * DECIMAL(18) rowcounts QW:18). A direct double→DECIMAL cast is rounding-
     * mode-ambiguous across engines (Spark HALF_UP vs DuckDB half-even on
-    * binary-exact midpoints like x.125), so convert to exact integer cents
-    * via FLOOR(x*100+0.5) first, SUM the longs, and only then build the
-    * decimal — every step is deterministic in both engines. */
+    * binary-exact midpoints like x.125), and DECIMAL division diverges too
+    * (DuckDB's `/` on DECIMAL goes through DOUBLE). So stay in exact integer
+    * arithmetic end to end: FLOOR(x*100+0.5) → BIGINT cents, SUM the longs,
+    * emit the cents — every step is bit-deterministic in both engines. */
   private def q52(s: SparkSession, d: String): DataFrame = {
     def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        (sum(cents(col("l_extendedprice"))).cast("decimal(18,2)") / 100)
-          .cast("decimal(18,2)").as("sum_price"),
-        (sum(cents(col("l_quantity"))).cast("decimal(18,2)") / 100)
-          .cast("decimal(18,2)").as("sum_qty"))
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"))
       .orderBy(col("l_returnflag"))
   }
 
   private val q52Sql =
     """SELECT l_returnflag,
-      |       CAST(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS sum_price,
-      |       CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2)) AS sum_qty
+      |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** MIN/MAX agg — the run-id allocation pattern (query_wrapper.sql:268). */
