@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, TimestampAdd, TimestampDiff}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, StringInstr, StringLocate, TimestampAdd, TimestampDiff, ToNumber}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 /** SQL surface for the native sketch expressions: registers
   * `minhash_signature(hashes, k)` and `simhash64(hashes)` so pass-through
@@ -92,7 +92,50 @@ object GraftExtensions {
     dialectEntry("seconds_between", 2)(a =>
       TimestampDiff("SECOND", a(1), a.head)),
     dialectEntry("days_between", 2)(a =>
-      TimestampDiff("DAY", a(1), a.head)))
+      TimestampDiff("DAY", a(1), a.head))) ++ variadicDialectFunctions
+
+  // Variadic Exasol functions that SHADOW a Spark builtin of the same name:
+  // the overlapping arity keeps the builtin's exact expression (so existing
+  // Spark SQL is unchanged), the extra Exasol arity is added on top.
+  // Builders run pre-analysis (no types), so TRUNC takes the date reading
+  // (the ETL-common one; numeric TRUNC(n, d) is out of scope) and 1-arg
+  // TO_NUMBER yields DOUBLE (Exasol infers an exact DECIMAL — documented
+  // divergence; use CAST for an explicit decimal).
+  private lazy val variadicDialectFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // INSTR(string, search [, position]) — Oracle/Exasol semantics: the
+    // returned index is absolute; 3-arg starts the search at `position`.
+    // 2-arg IS Spark's builtin instr; 3-arg is Spark's locate arg order.
+    (FunctionIdentifier("instr"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "instr"),
+      { args: Seq[Expression] => args match {
+        case Seq(str, sub) => StringInstr(str, sub)
+        case Seq(str, sub, pos) => StringLocate(sub, str, pos)
+        case _ => throw new IllegalArgumentException(
+          s"instr(string, search[, position]) takes 2-3 arguments, got ${args.length}")
+      }}),
+    // TRUNC(datetime) → DATE; TRUNC(datetime, fmt) → first day/instant of
+    // the fmt period as DATE (Exasol returns DATE for both). Value-equal to
+    // Spark's own trunc(date, fmt) on the shared formats.
+    (FunctionIdentifier("trunc"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "trunc"),
+      { args: Seq[Expression] => args match {
+        case Seq(d) => delegate("to_date")(Seq(d))
+        case Seq(d, fmt) =>
+          delegate("to_date")(Seq(delegate("date_trunc")(Seq(fmt, d))))
+        case _ => throw new IllegalArgumentException(
+          s"trunc(datetime[, fmt]) takes 1-2 arguments, got ${args.length}")
+      }}),
+    // TO_NUMBER(string) → DOUBLE (see note above); TO_NUMBER(string, fmt)
+    // IS Spark's builtin to_number (Oracle-style format mask → DECIMAL).
+    (FunctionIdentifier("to_number"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "to_number"),
+      { args: Seq[Expression] => args match {
+        case Seq(s) => Cast(s, DoubleType)
+        case Seq(s, fmt) => ToNumber(s, fmt)
+        case _ => throw new IllegalArgumentException(
+          s"to_number(string[, fmt]) takes 1-2 arguments, got ${args.length}")
+      }}))
 
   /** Register on an already-built session (the injection path above only
     * runs at session build). Skips if already registered — re-registration

@@ -54,21 +54,59 @@ object AsOfJoin {
     asOf(left, right, keyCols, leftTime, rightTime, payloadCols, tolerance,
       forwardDirection = true)
 
-  private def asOf(
+  /** Skew-safe backward as-of: same semantics as [[backward]], but the
+    * running window is partitioned by (key, time-bucket) instead of key
+    * alone, so a 90%-hot key no longer serializes one reducer. `bucket`
+    * maps the time column to a coarse bucket id and MUST be monotone
+    * non-decreasing in time (e.g. `_.cast("date")`, or
+    * `t => unix_micros(t) div 3600000000L` for hourly).
+    *
+    * Cross-bucket correctness comes from a carry-in pass: per (key,
+    * bucket) the final right payload is summarized (one row per bucket —
+    * tiny), a prefix window over the SUMMARIES computes what a bucket
+    * inherits from all earlier buckets, and the per-bucket running last is
+    * coalesced with that carry-in. Work per reducer is bounded by one
+    * (key, bucket) slice; the carry pass touches #keys × #buckets rows. */
+  def backwardSalted(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       leftTime: String,
       rightTime: String,
       payloadCols: Seq[String],
-      tolerance: Option[(Column, Column) => Column],
-      forwardDirection: Boolean): DataFrame = {
+      bucket: Column => Column,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame =
+    salted(left, right, keyCols, leftTime, rightTime, payloadCols, bucket,
+      tolerance, forwardDirection = false)
+
+  /** Skew-safe forward as-of — see [[backwardSalted]]. */
+  def forwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      bucket: Column => Column,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame =
+    salted(left, right, keyCols, leftTime, rightTime, payloadCols, bucket,
+      tolerance, forwardDirection = true)
+
+  /** Tag both sides and UNION them: left rows carry NULL payload sentinels,
+    * right rows carry `(present, rightTime, value)` structs (so ignoreNulls
+    * skips only "no right row", never a real NULL payload). */
+  private def tagged(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val rtField = "__rt"
     def wrapType(p: String) = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("present",
         org.apache.spark.sql.types.BooleanType, nullable = false),
-      org.apache.spark.sql.types.StructField(rtField,
+      org.apache.spark.sql.types.StructField(RtField,
         right.schema(rightTime).dataType),
       org.apache.spark.sql.types.StructField("v", right.schema(p).dataType)))
 
@@ -83,11 +121,34 @@ object AsOfJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)
       } ++
         Seq(col(rightTime).as("__t"), lit(1).as("__is_right")) ++
-        // Wrap so that ignoreNulls skips only "no right row" sentinels,
-        // never a real right row whose payload happens to be NULL.
         payloadCols.map(p => struct(lit(true).as("present"),
-          col(rightTime).as(rtField), col(p).as("v")).as(p)): _*)
+          col(rightTime).as(RtField), col(p).as("v")).as(p)): _*)
 
+    leftSide.unionByName(rightSide)
+  }
+
+  private val RtField = "__rt"
+
+  private def unwrapPayload(p: String, leftTime: String,
+      tolerance: Option[(Column, Column) => Column]): Column = {
+    val matched = tolerance match {
+      case None => col(p).isNotNull
+      case Some(tol) => col(p).isNotNull &&
+        coalesce(tol(col(leftTime), col(p).getField(RtField)), lit(false))
+    }
+    when(matched, col(p).getField("v")).as(p)
+  }
+
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      tolerance: Option[(Column, Column) => Column],
+      forwardDirection: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
     // Backward: ascending time, right first at ties → the running last()
     // at a left row is the latest right row with rightTime <= leftTime.
     // Forward: DESCENDING time, right first at ties → the running last()
@@ -97,20 +158,74 @@ object AsOfJoin {
       .orderBy(timeOrder, col("__is_right").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payloadCols.foldLeft(leftSide.unionByName(rightSide)) {
+    val union = tagged(left, right, keyCols, leftTime, rightTime, payloadCols)
+    val filled = payloadCols.foldLeft(union) {
       (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
 
-    def unwrap(p: String): Column = {
-      val matched = tolerance match {
-        case None => col(p).isNotNull
-        case Some(tol) => col(p).isNotNull &&
-          coalesce(tol(col(leftTime), col(p).getField(rtField)), lit(false))
-      }
-      when(matched, col(p).getField("v")).as(p)
+    filled.filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(unwrapPayload(_, leftTime, tolerance)): _*)
+  }
+
+  private def salted(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      payloadCols: Seq[String],
+      bucket: Column => Column,
+      tolerance: Option[(Column, Column) => Column],
+      forwardDirection: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val union = tagged(left, right, keyCols, leftTime, rightTime, payloadCols)
+      .withColumn("__b", bucket(col("__t")))
+    val timeOrder = if (forwardDirection) col("__t").desc else col("__t").asc
+    val bucketOrder = if (forwardDirection) col("__b").desc else col("__b").asc
+    val saltedKeys = keyCols :+ "__b"
+
+    // Pass 1: running last WITHIN each (key, bucket) slice — the balanced,
+    // hot-key-proof window.
+    val wIn = Window.partitionBy(saltedKeys.map(col): _*)
+      .orderBy(timeOrder, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(union) { (df, p) =>
+      df.withColumn(s"__in_$p", last(col(p), ignoreNulls = true).over(wIn))
     }
 
-    filled.filter(col("__is_right") === 0)
-      .select(leftCols.map(col) ++ payloadCols.map(unwrap): _*)
+    // Pass 2: one summary row per (key, bucket) — the bucket's FINAL right
+    // payload (max_by/min_by over right rows only; left rows have a NULL
+    // ordering key and are ignored). Then a prefix window across buckets
+    // (per key — but only #buckets rows per key) yields each bucket's
+    // carry-in from every earlier (later, for forward) bucket.
+    val rightOrd = when(col("__is_right") === 1, col("__t"))
+    val summaryAggs = payloadCols.map { p =>
+      (if (forwardDirection) min_by(col(p), rightOrd)
+       else max_by(col(p), rightOrd)).as(s"__s_$p")
+    }
+    val summaries = union.groupBy(saltedKeys.map(col): _*)
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(bucketOrder)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = payloadCols.foldLeft(summaries) { (df, p) =>
+      df.withColumn(s"__c_$p",
+        last(col(s"__s_$p"), ignoreNulls = true).over(wCarry))
+    }.select(saltedKeys.map(col) ++ payloadCols.map(p => col(s"__c_$p")): _*)
+
+    // Stitch: within-bucket result, else the carry-in. Null-safe equality:
+    // the unsalted window groups NULL keys into one partition, so the
+    // salted variant must carry across NULL-key buckets too. `carries` is
+    // keys×buckets rows — broadcast-sized.
+    val joinCond = saltedKeys.map(k => filled(k) <=> carries(k)).reduce(_ && _)
+    val stitched = saltedKeys.foldLeft(
+      filled.join(carries, joinCond, "left")) { (df, k) => df.drop(carries(k)) }
+    val finalized = payloadCols.foldLeft(stitched) { (df, p) =>
+      df.withColumn(p, coalesce(col(s"__in_$p"), col(s"__c_$p")))
+    }
+    finalized.filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(unwrapPayload(_, leftTime, tolerance)): _*)
   }
 }

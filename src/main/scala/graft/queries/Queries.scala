@@ -1190,7 +1190,14 @@ object Queries {
     ivfCache.computeIfAbsent(s"$d#$fingerprint", _ => {
       val dir = System.getProperty("java.io.tmpdir") +
         s"/graft_ivf_v1_${java.lang.Long.toHexString(fingerprint)}"
-      if (!new java.io.File(s"$dir/cells/_SUCCESS").exists())
+      // The _SUCCESS check and the build target must resolve through the
+      // SAME filesystem: IvfIndex.build writes this scheme-less path via
+      // the default Hadoop FS, which on a cluster is not file:// — a
+      // java.io.File check there never sees the written index and the
+      // rebuild guard misfires (r3 ADVICE).
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/cells/_SUCCESS")
+      val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!mfs.exists(marker))
         graft.ext.IvfIndex.build(s, t(s, d, "embeddings"), dir,
           nCells = 16, iters = 2)
       dir

@@ -58,4 +58,29 @@ object Ingest {
         .option("sep", sep)
         .csv(path),
       schema)
+
+  /** CSV ingestion that drops the first `skipLines` PHYSICAL lines before
+    * parsing (`IMPORT … SKIP = n`, n > 1 — a multi-line preamble, not just
+    * a header). Single-file scope, matching the statement's `FILE 'path'`
+    * shape: the lines come off the head of the first split, which is the
+    * file head; splits are ~128 MB, so any sane preamble fits in split 0.
+    * Quoted fields spanning lines are out of scope (same as Spark's own
+    * default `multiLine=false` text-splitting). */
+  def csvSkippingLines(spark: SparkSession, path: String, schema: StructType,
+      skipLines: Int, sep: String = ","): IngestResult = {
+    import spark.implicits._
+    val n = skipLines
+    val lines = spark.createDataset(
+      spark.sparkContext.textFile(path)
+        .mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(n) else it))
+    split(
+      spark.read
+        .schema(withCorrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .option("header", "false")
+        .option("sep", sep)
+        .csv(lines),
+      schema)
+  }
 }

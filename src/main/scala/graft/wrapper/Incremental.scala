@@ -64,12 +64,21 @@ object Incremental {
     val wm = currentWatermark(w, stateTable, jobName)
 
     val wmTs = to_timestamp(lit(wm), WatermarkFmt)
+    // Snapshot the delta ONCE (localCheckpoint after the pruned scan): the
+    // recorded watermark, the audit count, and the appended rows must all
+    // come from the SAME row set. Three separate actions would each re-scan
+    // the source, and rows arriving between the stats pass and the append
+    // would land in the target with ts beyond the recorded watermark —
+    // silently excluded from every later increment (r3 ADVICE). Lineage
+    // truncation also means an executor loss fails this (replayable,
+    // at-least-once) run instead of recomputing a different delta.
     val delta = datePartitionCol
       .foldLeft(source.filter(col(tsCol) > wmTs)) { (df, pc) =>
         df.filter(col(pc) >= to_date(wmTs))
       }
-    // One pass over the delta for both the new watermark and the count —
-    // BEFORE the append so a mid-write failure leaves the watermark put.
+      .localCheckpoint(true)
+    // New watermark + count BEFORE the append so a mid-write failure
+    // leaves the watermark put.
     val stats = delta.agg(
       max(date_format(col(tsCol), WatermarkFmt)), count(lit(1))).head()
     if (stats.getLong(1) == 0L) {
@@ -85,7 +94,10 @@ object Incremental {
     w.log("INFO", s"$jobName: appended rows past watermark $wm",
       Some(loaded))
 
-    val view = s"__graft_wm_${math.abs(jobName.hashCode)}"
+    // Unique, sanitized view name: a '-'-free UUID (job names may contain
+    // arbitrary characters, and concurrent jobs in one session must never
+    // clobber each other's view).
+    val view = s"__graft_wm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     w.spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
         org.apache.spark.sql.Row(jobName, stats.getString(0))),
@@ -95,11 +107,13 @@ object Incremental {
         org.apache.spark.sql.types.StructField("watermark",
           org.apache.spark.sql.types.StringType))))
       .createOrReplaceTempView(view)
-    w.query(
-      s"""MERGE INTO $stateTable t USING $view s ON t.job_name = s.job_name
-         |WHEN MATCHED THEN UPDATE SET watermark = s.watermark
-         |WHEN NOT MATCHED THEN INSERT (job_name, watermark)
-         |VALUES (s.job_name, s.watermark)""".stripMargin)
+    try {
+      w.query(
+        s"""MERGE INTO $stateTable t USING $view s ON t.job_name = s.job_name
+           |WHEN MATCHED THEN UPDATE SET watermark = s.watermark
+           |WHEN NOT MATCHED THEN INSERT (job_name, watermark)
+           |VALUES (s.job_name, s.watermark)""".stripMargin)
+    } finally w.spark.catalog.dropTempView(view)
     loaded
   }
 }

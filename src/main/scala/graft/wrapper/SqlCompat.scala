@@ -1,6 +1,6 @@
 package graft.wrapper
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Compatibility execution for SQL the host engine supports but Spark's
@@ -226,25 +226,25 @@ object SqlCompat {
   private val SkipOptRe = "(?is)skip\\s*=\\s*(\\d+)".r
 
   final case class CsvImport(table: String, path: String, sep: String,
-      header: Boolean)
+      skip: Int) {
+    /** SKIP = 1 is the header-row case — let the CSV reader consume it. */
+    def header: Boolean = skip == 1
+  }
   final case class CsvExport(source: Either[String, String], path: String,
       sep: String) // Left = table name, Right = subquery text
 
   /** Exasol `IMPORT INTO t FROM [LOCAL] CSV FILE 'path'
-    * [COLUMN SEPARATOR = ','] [SKIP = 1]`. SKIP = 1 maps to a header row
-    * (the overwhelmingly common case); other skip counts are unsupported. */
+    * [COLUMN SEPARATOR = ','] [SKIP = n]`. SKIP = 1 maps to a header row
+    * (the overwhelmingly common case); SKIP > 1 drops the first n physical
+    * lines of the file before parsing (Exasol allows arbitrary counts). */
   def parseImport(sql: String): Option[CsvImport] =
-    ImportRe.findFirstMatchIn(maskOptions(sql)).flatMap { m =>
+    ImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
       val opts = sql.substring(m.start(3), m.end(3))
       val skip = SkipOptRe.findFirstMatchIn(opts).map(_.group(1).toInt).getOrElse(0)
-      // Unsupported shape -> None (parse contract): the statement falls
-      // through to spark.sql and fails THERE with a clear parse error,
-      // instead of a wrapper-internal throw from inside the dispatch guard.
-      if (skip > 1) None
-      else Some(CsvImport(sql.substring(m.start(1), m.end(1)),
+      CsvImport(sql.substring(m.start(1), m.end(1)),
         sql.substring(m.start(2), m.end(2)),
         SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
-        header = skip == 1))
+        skip = skip)
     }
 
   /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [COLUMN SEPARATOR …]`
@@ -288,9 +288,18 @@ object SqlCompat {
   def canHandle(spark: SparkSession, i: CsvImport): Boolean =
     tableExists(spark, i.table)
 
+  private val SelectPrefixRe = "(?is)^\\s*(?:select|with)\\b".r
+
   def canHandle(spark: SparkSession, e: CsvExport): Boolean = e.source match {
     case Left(table) => tableExists(spark, table)
-    case Right(query) => scala.util.Try(spark.sql(query)).isSuccess
+    case Right(query) =>
+      // Accept only a SELECT/WITH subquery — `spark.sql` on a COMMAND would
+      // EXECUTE it eagerly right here in the dispatch guard (ADVICE r3:
+      // double execution of a side-effecting EXPORT source). For a pure
+      // query, DataFrame construction is analysis-only (lazy), so this
+      // validates resolution without running anything.
+      SelectPrefixRe.findFirstIn(query).isDefined &&
+        scala.util.Try(spark.sql(query)).isSuccess
   }
 
   /** Append the CSV file's schema-conforming rows to the table; malformed
@@ -298,8 +307,12 @@ object SqlCompat {
     * caller via the returned counts). Returns (loaded, quarantined). */
   def runImport(spark: SparkSession, i: CsvImport): (Long, Long) = {
     val schema = spark.table(i.table).schema
-    val res = graft.sources.Ingest.csv(
-      spark, i.path, schema, header = i.header, sep = i.sep)
+    val res =
+      if (i.skip > 1)
+        graft.sources.Ingest.csvSkippingLines(spark, i.path, schema,
+          skipLines = i.skip, sep = i.sep)
+      else graft.sources.Ingest.csv(
+        spark, i.path, schema, header = i.header, sep = i.sep)
     try {
       val loaded = res.good.count()
       val bad = res.quarantined.count()
@@ -322,8 +335,8 @@ object SqlCompat {
 
   private val ConnectByRe =
     ("(?is)^\\s*select\\s+(.*?)\\s+from\\s+([\\w.`]+)\\s+" +
-      "(?:start\\s+with\\s+(.*?)\\s+connect\\s+by\\s+(?:nocycle\\s+)?(.*?)" +
-      "|connect\\s+by\\s+(?:nocycle\\s+)?(.*?)\\s+start\\s+with\\s+(.*?))" +
+      "(?:start\\s+with\\s+(.*?)\\s+connect\\s+by\\s+(nocycle\\s+)?(.*?)" +
+      "|connect\\s+by\\s+(nocycle\\s+)?(.*?)\\s+start\\s+with\\s+(.*?))" +
       "\\s*;?\\s*$").r
   private val PriorLeftRe = "(?is)^prior\\s+(\\w+)\\s*=\\s*(\\w+)$".r
   private val PriorRightRe = "(?is)^(\\w+)\\s*=\\s*prior\\s+(\\w+)$".r
@@ -336,10 +349,12 @@ object SqlCompat {
     *
     * `PRIOR x` refers to the parent row; `LEVEL` in the select list maps to
     * the recursion depth (1-based, like the host engines). Notes: `SELECT *`
-    * includes the synthesized `level` column; cycles stop at Spark's
-    * recursion limit (`spark.sql.cteRecursionLevelLimit`) rather than
-    * NOCYCLE's silent pruning. Returns None if `sql` is not a CONNECT BY
-    * query of this shape. */
+    * includes the synthesized `level` column; with `NOCYCLE` a branch stops
+    * silently when it would revisit a key already on its root-to-node path
+    * (host-engine semantics), tracked via a per-row path array; without it,
+    * cycles stop at Spark's recursion limit
+    * (`spark.sql.cteRecursionLevelLimit`). Returns None if `sql` is not a
+    * CONNECT BY query of this shape. */
   def translateConnectBy(sql: String): Option[String] = {
     val masked = maskNonTopLevel(sql)
     ConnectByRe.findFirstMatchIn(masked).flatMap { m =>
@@ -348,27 +363,44 @@ object SqlCompat {
         else Some(sql.substring(m.start(i), m.end(i)).trim)
       val selectList = sql.substring(m.start(1), m.end(1)).trim
       val table = sql.substring(m.start(2), m.end(2))
-      val clauses = (grp(3), grp(4), grp(5), grp(6)) match {
-        case (Some(sw), Some(cc), _, _) => Some((sw, cc))
-        case (_, _, Some(cc), Some(sw)) => Some((sw, cc))
+      val nocycle = m.group(4) != null || m.group(6) != null
+      val clauses = (grp(3), grp(5), grp(6), grp(7), grp(8)) match {
+        case (Some(sw), Some(cc), _, _, _) => Some((sw, cc))
+        case (_, _, _, Some(cc), Some(sw)) => Some((sw, cc))
         case _ => None
       }
       clauses.flatMap { case (startWith, connectCond) =>
-        val join = connectCond match {
-          case PriorLeftRe(parentCol, childCol) =>
-            Some(s"__c.$childCol = __p.$parentCol")
-          case PriorRightRe(childCol, parentCol) =>
-            Some(s"__c.$childCol = __p.$parentCol")
+        val cols = connectCond match {
+          case PriorLeftRe(parentCol, childCol) => Some((parentCol, childCol))
+          case PriorRightRe(childCol, parentCol) => Some((parentCol, childCol))
           case _ => None
         }
-        join.map { j =>
-          s"""WITH RECURSIVE __hier AS (
-             |  SELECT *, 1 AS level FROM $table WHERE $startWith
-             |  UNION ALL
-             |  SELECT __c.*, __p.level + 1 AS level
-             |  FROM $table __c JOIN __hier __p ON $j
-             |)
-             |SELECT $selectList FROM __hier""".stripMargin
+        cols.map { case (parentCol, childCol) =>
+          val j = s"__c.$childCol = __p.$parentCol"
+          if (!nocycle)
+            s"""WITH RECURSIVE __hier AS (
+               |  SELECT *, 1 AS level FROM $table WHERE $startWith
+               |  UNION ALL
+               |  SELECT __c.*, __p.level + 1 AS level
+               |  FROM $table __c JOIN __hier __p ON $j
+               |)
+               |SELECT $selectList FROM __hier""".stripMargin
+          else
+            // NOCYCLE: each row carries its root-to-node path of PRIOR-side
+            // keys; a child already on the path is silently pruned. The
+            // path column is internal — stripped before the user's select
+            // list sees the rows.
+            s"""WITH RECURSIVE __hier0 AS (
+               |  SELECT *, 1 AS level, array($parentCol) AS __path
+               |  FROM $table WHERE $startWith
+               |  UNION ALL
+               |  SELECT __c.*, __p.level + 1 AS level,
+               |         array_append(__p.__path, __c.$parentCol) AS __path
+               |  FROM $table __c JOIN __hier0 __p ON $j
+               |  WHERE NOT array_contains(__p.__path, __c.$parentCol)
+               |),
+               |__hier AS (SELECT * EXCEPT (__path) FROM __hier0)
+               |SELECT $selectList FROM __hier""".stripMargin
         }
       }
     }
@@ -382,21 +414,40 @@ object SqlCompat {
   // Clause starts match only the full `WHEN [NOT] MATCHED` phrase, so a
   // CASE WHEN inside a SET expression is never a clause boundary.
   private val WhenClauseRe = "(?i)\\bwhen\\s+(not\\s+)?matched\\b".r
-  private val UpdateBodyRe = "(?is)^\\s*then\\s+update\\s+set\\s(.*)$".r
-  private val DeleteBodyRe = "(?is)^\\s*then\\s+delete\\s*$".r
-  private val InsertBodyRe =
-    "(?is)^\\s*then\\s+insert\\s*(?:\\(([^)]*)\\))?\\s*values\\s*\\((.*)\\)\\s*$".r
+  private val ThenKwRe = "(?i)\\bthen\\b".r
+  private val AndPrefixRe = "(?is)^\\s*and\\s+(.*)$".r
+  private val UpdateActionRe = "(?is)^\\s*update\\s+set\\s(.*)$".r
+  private val DeleteActionRe = "(?is)^\\s*delete\\s*$".r
+  private val InsertActionRe =
+    "(?is)^\\s*insert\\s*(?:\\(([^)]*)\\))?\\s*values\\s*\\((.*)\\)\\s*$".r
 
-  /** `MERGE INTO target USING source ON cond WHEN MATCHED THEN UPDATE SET …
-    * | DELETE WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (…)` — the
-    * Exasol/ANSI upsert the reference's pass-through surface accepts. */
+  /** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause. ANSI: clauses
+    * are tried in source order; the FIRST one whose extra condition holds
+    * applies to a given row (at most one action per row). */
+  sealed trait MergeClause { def cond: Option[String] }
+  final case class MatchedUpdate(cond: Option[String],
+      assigns: Seq[(String, String)]) extends MergeClause
+  final case class MatchedDelete(cond: Option[String]) extends MergeClause
+  final case class NotMatchedInsert(cond: Option[String],
+      cols: Option[Seq[String]], values: Seq[String]) extends MergeClause
+
+  /** `MERGE INTO target USING source ON cond
+    * WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
+    * WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (…)` — the
+    * Exasol/ANSI upsert the reference's pass-through surface accepts,
+    * including conditional clauses (multiple, tried in order). */
   final case class Merge(
       target: String, targetAlias: String,
       source: String, sourceAlias: String,
       condition: String,
-      matchedSet: Option[Seq[(String, String)]],
-      matchedDelete: Boolean,
-      insert: Option[(Option[Seq[String]], Seq[String])])
+      clauses: Seq[MergeClause]) {
+    // Convenience views of the (common) single-unconditional-clause shape.
+    def matchedSet: Option[Seq[(String, String)]] =
+      clauses.collectFirst { case MatchedUpdate(_, a) => a }
+    def matchedDelete: Boolean = clauses.exists(_.isInstanceOf[MatchedDelete])
+    def insert: Option[(Option[Seq[String]], Seq[String])] =
+      clauses.collectFirst { case NotMatchedInsert(_, c, v) => (c, v) }
+  }
 
   def parseMerge(sql: String): Option[Merge] = {
     val masked = maskNonTopLevel(sql)
@@ -407,39 +458,49 @@ object SqlCompat {
       if (whens.isEmpty) None
       else {
         val condition = sql.substring(m.end, whens.head._1).trim
-        var matchedSet: Option[Seq[(String, String)]] = None
-        var matchedDelete = false
-        var insert: Option[(Option[Seq[String]], Seq[String])] = None
-        var unsupported = false
-        whens.zipWithIndex.foreach { case ((_, kwEnd, isNotMatched), i) =>
+        val clauses = whens.zipWithIndex.map { case ((_, kwEnd, isNotMatched), i) =>
           val clauseEnd = whens.lift(i + 1).map(_._1).getOrElse(end)
-          val body = sql.substring(kwEnd, clauseEnd)
-          (isNotMatched, body) match {
-            case (false, UpdateBodyRe(assigns)) =>
-              matchedSet = Some(splitTopLevel(assigns).map { a =>
-                val eq = a.indexOf('=')
-                require(eq > 0, s"malformed MERGE SET assignment: $a")
-                (a.substring(0, eq).trim, a.substring(eq + 1).trim)
-              })
-            case (false, DeleteBodyRe()) => matchedDelete = true
-            case (true, InsertBodyRe(cols, values)) =>
-              insert = Some((
-                Option(cols).map(_.split(",").map(_.trim).toSeq),
-                splitTopLevel(values).map(_.trim)))
-            case _ =>
-              // Unsupported clause shape (e.g. ANSI 'WHEN MATCHED AND
-              // <cond> THEN'): not ours -> whole statement parses to None.
-              unsupported = true
-          }
+          // The THEN keyword is located on the MASKED text, so a literal
+          // 'then' (or a parenthesized CASE WHEN … THEN) in the extra
+          // condition can't split the clause. An unparenthesized CASE in
+          // the condition is out of scope (wrap it in parens).
+          ThenKwRe.findFirstMatchIn(masked.substring(kwEnd, clauseEnd))
+            .flatMap { t =>
+              val condText = sql.substring(kwEnd, kwEnd + t.start)
+              val extraCond: Option[Option[String]] = condText match {
+                case AndPrefixRe(c) => Some(Some(c.trim))
+                case s if s.trim.isEmpty => Some(None)
+                case _ => None // garbage between MATCHED and THEN
+              }
+              val action = sql.substring(kwEnd + t.end, clauseEnd)
+              extraCond.flatMap { cond =>
+                (isNotMatched, action) match {
+                  case (false, UpdateActionRe(assigns)) =>
+                    Some(MatchedUpdate(cond, splitTopLevel(assigns).map { a =>
+                      val eq = a.indexOf('=')
+                      require(eq > 0, s"malformed MERGE SET assignment: $a")
+                      (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+                    }))
+                  case (false, DeleteActionRe()) => Some(MatchedDelete(cond))
+                  case (true, InsertActionRe(cols, values)) =>
+                    Some(NotMatchedInsert(cond,
+                      Option(cols).map(_.split(",").map(_.trim).toSeq),
+                      splitTopLevel(values).map(_.trim)))
+                  case _ => None // unsupported action shape
+                }
+              }
+            }
         }
         val targetAlias = Option(m.group(2)).getOrElse(
           sql.substring(m.start(1), m.end(1)).split('.').last)
         val sourceAlias = Option(m.group(4)).getOrElse(
           sql.substring(m.start(3), m.end(3)).split('.').last)
-        if (unsupported) None
+        // Any unparseable clause -> the whole statement is not ours (falls
+        // through to spark.sql for a clear engine error).
+        if (clauses.exists(_.isEmpty)) None
         else Some(Merge(sql.substring(m.start(1), m.end(1)), targetAlias,
           sql.substring(m.start(3), m.end(3)), sourceAlias,
-          condition, matchedSet, matchedDelete, insert))
+          condition, clauses.flatten))
       }
     }
   }
@@ -449,21 +510,49 @@ object SqlCompat {
       scala.util.Try(spark.table(m.source)).isSuccess
 
   /** Execute MERGE in ONE join pass: full-outer target⋈source on the match
-    * condition; matched rows take the SET (old-row semantics) or are
-    * deleted, target-only rows pass through, source-only rows become the
-    * INSERT values. Multiple source matches for one target row abort (the
-    * host engines' ambiguous-MERGE error). Returns rows_affected =
-    * updated + deleted + inserted. */
+    * condition; matched rows take the first applicable WHEN MATCHED clause
+    * (UPDATE with old-row semantics, or DELETE), target-only rows and
+    * matched rows with no applicable clause pass through, source-only rows
+    * take the first applicable WHEN NOT MATCHED INSERT. Multiple source
+    * matches for one target row abort (the host engines' ambiguous-MERGE
+    * error). Returns rows_affected = updated + deleted + inserted — rows no
+    * clause touched do NOT count (so an insert-only MERGE reports only the
+    * inserts).
+    *
+    * The id-stamped target is `localCheckpoint`ed (eager): the stats action
+    * and the overwrite must see the SAME ids, and `monotonically_increasing_
+    * id` over a nondeterministic source plan would otherwise be free to
+    * renumber between the two actions. Checkpointing truncates the lineage,
+    * so re-evaluation is impossible by construction (an executor loss fails
+    * the statement instead of silently renumbering). */
   def runMerge(spark: SparkSession, m: Merge): Long = {
     val tid = "__graft_tid"
     val smk = "__graft_smatch"
     val tgtSchema = spark.table(m.target).schema
     val tgt = spark.table(m.target)
-      .withColumn(tid, monotonically_increasing_id()).alias(m.targetAlias)
+      .withColumn(tid, monotonically_increasing_id())
+      .localCheckpoint(true)
+      .alias(m.targetAlias)
     val src = spark.table(m.source)
       .withColumn(smk, lit(1)).alias(m.sourceAlias)
     val joined = tgt.join(src, expr(m.condition), "full_outer")
     val matched = col(tid).isNotNull && col(smk).isNotNull
+
+    val indexed = m.clauses.zipWithIndex
+    def firstApplicable(cs: Seq[(MergeClause, Int)]): Column =
+      cs.foldRight(lit(null).cast("int")) { case ((c, i), els) =>
+        when(c.cond.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    // Index of the clause that applies to this joined row (null = none).
+    val appliedM = when(matched,
+      firstApplicable(indexed.filter(!_._1.isInstanceOf[NotMatchedInsert])))
+    val appliedI = when(col(tid).isNull,
+      firstApplicable(indexed.filter(_._1.isInstanceOf[NotMatchedInsert])))
+    def appliesTo(idxs: Seq[Int]): Column =
+      if (idxs.isEmpty) lit(false)
+      else coalesce(appliedM.isin(idxs: _*), lit(false))
+    val isUpd = appliesTo(indexed.collect { case (_: MatchedUpdate, i) => i })
+    val isDel = appliesTo(indexed.collect { case (_: MatchedDelete, i) => i })
 
     // Counts + ambiguity check in one pass over the join. coalesce(…, 0):
     // with both sides empty the grouped aggregate has ZERO rows and the
@@ -471,47 +560,54 @@ object SqlCompat {
     // error.
     val statsRow = joined.groupBy(col(tid)).agg(
       count(when(matched, lit(1))).as("m"),
+      count(when(isUpd, lit(1))).as("u"),
+      count(when(isDel, lit(1))).as("d"),
       count(when(col(tid).isNotNull && col(smk).isNull, lit(1))).as("t"),
-      count(when(col(tid).isNull, lit(1))).as("s"))
-      .agg(coalesce(sum(col("m")), lit(0L)), coalesce(sum(col("t")), lit(0L)),
-        coalesce(sum(col("s")), lit(0L)), coalesce(max(col("m")), lit(0L)))
+      count(when(appliedI.isNotNull, lit(1))).as("i"))
+      .agg(coalesce(sum(col("m")), lit(0L)), coalesce(sum(col("u")), lit(0L)),
+        coalesce(sum(col("d")), lit(0L)), coalesce(sum(col("t")), lit(0L)),
+        coalesce(sum(col("i")), lit(0L)), coalesce(max(col("m")), lit(0L)))
       .head()
-    val (nMatched, nTgtOnly, nSrcOnly) =
-      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
-    require(statsRow.getLong(3) <= 1L,
+    val (nMatched, nUpdated, nDeleted, nTgtOnly, nInserted) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2),
+        statsRow.getLong(3), statsRow.getLong(4))
+    require(statsRow.getLong(5) <= 1L,
       s"MERGE: a ${m.target} row is matched by multiple ${m.source} rows")
 
-    val kept = joined.filter(col(tid).isNotNull &&
-      (if (m.matchedDelete) !matched else lit(true)))
+    val kept = joined.filter(col(tid).isNotNull && !isDel)
     val updated = kept.select(tgtSchema.map { f =>
-      m.matchedSet.flatMap(_.find(_._1.equalsIgnoreCase(f.name))) match {
-        case Some((_, e)) =>
-          when(matched, expr(e).cast(f.dataType))
-            .otherwise(col(s"${m.targetAlias}.${f.name}")).as(f.name)
-        case None => col(s"${m.targetAlias}.${f.name}").as(f.name)
-      }
+      indexed.collect { case (c: MatchedUpdate, i) => (c, i) }
+        .foldRight(col(s"${m.targetAlias}.${f.name}")) { case ((c, i), els) =>
+          c.assigns.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, e)) =>
+              when(appliedM === i, expr(e).cast(f.dataType)).otherwise(els)
+            case None => els
+          }
+        }.as(f.name)
     }.toSeq: _*)
 
-    val inserted = m.insert match {
-      case None => None
-      case Some((colsOpt, values)) =>
-        val names = colsOpt.getOrElse(tgtSchema.map(_.name).toSeq)
-        require(names.length == values.length,
-          s"MERGE INSERT: ${names.length} columns but ${values.length} values")
-        val byName = names.zip(values).toMap
-        Some(joined.filter(col(tid).isNull).select(tgtSchema.map { f =>
-          byName.collectFirst {
-            case (n, v) if n.equalsIgnoreCase(f.name) => expr(v).cast(f.dataType)
-          }.getOrElse(lit(null).cast(f.dataType)).as(f.name)
-        }.toSeq: _*))
+    val insertClauses = indexed.collect { case (c: NotMatchedInsert, i) =>
+      val names = c.cols.getOrElse(tgtSchema.map(_.name).toSeq)
+      require(names.length == c.values.length,
+        s"MERGE INSERT: ${names.length} columns but ${c.values.length} values")
+      (c, i, names.zip(c.values).toMap)
     }
+    val inserted =
+      if (insertClauses.isEmpty) None
+      else Some(joined.filter(appliedI.isNotNull).select(tgtSchema.map { f =>
+        insertClauses.foldRight(lit(null).cast(f.dataType)) {
+          case ((_, i, byName), els) =>
+            val v = byName.collectFirst {
+              case (n, e) if n.equalsIgnoreCase(f.name) => expr(e).cast(f.dataType)
+            }.getOrElse(lit(null).cast(f.dataType))
+            when(appliedI === i, v).otherwise(els)
+        }.as(f.name)
+      }.toSeq: _*))
 
     val result = inserted.fold(updated)(updated.unionByName(_))
-    val nDeleted = if (m.matchedDelete) nMatched else 0L
-    val nInserted = if (m.insert.isDefined) nSrcOnly else 0L
     checkpointOverwrite(spark, m.target, spark.table(m.target), result,
       expectedRows = nMatched - nDeleted + nTgtOnly + nInserted)
-    nMatched + nInserted
+    nUpdated + nDeleted + nInserted
   }
 
   // ---------------------------------------------------------------- B10:

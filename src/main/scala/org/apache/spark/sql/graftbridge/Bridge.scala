@@ -32,6 +32,11 @@ object Bridge {
     reg.listFunction().map(_.funcName)
   }
 
+  /** Drain the Spark listener bus (`listenerBus` is `private[spark]`) —
+    * lets tests assert on job counts deterministically. */
+  def waitForListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Storage location of a catalog table (`sessionState` is `private[sql]`).
     * Used by the DML emulation to stage checkpoints on the TABLE'S
     * filesystem rather than a driver-local temp dir. */

@@ -68,6 +68,28 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(7) == 10L)
   }
 
+  test("INSTR / TRUNC / TO_NUMBER stragglers run via wrapper pass-through") {
+    GraftExtensions.register(spark)
+    val w = graft.wrapper.QueryWrapper(spark)
+    val (ok, res) = w.query(
+      """SELECT INSTR('CORPORATE FLOOR', 'OR') AS i2,
+        |       INSTR('CORPORATE FLOOR', 'OR', 4) AS i3,
+        |       TRUNC(timestamp'2026-03-15 13:45:00') AS t1,
+        |       TRUNC(date'2026-03-15', 'MM') AS t2,
+        |       TO_NUMBER('123.45') AS n1,
+        |       TO_NUMBER('00123', '99999') AS n2""".stripMargin)
+    assert(ok, res.error)
+    val r = res.rows.head
+    assert(r.getInt(0) == 2)       // first 'OR'
+    assert(r.getInt(1) == 5)       // search from position 4 -> absolute 5
+    assert(r.getDate(2).toString == "2026-03-15")
+    assert(r.getDate(3).toString == "2026-03-01")
+    assert(r.getDouble(4) == 123.45)
+    assert(r.getDecimal(5).longValue == 123L)
+    // 2-arg instr keeps Spark's builtin semantics exactly:
+    assert(spark.sql("SELECT instr('abc', 'zz')").head().getInt(0) == 0)
+  }
+
   test("extension class injects at session build (builder path)") {
     // Apply the extension class to a fresh SparkSessionExtensions and
     // materialize into an empty registry — the exact code path a

@@ -62,6 +62,51 @@ class PreparedStatementSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(1))
   }
 
+  test("executeBatch: 1000-row INSERT binds into ONE write job") {
+    val loc = Files.createTempDirectory("ps_batch").toString
+    spark.sql(s"CREATE TABLE psb_t (a BIGINT, b STRING, c DOUBLE) USING parquet LOCATION '$loc/t'")
+    try {
+      val w = QueryWrapper(spark)
+      // Explicit column subset + placeholder reorder: c stays NULL, b binds
+      // placeholder 1, a binds placeholder 2.
+      val ps = w.prepare("INSERT INTO psb_t (b, a) VALUES (?, ?)")
+      val batch = (1 to 1000).map(i => Seq(s"row_$i", i.toLong))
+
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      org.apache.spark.sql.graftbridge.Bridge.waitForListenerBus(spark)
+      spark.sparkContext.addSparkListener(listener)
+      val (ok, results) = try {
+        val r = ps.executeBatch(batch)
+        org.apache.spark.sql.graftbridge.Bridge.waitForListenerBus(spark)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+      assert(ok)
+      assert(results.length == 1)
+      assert(results.head.rowsAffected.contains(1000L))
+      assert(jobs.get == 1, s"expected ONE write job, saw ${jobs.get}")
+      val rows = spark.table("psb_t").orderBy("a").collect()
+      assert(rows.length == 1000)
+      assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "row_1")
+      assert(rows.forall(_.isNullAt(2))) // c not in the column list -> NULL
+    } finally spark.sql("DROP TABLE IF EXISTS psb_t")
+  }
+
+  test("executeBatch falls back to per-row for non-INSERT shapes") {
+    val w = QueryWrapper(spark)
+    val ps = w.prepare("SELECT CAST(? AS BIGINT) * 2 AS v")
+    val (ok, results) = ps.executeBatch(Seq(Seq(1L), Seq(2L)))
+    assert(ok)
+    assert(results.length == 2) // per-row path: one result per value row
+    assert(results.map(_.rows.head.getLong(0)) == Vector(2L, 4L))
+  }
+
   test("queryRows: field access by name and 1-based index (QW:356-361)") {
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
       .createOrReplaceTempView("nation_it")

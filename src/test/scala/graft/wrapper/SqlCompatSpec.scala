@@ -252,18 +252,126 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     assert(u2.where.isEmpty && u2.assignments == Seq(("`where`", "1")))
   }
 
-  test("unsupported MERGE/IMPORT shapes parse to None, not a throw") {
-    // ANSI conditional-matched clause is out of scope -> None:
+  test("unsupported MERGE shapes parse to None, not a throw") {
+    // A WHEN MATCHED action that isn't UPDATE/DELETE -> None (falls through
+    // to spark.sql for the engine's own error):
     assert(SqlCompat.parseMerge(
-      "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED AND s.del = 'Y' THEN DELETE").isEmpty)
-    // SKIP > 1 is out of scope -> None:
-    assert(SqlCompat.parseImport(
-      "IMPORT INTO t FROM CSV FILE '/tmp/x.csv' SKIP = 2").isEmpty)
+      "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN INSERT (id) VALUES (s.id)").isEmpty)
+    // Garbage between MATCHED and THEN (not an AND condition) -> None:
+    assert(SqlCompat.parseMerge(
+      "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED OR true THEN DELETE").isEmpty)
     // A paren inside the EXPORT query's string literal must not break
     // the head match:
     val e = SqlCompat.parseExport(
       "EXPORT (SELECT ')' AS c FROM t) INTO CSV FILE '/tmp/o'").get
     assert(e.source == Right("SELECT ')' AS c FROM t"))
+  }
+
+  test("parseMerge: conditional WHEN clauses (AND cond) parse in order") {
+    val m = SqlCompat.parseMerge(
+      """MERGE INTO tgt t USING src s ON t.id = s.id
+        |WHEN MATCHED AND s.del = 'Y' THEN DELETE
+        |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED AND s.v > 0 THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin).get
+    assert(m.clauses == Seq(
+      SqlCompat.MatchedDelete(Some("s.del = 'Y'")),
+      SqlCompat.MatchedUpdate(Some("s.v > t.v"), Seq(("v", "s.v"))),
+      SqlCompat.NotMatchedInsert(Some("s.v > 0"),
+        Some(Seq("id", "v")), Seq("s.id", "s.v"))))
+    // A parenthesized CASE … THEN inside the condition never splits the
+    // clause (THEN detection runs on the masked text):
+    val c = SqlCompat.parseMerge(
+      """MERGE INTO tgt USING src ON tgt.id = src.id
+        |WHEN MATCHED AND (CASE WHEN src.v > 0 THEN 1 ELSE 0 END) = 1
+        |THEN UPDATE SET v = src.v""".stripMargin).get
+    assert(c.clauses == Seq(SqlCompat.MatchedUpdate(
+      Some("(CASE WHEN src.v > 0 THEN 1 ELSE 0 END) = 1"),
+      Seq(("v", "src.v")))))
+  }
+
+  test("wrapper MERGE: conditional clauses gate update/delete/insert per row") {
+    val loc = Files.createTempDirectory("mrgc").toString
+    spark.sql(s"CREATE TABLE mrgc_t (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/t'")
+    spark.sql(s"CREATE TABLE mrgc_s (id BIGINT, v BIGINT, del STRING) USING parquet LOCATION '$loc/s'")
+    try {
+      spark.sql("INSERT INTO mrgc_t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+      // id=1: delete cond hits; id=2: update cond hits (99 > 20);
+      // id=3: NO clause applies (del='N', 5 < 30) -> passes through;
+      // id=5: insert cond hits; id=6: insert cond misses -> NOT inserted.
+      spark.sql("""INSERT INTO mrgc_s VALUES
+        (1, 0, 'Y'), (2, 99, 'N'), (3, 5, 'N'), (5, 50, 'N'), (6, -1, 'N')""")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        """MERGE INTO mrgc_t t USING mrgc_s s ON t.id = s.id
+          |WHEN MATCHED AND s.del = 'Y' THEN DELETE
+          |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED AND s.v > 0 THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(3L)) // 1 delete + 1 update + 1 insert
+      val rows = spark.table("mrgc_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((2L, 99L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mrgc_t")
+      spark.sql("DROP TABLE IF EXISTS mrgc_s")
+    }
+  }
+
+  test("insert-only MERGE counts only inserts in rows_affected") {
+    val loc = Files.createTempDirectory("mrgi").toString
+    spark.sql(s"CREATE TABLE mrgi_t (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/t'")
+    spark.sql(s"CREATE TABLE mrgi_s (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/s'")
+    try {
+      spark.sql("INSERT INTO mrgi_t VALUES (1, 10), (2, 20)")
+      spark.sql("INSERT INTO mrgi_s VALUES (1, 111), (9, 90)")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        """MERGE INTO mrgi_t t USING mrgi_s s ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      assert(ok, res.error)
+      // The matched row (id=1) is untouched -> affected = 1 insert only.
+      assert(res.rowsAffected.contains(1L))
+      val rows = spark.table("mrgi_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (9L, 90L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mrgi_t")
+      spark.sql("DROP TABLE IF EXISTS mrgi_s")
+    }
+  }
+
+  test("IMPORT SKIP > 1 drops the preamble lines before parsing") {
+    val loc = Files.createTempDirectory("impskip").toString
+    spark.sql(s"CREATE TABLE is_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$loc/in.csv"),
+        "# generated by legacy tool\nid;name\n1;alpha\n2;beta\n")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"IMPORT INTO is_t FROM CSV FILE '$loc/in.csv' COLUMN SEPARATOR = ';' SKIP = 2")
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(2L))
+      val rows = spark.table("is_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "alpha"), (2L, "beta")))
+    } finally spark.sql("DROP TABLE IF EXISTS is_t")
+  }
+
+  test("EXPORT guard never executes a side-effecting subquery") {
+    val loc = Files.createTempDirectory("expguard").toString
+    spark.sql(s"CREATE TABLE eg_t (id BIGINT) USING parquet LOCATION '$loc/t'")
+    try {
+      spark.sql("INSERT INTO eg_t VALUES (1)")
+      val w = QueryWrapper(spark)
+      w.onError = "continue"
+      // A non-SELECT subquery is rejected by the guard WITHOUT running it
+      // (r3 ADVICE: Try(spark.sql(cmd)) in canHandle executed the command
+      // during dispatch — even when the guard then said no).
+      val (ok, _) = w.query(
+        s"EXPORT (INSERT INTO eg_t VALUES (99)) INTO CSV FILE '$loc/out'")
+      assert(!ok)
+      assert(spark.table("eg_t").count() == 1L) // the INSERT never ran
+    } finally spark.sql("DROP TABLE IF EXISTS eg_t")
   }
 
   test("MERGE with empty target and source is a clean no-op") {
