@@ -321,14 +321,17 @@ object Queries {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** Exact interpolated percentiles per group (Spark `percentile` ==
-    * DuckDB `quantile_cont`). */
+  /** Exact interpolated percentiles per group (DuckDB `quantile_cont`
+    * semantics) via [[graft.operators.ExactQuantile]] — a distributed
+    * rank-select plan with bounded memory everywhere, unlike Spark's
+    * `percentile` aggregate whose per-group buffer holds the whole column
+    * (3 status groups at 100 TB = 3 OOM reducers). */
   private def q47(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        (floor(expr("percentile(o_totalprice, 0.5)") * 100 + lit(0.5)) / 100).as("p50"),
-        (floor(expr("percentile(o_totalprice, 0.9)") * 100 + lit(0.5)) / 100).as("p90"))
+    graft.operators.ExactQuantile.quantiles(
+      t(s, d, "orders"), Seq("o_orderstatus"), "o_totalprice",
+      Seq(0.5, 0.9), Seq("p50", "p90"))
+      .select(col("o_orderstatus"),
+        round2(col("p50")).as("p50"), round2(col("p90")).as("p90"))
       .orderBy(col("o_orderstatus"))
 
   private val q47Sql =
@@ -1139,16 +1142,19 @@ object Queries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Backward as-of join ([[graft.operators.AsOfJoin]]): for each event,
-    * the user's latest purchase value at-or-before its timestamp —
-    * union+window composition (one shuffle), oracled against DuckDB's
-    * native ASOF LEFT JOIN. */
+    * the user's latest purchase value at-or-before its timestamp — oracled
+    * against DuckDB's native ASOF LEFT JOIN. Uses the SALTED variant:
+    * the running window partitions by (user_id, day-bucket) with a tiny
+    * cross-bucket carry pass, so a hot user (one key holding most of the
+    * table at 100 TB) never serializes a single reducer. */
   private def q40(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("pval"))
-    graft.operators.AsOfJoin.backward(
-      ev, purchases, Seq("user_id"), "ts", "ts", Seq("pval"))
+    graft.operators.AsOfJoin.backwardSalted(
+      ev, purchases, Seq("user_id"), "ts", "ts", Seq("pval"),
+      bucket = _.cast("date"))
       .select(col("event_id"), col("user_id"),
         (floor(col("pval") * 100 + lit(0.5)) / 100).as("last_purchase"))
       .orderBy(col("event_id"))

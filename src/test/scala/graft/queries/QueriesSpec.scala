@@ -46,4 +46,28 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val plan = run("q38_ann_lsh").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q47 exact percentiles run without a percentile aggregation buffer") {
+    val plan = run("q47_percentiles").queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"))
+  }
+
+  test("q40's salted as-of equals the unsalted path, incl. a 90%-hot user") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // pile ~90% of events onto one hot user to force the skew the salted
+      // path exists for, keeping (user_id, ts) collision-free via event_id
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) < 9, lit(7L)).otherwise(col("user_id")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "pval").orderBy("event_id").collect().toSeq
+    val salted = graft.operators.AsOfJoin.backwardSalted(
+      ev, purchases, Seq("user_id"), "ts", "ts", Seq("pval"), _.cast("date"))
+    val plain = graft.operators.AsOfJoin.backward(
+      ev, purchases, Seq("user_id"), "ts", "ts", Seq("pval"))
+    assert(rows(salted) == rows(plain))
+  }
 }
