@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, StringInstr, StringLocate, TimestampAdd, TimestampDiff, ToNumber}
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 /** SQL surface for the native sketch expressions: registers
   * `minhash_signature(hashes, k)` and `simhash64(hashes)` so pass-through
@@ -126,24 +126,40 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           s"trunc(datetime[, fmt]) takes 1-2 arguments, got ${args.length}")
       }}),
-    // TO_NUMBER(string) → DOUBLE (see note above); TO_NUMBER(string, fmt)
-    // IS Spark's builtin to_number (Oracle-style format mask → DECIMAL).
+    // TO_NUMBER(string) → exact DECIMAL(38,18) (Exasol infers an exact
+    // DECIMAL from the value; a fixed wide scale is the closest a
+    // pre-analysis builder can get — 20 integer digits, 18 fractional,
+    // never a binary-float rounding). TO_NUMBER(string, fmt) IS Spark's
+    // builtin to_number (Oracle-style format mask → DECIMAL).
     (FunctionIdentifier("to_number"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "to_number"),
       { args: Seq[Expression] => args match {
-        case Seq(s) => Cast(s, DoubleType)
+        case Seq(s) => Cast(s, DecimalType(38, 18))
         case Seq(s, fmt) => ToNumber(s, fmt)
         case _ => throw new IllegalArgumentException(
           s"to_number(string[, fmt]) takes 1-2 arguments, got ${args.length}")
       }}))
 
   /** Register on an already-built session (the injection path above only
-    * runs at session build). Skips if already registered — re-registration
-    * is harmless but warns per function. */
+    * runs at session build). Skips if already registered.
+    *
+    * The `instr`/`trunc`/`to_number` entries deliberately shadow builtin
+    * registry entries (with builtin behavior preserved on the overlapping
+    * arities), and SimpleFunctionRegistry WARNs on every replacement —
+    * noise on each session init, so the registry logger is raised to ERROR
+    * for the registration call only. */
   def register(spark: SparkSession): Unit =
-    if (!spark.catalog.functionExists("simhash64"))
-      functions.foreach { case (ident, info, builder) =>
+    if (!spark.catalog.functionExists("simhash64")) {
+      val registryLogger =
+        "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry"
+      val prev = org.apache.logging.log4j.LogManager
+        .getLogger(registryLogger).getLevel
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        registryLogger, org.apache.logging.log4j.Level.ERROR)
+      try functions.foreach { case (ident, info, builder) =>
         org.apache.spark.sql.graftbridge.Bridge.registerFunction(
           spark, ident, info, builder)
-      }
+      } finally org.apache.logging.log4j.core.config.Configurator.setLevel(
+        registryLogger, prev)
+    }
 }

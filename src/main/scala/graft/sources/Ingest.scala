@@ -49,38 +49,57 @@ object Ingest {
   /** CSV ingestion against a declared schema. */
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, sep: String = ","): IngestResult =
-    split(
-      spark.read
-        .schema(withCorrupt(schema))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CorruptCol)
-        .option("header", header.toString)
-        .option("sep", sep)
-        .csv(path),
-      schema)
+    csvFiles(spark, Seq(path), schema, header, sep)
+
+  /** CSV ingestion over one or more paths (`IMPORT … FILE 'a' FILE 'b'`),
+    * with the reader options the IMPORT dialect exposes. `lineSep` is the
+    * explicit row separator (None = default \n / \r\n handling). */
+  def csvFiles(spark: SparkSession, paths: Seq[String], schema: StructType,
+      header: Boolean = true, sep: String = ",", encoding: String = "UTF-8",
+      nullValue: Option[String] = None,
+      lineSep: Option[String] = None): IngestResult = {
+    var reader = spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .option("encoding", encoding)
+    nullValue.foreach(v => reader = reader.option("nullValue", v))
+    lineSep.foreach(v => reader = reader.option("lineSep", v))
+    split(reader.csv(paths: _*), schema)
+  }
 
   /** CSV ingestion that drops the first `skipLines` PHYSICAL lines before
     * parsing (`IMPORT … SKIP = n`, n > 1 — a multi-line preamble, not just
-    * a header). Single-file scope, matching the statement's `FILE 'path'`
-    * shape: the lines come off the head of the first split, which is the
-    * file head; splits are ~128 MB, so any sane preamble fits in split 0.
-    * Quoted fields spanning lines are out of scope (same as Spark's own
-    * default `multiLine=false` text-splitting). */
+    * a header). Single-file only — enforced, because the skip must come off
+    * THIS file's head: a glob or directory would silently skip lines from
+    * whichever file landed in split 0. `textFile(path, 1)` keeps small
+    * files in one split (the default minPartitions=2 halves them, and the
+    * preamble must sit entirely in split 0); big files still split at
+    * ~block size, so any sane preamble fits split 0 regardless. Quoted
+    * fields spanning lines are out of scope (same as Spark's own default
+    * `multiLine=false` text-splitting). */
   def csvSkippingLines(spark: SparkSession, path: String, schema: StructType,
-      skipLines: Int, sep: String = ","): IngestResult = {
+      skipLines: Int, sep: String = ",",
+      nullValue: Option[String] = None): IngestResult = {
     import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+    require(resolved.length == 1 && resolved.head.isFile,
+      s"SKIP > 1 requires a single regular file, got: $path")
     val n = skipLines
     val lines = spark.createDataset(
-      spark.sparkContext.textFile(path)
+      spark.sparkContext.textFile(path, 1)
         .mapPartitionsWithIndex((i, it) => if (i == 0) it.drop(n) else it))
-    split(
-      spark.read
-        .schema(withCorrupt(schema))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CorruptCol)
-        .option("header", "false")
-        .option("sep", sep)
-        .csv(lines),
-      schema)
+    var reader = spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", "false")
+      .option("sep", sep)
+    nullValue.foreach(v => reader = reader.option("nullValue", v))
+    split(reader.csv(lines), schema)
   }
 }

@@ -54,7 +54,14 @@ final class PreparedStatement(
     *
     * Cells are bound through a string→target-type cast per column — the
     * same coercion path a bound literal takes through `spark.sql(text,
-    * args)`. Columns absent from an explicit column list insert NULL. */
+    * args)`. Columns absent from an explicit column list insert NULL.
+    *
+    * Divergences from the per-row path, by construction of the string
+    * binding: a BINARY target column would receive the bytes of the
+    * array's `toString` — so any bound BinaryType column falls back to
+    * per-row [[execute]] — and (with ANSI mode off) a malformed
+    * numeric/timestamp cell becomes NULL in the batch instead of failing
+    * its row the way `execute` would. */
   def executeBatch(
       values: Seq[Seq[Any]],
       options: QueryOptions = QueryOptions()): (Boolean, Vector[QueryResult]) = {
@@ -75,10 +82,14 @@ final class PreparedStatement(
             !scala.util.Try(spark.catalog.tableExists(table)).getOrElse(false))
           None
         else {
+          val schema = spark.table(table).schema
           val colNames = Option(cols)
             .map(_.split(",").map(_.trim).toSeq)
-            .getOrElse(spark.table(table).schema.map(_.name).toSeq)
-          if (colNames.length != idxs.length) None
+            .getOrElse(schema.map(_.name).toSeq)
+          val boundBinary = colNames.exists(n => schema.exists(f =>
+            f.name.equalsIgnoreCase(n) &&
+              f.dataType == org.apache.spark.sql.types.BinaryType))
+          if (colNames.length != idxs.length || boundBinary) None
           else Some((table, colNames.zip(idxs)))
         }
       case _ => None

@@ -180,12 +180,14 @@ final class QueryWrapper private (
         new QueryResult(stmt, None, Some(exported), None)
       case _ =>
         // Dialect translations, no-ops for Spark-native SQL:
-        // CONNECT BY hierarchical queries → recursive CTE, then the
-        // B10 Exasol datetime-format dialect (the reference's own
+        // CONNECT BY hierarchical queries → recursive CTE, then
+        // GROUP_CONCAT → listagg, then the B10 Exasol datetime-format
+        // dialect (the reference's own
         // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), QW:98) → Spark
         // patterns; TO_CHAR → date_format.
         val translated = SqlCompat.translateDatetimeFormats(
-          SqlCompat.translateConnectBy(stmt).getOrElse(stmt))
+          SqlCompat.translateGroupConcat(
+            SqlCompat.translateConnectBy(stmt).getOrElse(stmt)))
         val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>
           params.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => name -> v }

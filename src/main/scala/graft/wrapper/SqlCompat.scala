@@ -218,39 +218,76 @@ object SqlCompat {
 
   private val ImportRe =
     ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?csv\\s+" +
-      "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
+      "((?:file\\s+'[^']*'\\s*)+)(.*?)\\s*;?\\s*$").r
   private val ExportRe =
     ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+(?:local\\s+)?csv\\s+" +
       "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
+  private val FileClauseRe = "(?is)file\\s+'([^']*)'".r
   private val SepOptRe = "(?is)column\\s+separator\\s*=\\s*'([^']*)'".r
   private val SkipOptRe = "(?is)skip\\s*=\\s*(\\d+)".r
+  private val EncodingOptRe = "(?is)encoding\\s*=\\s*'([^']*)'".r
+  private val NullOptRe = "(?is)\\bnull\\s*=\\s*'([^']*)'".r
+  private val RowSepOptRe = "(?is)row\\s+separator\\s*=\\s*'([^']*)'".r
+  private val RejectLimitRe = "(?is)reject\\s+limit\\s+(\\d+|unlimited)".r
+  private val ReplaceOptRe = "(?is)\\breplace\\b".r
+  private val WithColNamesRe = "(?is)with\\s+column\\s+names".r
 
-  final case class CsvImport(table: String, path: String, sep: String,
-      skip: Int) {
+  final case class CsvImport(table: String, paths: Seq[String], sep: String,
+      skip: Int, encoding: String, nullValue: Option[String],
+      rowSep: Option[String], rejectLimit: Option[Long]) {
     /** SKIP = 1 is the header-row case — let the CSV reader consume it. */
     def header: Boolean = skip == 1
+    def path: String = paths.head
+    /** `ROW SEPARATOR = 'LF'|'CR'|'CRLF'` → a reader line separator. CRLF
+      * maps to None: the CSV reader's default line splitting already
+      * accepts \r\n (its explicit lineSep option is single-char). */
+    def lineSep: Option[String] = rowSep.map(_.toUpperCase) match {
+      case Some("LF") => Some("\n")
+      case Some("CR") => Some("\r")
+      case Some("CRLF") | None => None
+      case Some(other) =>
+        throw new IllegalArgumentException(s"ROW SEPARATOR '$other' not supported")
+    }
   }
   final case class CsvExport(source: Either[String, String], path: String,
-      sep: String) // Left = table name, Right = subquery text
+      sep: String, replace: Boolean,
+      withColumnNames: Boolean) // Left = table name, Right = subquery text
 
-  /** Exasol `IMPORT INTO t FROM [LOCAL] CSV FILE 'path'
-    * [COLUMN SEPARATOR = ','] [SKIP = n]`. SKIP = 1 maps to a header row
-    * (the overwhelmingly common case); SKIP > 1 drops the first n physical
-    * lines of the file before parsing (Exasol allows arbitrary counts). */
+  /** Exasol `IMPORT INTO t FROM [LOCAL] CSV FILE 'path' [FILE 'path2' …]
+    * [COLUMN SEPARATOR = ','] [SKIP = n] [ENCODING = '…'] [NULL = '…']
+    * [ROW SEPARATOR = 'LF'|'CR'|'CRLF'] [REJECT LIMIT n|UNLIMITED]`.
+    * SKIP = 1 maps to a header row (the overwhelmingly common case);
+    * SKIP > 1 drops the first n physical lines before parsing (single-file
+    * statements only). Without a REJECT LIMIT clause malformed rows go to
+    * the quarantine lane uncapped (deliberate divergence from the host
+    * engine's abort-on-first-error default — quarantine is this engine's
+    * data-quality lane); with one, more than n malformed rows fail the
+    * statement like the host engine. */
   def parseImport(sql: String): Option[CsvImport] =
     ImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
+      val files = sql.substring(m.start(2), m.end(2))
       val opts = sql.substring(m.start(3), m.end(3))
       val skip = SkipOptRe.findFirstMatchIn(opts).map(_.group(1).toInt).getOrElse(0)
       CsvImport(sql.substring(m.start(1), m.end(1)),
-        sql.substring(m.start(2), m.end(2)),
+        FileClauseRe.findAllMatchIn(files).map(_.group(1)).toSeq,
         SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
-        skip = skip)
+        skip = skip,
+        encoding = EncodingOptRe.findFirstMatchIn(opts).map(_.group(1))
+          .getOrElse("UTF-8"),
+        nullValue = NullOptRe.findFirstMatchIn(opts).map(_.group(1)),
+        rowSep = RowSepOptRe.findFirstMatchIn(opts).map(_.group(1)),
+        rejectLimit = RejectLimitRe.findFirstMatchIn(opts).flatMap { r =>
+          if (r.group(1).equalsIgnoreCase("unlimited")) None
+          else Some(r.group(1).toLong)
+        })
     }
 
-  /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [COLUMN SEPARATOR …]`
-    * — `t` is a table name or a parenthesized query (`EXPORT (SELECT …)`).
-    * The path is written as a directory of part files (the distributed
-    * shape) with a header row. */
+  /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [REPLACE]
+    * [COLUMN SEPARATOR …] [WITH COLUMN NAMES]` — `t` is a table name or a
+    * parenthesized query (`EXPORT (SELECT …)`). The path is written as a
+    * directory of part files (the distributed shape); an existing path
+    * fails the statement unless REPLACE is given, and the header row is
+    * written only WITH COLUMN NAMES — both host-engine semantics. */
   def parseExport(sql: String): Option[CsvExport] =
     ExportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
       val opts = sql.substring(m.start(4), m.end(4))
@@ -258,7 +295,9 @@ object SqlCompat {
         if (m.group(1) != null) Left(sql.substring(m.start(1), m.end(1)))
         else Right(sql.substring(m.start(2), m.end(2)).trim)
       CsvExport(source, sql.substring(m.start(3), m.end(3)),
-        SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","))
+        SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
+        replace = ReplaceOptRe.findFirstIn(opts).isDefined,
+        withColumnNames = WithColNamesRe.findFirstIn(opts).isDefined)
     }
 
   // For IMPORT/EXPORT heads the quoted file path must stay visible to the
@@ -288,122 +327,276 @@ object SqlCompat {
   def canHandle(spark: SparkSession, i: CsvImport): Boolean =
     tableExists(spark, i.table)
 
-  private val SelectPrefixRe = "(?is)^\\s*(?:select|with)\\b".r
-
   def canHandle(spark: SparkSession, e: CsvExport): Boolean = e.source match {
     case Left(table) => tableExists(spark, table)
     case Right(query) =>
-      // Accept only a SELECT/WITH subquery — `spark.sql` on a COMMAND would
-      // EXECUTE it eagerly right here in the dispatch guard (ADVICE r3:
-      // double execution of a side-effecting EXPORT source). For a pure
-      // query, DataFrame construction is analysis-only (lazy), so this
-      // validates resolution without running anything.
-      SelectPrefixRe.findFirstIn(query).isDefined &&
-        scala.util.Try(spark.sql(query)).isSuccess
+      // Accept only a pure query — `spark.sql` on a COMMAND would EXECUTE
+      // it eagerly right here in the dispatch guard (ADVICE r3/r4: double
+      // execution of a side-effecting EXPORT source; a SELECT/WITH prefix
+      // check alone still let `WITH x AS (…) INSERT …` through). Parse
+      // first and reject any plan containing a command node anywhere; only
+      // then run `spark.sql`, which for a pure query is analysis-only
+      // (lazy) and validates resolution without running anything.
+      scala.util.Try {
+        import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
+        import org.apache.spark.sql.catalyst.plans.logical.ParsedStatement
+        val plan = spark.sessionState.sqlParser.parsePlan(query)
+        val commandLike = plan.find {
+          case _: Command => true
+          case _: InsertIntoStatement => true
+          case _: ParsedStatement => true
+          case _ => false
+        }.isDefined
+        !commandLike && scala.util.Try(spark.sql(query)).isSuccess
+      }.getOrElse(false)
   }
 
-  /** Append the CSV file's schema-conforming rows to the table; malformed
-    * rows quarantine (never fatal, never silently dropped — logged by the
-    * caller via the returned counts). Returns (loaded, quarantined). */
+  /** Append the CSV files' schema-conforming rows to the table; malformed
+    * rows quarantine (logged by the caller via the returned counts), except
+    * past an explicit REJECT LIMIT, where the statement fails before any
+    * write. Returns (loaded, quarantined). */
   def runImport(spark: SparkSession, i: CsvImport): (Long, Long) = {
     val schema = spark.table(i.table).schema
     val res =
-      if (i.skip > 1)
+      if (i.skip > 1) {
+        require(i.paths.length == 1,
+          s"IMPORT SKIP > 1 takes a single FILE clause, got ${i.paths.length}")
         graft.sources.Ingest.csvSkippingLines(spark, i.path, schema,
-          skipLines = i.skip, sep = i.sep)
-      else graft.sources.Ingest.csv(
-        spark, i.path, schema, header = i.header, sep = i.sep)
+          skipLines = i.skip, sep = i.sep, nullValue = i.nullValue)
+      } else graft.sources.Ingest.csvFiles(
+        spark, i.paths, schema, header = i.header, sep = i.sep,
+        encoding = i.encoding, nullValue = i.nullValue, lineSep = i.lineSep)
     try {
       val loaded = res.good.count()
       val bad = res.quarantined.count()
+      i.rejectLimit.foreach { cap =>
+        require(bad <= cap,
+          s"IMPORT: $bad malformed row(s) exceed REJECT LIMIT $cap")
+      }
       res.good.write.mode("append").insertInto(i.table)
       (loaded, bad)
     } finally res.unpersist()
   }
 
-  /** Write the table/query result as a CSV directory (header + separator).
-    * Returns the exported row count. */
+  /** Write the table/query result as a CSV directory. Header only WITH
+    * COLUMN NAMES; an existing target path fails unless REPLACE (both the
+    * host engine's file-export semantics). Returns the exported row count. */
   def runExport(spark: SparkSession, e: CsvExport): Long = {
     val df = e.source.fold(spark.table, spark.sql)
     val n = df.count()
-    df.write.mode("overwrite").option("header", "true")
+    df.write.mode(if (e.replace) "overwrite" else "errorifexists")
+      .option("header", e.withColumnNames.toString)
       .option("sep", e.sep).csv(e.path)
     n
   }
 
   // ----------------------------------------------------------- CONNECT BY
 
-  private val ConnectByRe =
-    ("(?is)^\\s*select\\s+(.*?)\\s+from\\s+([\\w.`]+)\\s+" +
-      "(?:start\\s+with\\s+(.*?)\\s+connect\\s+by\\s+(nocycle\\s+)?(.*?)" +
-      "|connect\\s+by\\s+(nocycle\\s+)?(.*?)\\s+start\\s+with\\s+(.*?))" +
-      "\\s*;?\\s*$").r
-  private val PriorLeftRe = "(?is)^prior\\s+(\\w+)\\s*=\\s*(\\w+)$".r
-  private val PriorRightRe = "(?is)^(\\w+)\\s*=\\s*prior\\s+(\\w+)$".r
+  // Anchor keywords located on the MASKED text; clause bodies are sliced
+  // from the ORIGINAL between anchor STARTS — never by lazy group ends,
+  // which truncate a clause whose last token is a (blanked) string literal.
+  private val SelectHeadRe = "(?is)^\\s*select\\s+".r
+  private val FromKwRe = "(?i)\\bfrom\\b".r
+  private val TableAfterFromRe = "(?is)^\\s*([\\w.`]+)".r
+  private val StartWithKwRe = "(?i)\\bstart\\s+with\\b".r
+  private val ConnectByKwRe = "(?is)\\bconnect\\s+by\\b(\\s*nocycle\\b)?".r
+  private val PriorEqLeftRe = "(?is)^prior\\s+(\\w+)\\s*=\\s*(\\w+)$".r
+  private val PriorEqRightRe = "(?is)^(\\w+)\\s*=\\s*prior\\s+(\\w+)$".r
+  private val PriorCmpLeftRe =
+    "(?is)^prior\\s+(\\w+)\\s*(<=|>=|<>|!=|<|>)\\s*(\\w+)$".r
+  private val PriorCmpRightRe =
+    "(?is)^(\\w+)\\s*(<=|>=|<>|!=|<|>)\\s*prior\\s+(\\w+)$".r
+  private val PriorWordRe = "(?i)\\bprior\\b".r
+  private val AndKwRe = "(?i)\\band\\b".r
+  // CONNECT_BY_ROOT col | CONNECT_BY_ROOT(col); SYS_CONNECT_BY_PATH(col, 'sep')
+  private val RootFnRe =
+    "(?i)\\bconnect_by_root\\s*(?:\\(\\s*(\\w+)\\s*\\)|(\\w+))".r
+  private val PathFnRe =
+    "(?i)\\bsys_connect_by_path\\s*\\(\\s*(\\w+)\\s*,\\s*'([^']*)'\\s*\\)".r
+  private val IsLeafRe = "(?i)\\bconnect_by_isleaf\\b".r
+
+  /** Split on top-level AND keywords (outside strings/comments/parens). */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val masked = maskNonTopLevel(s)
+    val kws = AndKwRe.findAllMatchIn(masked).map(m => (m.start, m.end)).toSeq
+    val cuts = (0 +: kws.flatMap(k => Seq(k._1, k._2))) :+ s.length
+    cuts.grouped(2).collect { case Seq(a, b) => s.substring(a, b).trim }
+      .toSeq.filter(_.nonEmpty)
+  }
+
+  /** One parsed CONNECT BY conjunct. */
+  private sealed trait CbPred
+  private final case class CbPriorEq(parent: String, child: String) extends CbPred
+  private final case class CbPriorCmp(parent: String, op: String,
+      child: String) extends CbPred
+  private final case class CbChildPred(text: String) extends CbPred
+
+  private def parseCbConjunct(c: String): Option[CbPred] = c match {
+    case PriorEqLeftRe(p, ch) => Some(CbPriorEq(p, ch))
+    case PriorEqRightRe(ch, p) => Some(CbPriorEq(p, ch))
+    case PriorCmpLeftRe(p, op, ch) => Some(CbPriorCmp(p, op, ch))
+    case PriorCmpRightRe(ch, op, p) => Some(CbPriorCmp(p, flipOp(op), ch))
+    case other if PriorWordRe.findFirstIn(other).isEmpty =>
+      Some(CbChildPred(other)) // PRIOR-free → filter on the child row
+    case _ => None
+  }
+
+  private def flipOp(op: String): String = op match {
+    case "<" => ">"
+    case ">" => "<"
+    case "<=" => ">="
+    case ">=" => "<="
+    case other => other // <>, != are symmetric
+  }
 
   /** Translate an Exasol/Oracle `CONNECT BY` hierarchical query into a
     * Spark 4 recursive CTE. Supported shape (either clause order):
     *
     *   SELECT <list> FROM <table>
-    *   START WITH <cond> CONNECT BY [NOCYCLE] PRIOR <a> = <b>   -- or b = PRIOR a
+    *   START WITH <cond>
+    *   CONNECT BY [NOCYCLE] <conjunct> [AND <conjunct> …]
     *
-    * `PRIOR x` refers to the parent row; `LEVEL` in the select list maps to
-    * the recursion depth (1-based, like the host engines). Notes: `SELECT *`
-    * includes the synthesized `level` column; with `NOCYCLE` a branch stops
-    * silently when it would revisit a key already on its root-to-node path
-    * (host-engine semantics), tracked via a per-row path array; without it,
-    * cycles stop at Spark's recursion limit
+    * where each conjunct is `PRIOR a = b` / `b = PRIOR a` (at least one
+    * equality required), a non-equality `PRIOR a <op> b`, or a PRIOR-free
+    * predicate (applied to the child row, host-engine semantics). The
+    * select list may use `LEVEL` (1-based recursion depth),
+    * `CONNECT_BY_ROOT col` (root row's value, carried through the
+    * recursion), `SYS_CONNECT_BY_PATH(col, 'sep')` (root-to-node string
+    * path), and `CONNECT_BY_ISLEAF` (1 when the row has no children —
+    * under NOCYCLE, no children that wouldn't close a cycle).
+    *
+    * With `NOCYCLE` a branch stops silently when it would revisit a key
+    * already on its root-to-node path (tracked via a per-row path array);
+    * without it, cycles stop at Spark's recursion limit
     * (`spark.sql.cteRecursionLevelLimit`). Returns None if `sql` is not a
-    * CONNECT BY query of this shape. */
+    * CONNECT BY query of this shape (including CONNECT_BY_ISLEAF combined
+    * with a non-equality PRIOR conjunct, whose leaf test would depend on
+    * the parent row). */
   def translateConnectBy(sql: String): Option[String] = {
     val masked = maskNonTopLevel(sql)
-    ConnectByRe.findFirstMatchIn(masked).flatMap { m =>
-      def grp(i: Int): Option[String] =
-        if (m.group(i) == null) None
-        else Some(sql.substring(m.start(i), m.end(i)).trim)
-      val selectList = sql.substring(m.start(1), m.end(1)).trim
-      val table = sql.substring(m.start(2), m.end(2))
-      val nocycle = m.group(4) != null || m.group(6) != null
-      val clauses = (grp(3), grp(5), grp(6), grp(7), grp(8)) match {
-        case (Some(sw), Some(cc), _, _, _) => Some((sw, cc))
-        case (_, _, _, Some(cc), Some(sw)) => Some((sw, cc))
-        case _ => None
+    val end = bodyEnd(sql)
+    for {
+      head <- SelectHeadRe.findFirstMatchIn(masked)
+      fromM <- FromKwRe.findFirstMatchIn(masked.substring(head.end, end))
+        .map(f => (head.end + f.start, head.end + f.end))
+      tblM <- TableAfterFromRe.findFirstMatchIn(masked.substring(fromM._2, end))
+      tblEnd = fromM._2 + tblM.end(1)
+      swM <- StartWithKwRe.findFirstMatchIn(masked.substring(tblEnd, end))
+        .map(k => (tblEnd + k.start, tblEnd + k.end))
+      cbM <- ConnectByKwRe.findFirstMatchIn(masked.substring(tblEnd, end))
+        .map(k => (tblEnd + k.start, tblEnd + k.end, k.group(1) != null))
+      // Only whitespace may sit between the table name and the first
+      // clause keyword (no WHERE/GROUP BY in the CONNECT BY shape).
+      if sql.substring(tblEnd, math.min(swM._1, cbM._1)).trim.isEmpty
+      startWith = sql
+        .substring(swM._2, if (cbM._1 > swM._1) cbM._1 else end).trim
+      connectCond = sql
+        .substring(cbM._2, if (swM._1 > cbM._1) swM._1 else end).trim
+      preds = splitTopLevelAnd(connectCond).map(parseCbConjunct)
+      if !preds.exists(_.isEmpty)
+      result <- buildConnectBy(
+        sql.substring(head.end, fromM._1).trim,
+        sql.substring(fromM._2 + tblM.start(1), fromM._2 + tblM.end(1)),
+        startWith, cbM._3, preds.flatten)
+    } yield result
+  }
+
+  private def buildConnectBy(selectList: String, table: String,
+      startWith: String, nocycle: Boolean,
+      preds: Seq[CbPred]): Option[String] = {
+    val eqs = preds.collect { case e: CbPriorEq => e }
+    val cmps = preds.collect { case c: CbPriorCmp => c }
+    val filters = preds.collect { case f: CbChildPred => f.text }
+    if (eqs.isEmpty) return None
+    // The cycle key: each node's own value of the first PRIOR-side column.
+    val pc = eqs.head.parent
+
+    // ---- select-list rewriting: allocate one carried CTE column per
+    // distinct CONNECT_BY_ROOT column / SYS_CONNECT_BY_PATH call.
+    val roots = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val paths = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+    var sel = RootFnRe.replaceAllIn(selectList, rm => {
+      val c = Option(rm.group(1)).getOrElse(rm.group(2))
+      roots.getOrElseUpdate(c.toLowerCase, s"__cbr_${c.toLowerCase}")
+    })
+    sel = PathFnRe.replaceAllIn(sel, pm => {
+      val key = (pm.group(1).toLowerCase, pm.group(2))
+      paths.getOrElseUpdate(key, s"__cbp_${paths.size}")
+    })
+    val usesIsleaf = IsLeafRe.findFirstIn(sel).isDefined
+    if (usesIsleaf) sel = IsLeafRe.replaceAllIn(sel, "__cbl")
+    // A leaf test that depends on the PARENT row's value (non-equality
+    // PRIOR conjunct) can't be precomputed per child key — unsupported.
+    if (usesIsleaf && cmps.nonEmpty) return None
+
+    val needPath = nocycle || usesIsleaf && nocycle
+
+    // ---- recursion pieces
+    val joinCond = (eqs.map(e => s"__c.${e.child} = __p.${e.parent}") ++
+      cmps.map(c => s"__p.${c.parent} ${c.op} __c.${c.child}")).mkString(" AND ")
+    // PRIOR-free conjuncts filter the CHILD side only (START WITH picks the
+    // seeds) — applied inside a subquery so unqualified columns resolve.
+    val childSrc =
+      if (filters.isEmpty) table
+      else s"(SELECT * FROM $table WHERE ${filters.mkString(" AND ")})"
+
+    val seedExtras = Seq("1 AS level") ++
+      (if (needPath) Seq(s"array(__s.$pc) AS __path") else Nil) ++
+      roots.map { case (c, a) => s"__s.$c AS $a" } ++
+      paths.map { case ((c, sep), a) =>
+        s"concat('$sep', cast(__s.$c AS string)) AS $a" }
+    val recExtras = Seq("__p.level + 1 AS level") ++
+      (if (needPath) Seq(s"array_append(__p.__path, __c.$pc) AS __path") else Nil) ++
+      roots.map { case (_, a) => s"__p.$a AS $a" } ++
+      paths.map { case ((c, sep), a) =>
+        s"concat(__p.$a, '$sep', cast(__c.$c AS string)) AS $a" }
+    val prune =
+      if (nocycle) s"\n  WHERE NOT array_contains(__p.__path, __c.$pc)" else ""
+
+    val hier0 =
+      s"""__hier0 AS (
+         |  SELECT __s.*, ${seedExtras.mkString(", ")}
+         |  FROM $table __s WHERE $startWith
+         |  UNION ALL
+         |  SELECT __c.*, ${recExtras.mkString(", ")}
+         |  FROM $childSrc __c JOIN __hier0 __p ON $joinCond$prune
+         |)""".stripMargin
+
+    // ---- leaf detection: one summary row per child-key tuple (bounded by
+    // the table's distinct keys — NOT the hierarchy), left-joined 1:1.
+    // Under NOCYCLE a candidate child "counts" only if its own cycle key
+    // is not already on this row's path: collect the candidate children's
+    // keys per join-key tuple and test the set difference.
+    val finalStage =
+      if (!usesIsleaf) {
+        val strip = if (needPath) " EXCEPT (__path)" else ""
+        s"__hier AS (SELECT *$strip FROM __hier0)"
+      } else {
+        val kidKeys = eqs.map(_.child).zipWithIndex
+          .map { case (c, i) => (c, s"__kk_$i") }
+        val kids =
+          s"""__kids AS (
+             |  SELECT ${kidKeys.map { case (c, a) => s"$c AS $a" }.mkString(", ")},
+             |         collect_set($pc) AS __cps
+             |  FROM $childSrc GROUP BY ${kidKeys.map(_._2).mkString(", ")}
+             |)""".stripMargin
+        val kidJoin = eqs.map(_.parent).zip(kidKeys.map(_._2))
+          .map { case (p, a) => s"__kids.$a = __h.$p" }.mkString(" AND ")
+        val leafExpr =
+          if (nocycle)
+            s"CASE WHEN __kids.${kidKeys.head._2} IS NULL OR " +
+              "size(array_except(__kids.__cps, __h.__path)) = 0 THEN 1 ELSE 0 END"
+          else s"CASE WHEN __kids.${kidKeys.head._2} IS NULL THEN 1 ELSE 0 END"
+        val strip = if (needPath) " EXCEPT (__path)" else ""
+        s"""$kids,
+           |__hierL AS (
+           |  SELECT __h.*, $leafExpr AS __cbl
+           |  FROM __hier0 __h LEFT JOIN __kids ON $kidJoin
+           |),
+           |__hier AS (SELECT *$strip FROM __hierL)""".stripMargin
       }
-      clauses.flatMap { case (startWith, connectCond) =>
-        val cols = connectCond match {
-          case PriorLeftRe(parentCol, childCol) => Some((parentCol, childCol))
-          case PriorRightRe(childCol, parentCol) => Some((parentCol, childCol))
-          case _ => None
-        }
-        cols.map { case (parentCol, childCol) =>
-          val j = s"__c.$childCol = __p.$parentCol"
-          if (!nocycle)
-            s"""WITH RECURSIVE __hier AS (
-               |  SELECT *, 1 AS level FROM $table WHERE $startWith
-               |  UNION ALL
-               |  SELECT __c.*, __p.level + 1 AS level
-               |  FROM $table __c JOIN __hier __p ON $j
-               |)
-               |SELECT $selectList FROM __hier""".stripMargin
-          else
-            // NOCYCLE: each row carries its root-to-node path of PRIOR-side
-            // keys; a child already on the path is silently pruned. The
-            // path column is internal — stripped before the user's select
-            // list sees the rows.
-            s"""WITH RECURSIVE __hier0 AS (
-               |  SELECT *, 1 AS level, array($parentCol) AS __path
-               |  FROM $table WHERE $startWith
-               |  UNION ALL
-               |  SELECT __c.*, __p.level + 1 AS level,
-               |         array_append(__p.__path, __c.$parentCol) AS __path
-               |  FROM $table __c JOIN __hier0 __p ON $j
-               |  WHERE NOT array_contains(__p.__path, __c.$parentCol)
-               |),
-               |__hier AS (SELECT * EXCEPT (__path) FROM __hier0)
-               |SELECT $selectList FROM __hier""".stripMargin
-        }
-      }
-    }
+
+    Some(s"WITH RECURSIVE $hier0,\n$finalStage\nSELECT $sel FROM __hier")
   }
 
   // ---------------------------------------------------------------- MERGE
@@ -700,5 +893,82 @@ object SqlCompat {
         out ++= t.text
     }
     out.result()
+  }
+
+  // ------------------------------------------------------- GROUP_CONCAT
+  // Exasol `GROUP_CONCAT([DISTINCT] expr [ORDER BY …] [SEPARATOR 'sep'])`
+  // → Spark's native `listagg([DISTINCT] expr, 'sep')
+  //   [WITHIN GROUP (ORDER BY …)]`. Pure spelling translation — the
+  // aggregation itself runs on the builtin (codegen'd) listagg.
+
+  private val GroupConcatHeadRe = "(?i)\\bgroup_concat\\s*\\(".r
+  private val GcDistinctRe = "(?is)^\\s*distinct\\b".r
+  private val GcOrderByRe = "(?i)\\border\\s+by\\b".r
+  private val GcSeparatorRe = "(?i)\\bseparator\\b".r
+  private val GcSepLitRe = "(?s)^\\s*('(?:[^']|'')*')".r
+
+  /** Length-preserving copy with string-literal/comment/quoted-identifier
+    * INTERIORS blanked but all structural characters kept — for balanced
+    * paren scanning (unlike [[maskNonTopLevel]], nesting stays visible). */
+  private def maskLiterals(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    SqlTokens.tokenize(sql).foreach {
+      case SqlTokens.Token(SqlTokens.Other, text) => sb ++= text
+      case SqlTokens.Token(SqlTokens.Comment, text) =>
+        (0 until text.length).foreach(_ => sb += ' ')
+      case t =>
+        sb += t.text.head
+        (1 until t.text.length - 1).foreach(_ => sb += ' ')
+        if (t.text.length > 1) sb += t.text.last
+    }
+    sb.result()
+  }
+
+  /** Rewrite every GROUP_CONCAT call (innermost ones on later passes) to
+    * listagg. Default separator is ',' (the host engine's). No-op for SQL
+    * without the spelling. */
+  def translateGroupConcat(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val masked = maskLiterals(cur)
+      GroupConcatHeadRe.findFirstMatchIn(masked) match {
+        case None => return cur
+        case Some(m) =>
+          // Matching close paren, counted on the literal-masked text.
+          var depth = 0; var i = m.end - 1; var close = -1
+          while (close < 0 && i < masked.length) {
+            masked.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ => ()
+            }
+            i += 1
+          }
+          if (close < 0) return cur // unbalanced — leave for the engine
+          val body = cur.substring(m.end, close)
+          val bodyMasked = masked.substring(m.end, close)
+          val distinct = GcDistinctRe.findFirstMatchIn(bodyMasked)
+          val ob = GcOrderByRe.findFirstMatchIn(bodyMasked)
+          val sep = GcSeparatorRe.findFirstMatchIn(bodyMasked)
+          val exprStart = distinct.map(_.end).getOrElse(0)
+          val exprEnd = Seq(ob.map(_.start), sep.map(_.start),
+            Some(body.length)).flatten.min
+          val exprText = body.substring(exprStart, exprEnd).trim
+          val orderText = ob.map { om =>
+            body.substring(om.end,
+              sep.map(_.start).filter(_ > om.end).getOrElse(body.length)).trim
+          }
+          val sepLit = sep.flatMap { sm =>
+            GcSepLitRe.findFirstMatchIn(body.substring(sm.end)).map(_.group(1))
+          }.getOrElse("','")
+          val repl = "listagg(" + (if (distinct.isDefined) "DISTINCT " else "") +
+            exprText + ", " + sepLit + ")" +
+            orderText.fold("")(o => s" WITHIN GROUP (ORDER BY $o)")
+          cur = cur.substring(0, m.start) + repl + cur.substring(close + 1)
+      }
+    }
+    cur
   }
 }

@@ -84,7 +84,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getInt(1) == 5)       // search from position 4 -> absolute 5
     assert(r.getDate(2).toString == "2026-03-15")
     assert(r.getDate(3).toString == "2026-03-01")
-    assert(r.getDouble(4) == 123.45)
+    // 1-arg TO_NUMBER is an exact DECIMAL (r4 ADVICE: was DOUBLE) — the
+    // parsed value compares exactly, no binary-float representation.
+    assert(r.getDecimal(4).compareTo(new java.math.BigDecimal("123.45")) == 0)
     assert(r.getDecimal(5).longValue == 123L)
     // 2-arg instr keeps Spark's builtin semantics exactly:
     assert(spark.sql("SELECT instr('abc', 'zz')").head().getInt(0) == 0)

@@ -226,20 +226,21 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
         m.message.contains("quarantined 1")))
       assert(spark.table("ie_t").count() == 2L)
 
-      val (ok2, res2) = w.query(s"EXPORT ie_t INTO CSV FILE '$loc/out'")
+      val (ok2, res2) = w.query(
+        s"EXPORT ie_t INTO CSV FILE '$loc/out' WITH COLUMN NAMES")
       assert(ok2, res2.error)
       assert(res2.rowsAffected.contains(2L))
       val back = spark.read.option("header", "true").csv(s"$loc/out")
         .orderBy("id").collect().map(r => (r.getString(0), r.getString(1)))
       assert(back.toSeq == Seq(("1", "alpha"), ("2", "beta")))
 
-      // EXPORT of a parenthesized query:
+      // EXPORT of a parenthesized query (no WITH COLUMN NAMES → no header,
+      // host-engine default):
       val (ok3, res3) = w.query(
         s"EXPORT (SELECT id * 10 AS id10 FROM ie_t WHERE id = 1) INTO CSV FILE '$loc/out2'")
       assert(ok3, res3.error)
       assert(res3.rowsAffected.contains(1L))
-      assert(spark.read.option("header", "true").csv(s"$loc/out2")
-        .head().getString(0) == "10")
+      assert(spark.read.csv(s"$loc/out2").head().getString(0) == "10")
     } finally spark.sql("DROP TABLE IF EXISTS ie_t")
   }
 
@@ -399,5 +400,185 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     val (ok, res) = w.query("UPDATE no_such_table_xyz SET a = 1")
     assert(!ok)
     assert(res.error.isDefined)
+  }
+
+  test("CONNECT_BY_ROOT / SYS_CONNECT_BY_PATH / CONNECT_BY_ISLEAF") {
+    import graft.SparkTestBase.spark.implicits._
+    Seq((1L, Option.empty[Long], "ceo"), (2L, Some(1L), "vp_a"),
+      (3L, Some(1L), "vp_b"), (4L, Some(2L), "eng"))
+      .toDF("id", "mgr_id", "name").createOrReplaceTempView("cb_emp2")
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query(
+      """SELECT name, CONNECT_BY_ROOT name AS root_name,
+        |       SYS_CONNECT_BY_PATH(name, '/') AS pth,
+        |       CONNECT_BY_ISLEAF AS lf, LEVEL
+        |FROM cb_emp2
+        |START WITH mgr_id IS NULL
+        |CONNECT BY PRIOR id = mgr_id""".stripMargin)
+    assert(ok, res.error)
+    val rows = res.rows.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(rows == Set(
+      ("ceo", "ceo", "/ceo", 0, 1),
+      ("vp_a", "ceo", "/ceo/vp_a", 0, 2),
+      ("vp_b", "ceo", "/ceo/vp_b", 1, 2),
+      ("eng", "ceo", "/ceo/vp_a/eng", 1, 3)))
+  }
+
+  test("CONNECT BY with AND-ed compound condition filters child rows") {
+    import graft.SparkTestBase.spark.implicits._
+    Seq((1L, Option.empty[Long], "ceo"), (2L, Some(1L), "vp_a"),
+      (3L, Some(1L), "vp_b"), (4L, Some(2L), "eng"))
+      .toDF("id", "mgr_id", "name").createOrReplaceTempView("cb_emp3")
+    val w = QueryWrapper(spark)
+    // The PRIOR-free conjunct gates which CHILD rows may join (host-engine
+    // semantics: unqualified columns in CONNECT BY are the current row).
+    val (ok, res) = w.query(
+      """SELECT name FROM cb_emp3
+        |START WITH id = 1
+        |CONNECT BY PRIOR id = mgr_id AND name <> 'vp_b'""".stripMargin)
+    assert(ok, res.error)
+    assert(res.rows.map(_.getString(0)).toSet == Set("ceo", "vp_a", "eng"))
+    // A non-equality PRIOR conjunct joins parent-vs-child values:
+    val (ok2, res2) = w.query(
+      """SELECT name FROM cb_emp3
+        |START WITH id = 1
+        |CONNECT BY PRIOR id = mgr_id AND PRIOR id < id""".stripMargin)
+    assert(ok2, res2.error)
+    assert(res2.rows.map(_.getString(0)).toSet ==
+      Set("ceo", "vp_a", "vp_b", "eng"))
+  }
+
+  test("NOCYCLE round-trip on a cyclic hierarchy with path and isleaf") {
+    import graft.SparkTestBase.spark.implicits._
+    // 1 -> 2 -> 3 -> 1 cycle (each row points at its parent).
+    Seq((1L, 3L), (2L, 1L), (3L, 2L))
+      .toDF("id", "parent").createOrReplaceTempView("cb_cyc")
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query(
+      """SELECT id, SYS_CONNECT_BY_PATH(id, '/') AS pth,
+        |       CONNECT_BY_ISLEAF AS lf, LEVEL
+        |FROM cb_cyc
+        |START WITH id = 1
+        |CONNECT BY NOCYCLE PRIOR id = parent""".stripMargin)
+    assert(ok, res.error)
+    val rows = res.rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    // Node 3's only candidate child (1) is already on its path -> leaf
+    // UNDER NOCYCLE, not a loop; node 1 and 2 have real children.
+    assert(rows == Set(
+      (1L, "/1", 0, 1), (2L, "/1/2", 0, 2), (3L, "/1/2/3", 1, 3)))
+  }
+
+  test("IMPORT: multiple FILE clauses, NULL token, ENCODING, ROW SEPARATOR") {
+    val loc = Files.createTempDirectory("impmf").toString
+    spark.sql(s"CREATE TABLE mf_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$loc/a.csv"), "1;alpha\n2;NULLTOK\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(s"$loc/b.csv"), "3;gamma\n")
+      val i = SqlCompat.parseImport(
+        s"""IMPORT INTO mf_t FROM CSV FILE '$loc/a.csv' FILE '$loc/b.csv'
+           |COLUMN SEPARATOR = ';' ENCODING = 'UTF-8' NULL = 'NULLTOK'
+           |ROW SEPARATOR = 'CRLF'""".stripMargin).get
+      assert(i.paths == Seq(s"$loc/a.csv", s"$loc/b.csv"))
+      assert(i.nullValue.contains("NULLTOK") && i.encoding == "UTF-8")
+      assert(i.lineSep.isEmpty) // CRLF = the reader's default splitting
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"IMPORT INTO mf_t FROM CSV FILE '$loc/a.csv' FILE '$loc/b.csv' " +
+          "COLUMN SEPARATOR = ';' NULL = 'NULLTOK'")
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(3L))
+      val rows = spark.table("mf_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "alpha"), (2L, null), (3L, "gamma")))
+    } finally spark.sql("DROP TABLE IF EXISTS mf_t")
+  }
+
+  test("IMPORT REJECT LIMIT: within passes, beyond fails before any write") {
+    val loc = Files.createTempDirectory("imprl").toString
+    spark.sql(s"CREATE TABLE rl_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$loc/in.csv"),
+        "1;alpha\nbad1;x\nbad2;y\n")
+      val w = QueryWrapper(spark)
+      w.onError = "continue"
+      val (ok, _) = w.query(
+        s"IMPORT INTO rl_t FROM CSV FILE '$loc/in.csv' COLUMN SEPARATOR = ';' REJECT LIMIT 1")
+      assert(!ok)
+      assert(spark.table("rl_t").count() == 0L) // failed BEFORE the append
+      val (ok2, res2) = w.query(
+        s"IMPORT INTO rl_t FROM CSV FILE '$loc/in.csv' COLUMN SEPARATOR = ';' REJECT LIMIT 5")
+      assert(ok2, res2.error)
+      assert(res2.rowsAffected.contains(1L))
+      // UNLIMITED spells the no-cap default:
+      assert(SqlCompat.parseImport(
+        "IMPORT INTO rl_t FROM CSV FILE '/x' REJECT LIMIT UNLIMITED")
+        .get.rejectLimit.isEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS rl_t")
+  }
+
+  test("EXPORT: existing path fails without REPLACE, REPLACE overwrites") {
+    val loc = Files.createTempDirectory("expr").toString
+    spark.sql(s"CREATE TABLE er_t (id BIGINT) USING parquet LOCATION '$loc/t'")
+    try {
+      spark.sql("INSERT INTO er_t VALUES (1), (2)")
+      val w = QueryWrapper(spark)
+      val (ok, _) = w.query(s"EXPORT er_t INTO CSV FILE '$loc/out'")
+      assert(ok)
+      w.onError = "continue"
+      val (ok2, _) = w.query(s"EXPORT er_t INTO CSV FILE '$loc/out'")
+      assert(!ok2) // host-engine semantics: existing target, no REPLACE
+      val (ok3, res3) = w.query(s"EXPORT er_t INTO CSV FILE '$loc/out' REPLACE")
+      assert(ok3, res3.error)
+      assert(spark.read.csv(s"$loc/out").count() == 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS er_t")
+  }
+
+  test("EXPORT guard rejects a CTE-wrapped command without executing it") {
+    val loc = Files.createTempDirectory("expg2").toString
+    spark.sql(s"CREATE TABLE eg2_t (id BIGINT) USING parquet LOCATION '$loc/t'")
+    try {
+      spark.sql("INSERT INTO eg2_t VALUES (1)")
+      val w = QueryWrapper(spark)
+      w.onError = "continue"
+      // r4 ADVICE: `WITH … INSERT` passed the SELECT/WITH prefix check and
+      // Try(spark.sql) then EXECUTED it during dispatch. The parse-plan
+      // guard must reject it unrun.
+      val (ok, _) = w.query(
+        s"EXPORT (WITH x AS (SELECT 99 AS id) INSERT INTO eg2_t SELECT id FROM x) " +
+          s"INTO CSV FILE '$loc/out'")
+      assert(!ok)
+      assert(spark.table("eg2_t").count() == 1L) // the INSERT never ran
+    } finally spark.sql("DROP TABLE IF EXISTS eg2_t")
+  }
+
+  test("GROUP_CONCAT translates to listagg (DISTINCT/ORDER BY/SEPARATOR)") {
+    assert(SqlCompat.translateGroupConcat(
+      "SELECT g, GROUP_CONCAT(name) FROM t GROUP BY g") ==
+      "SELECT g, listagg(name, ',') FROM t GROUP BY g")
+    assert(SqlCompat.translateGroupConcat(
+      "SELECT GROUP_CONCAT(DISTINCT name ORDER BY name DESC SEPARATOR '; ') FROM t") ==
+      "SELECT listagg(DISTINCT name, '; ') WITHIN GROUP (ORDER BY name DESC) FROM t")
+    // Inside a string literal: untouched.
+    val lit = "SELECT 'use GROUP_CONCAT(x)' AS doc FROM t"
+    assert(SqlCompat.translateGroupConcat(lit) == lit)
+
+    import graft.SparkTestBase.spark.implicits._
+    Seq(("a", "z"), ("a", "y"), ("b", "x"), ("a", "y"))
+      .toDF("g", "v").createOrReplaceTempView("gc_t")
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query(
+      """SELECT g, GROUP_CONCAT(v ORDER BY v SEPARATOR '|') AS cs,
+        |       GROUP_CONCAT(DISTINCT v) AS ds
+        |FROM gc_t GROUP BY g ORDER BY g""".stripMargin)
+    assert(ok, res.error)
+    val rows = res.rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.head == (("a", "y|y|z", rows.head._3)))
+    assert(Set("y,z", "z,y").contains(rows.head._3)) // DISTINCT order free
+    assert(rows(1) == (("b", "x", "x")))
   }
 }
