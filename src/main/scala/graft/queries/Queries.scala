@@ -1228,6 +1228,72 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** CONNECT BY hierarchical query (B10c) oracle-checked end-to-end: the
+    * region→nation two-level hierarchy runs through the WRAPPER's Exasol
+    * dialect (START WITH / CONNECT BY / LEVEL / CONNECT_BY_ROOT /
+    * SYS_CONNECT_BY_PATH / CONNECT_BY_ISLEAF → recursive CTE), and DuckDB
+    * answers the equivalent WITH RECURSIVE directly. */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "region")
+      .select(col("r_regionkey").as("id"),
+        lit(null).cast("long").as("parent"), col("r_name").as("name"))
+      .unionByName(t(s, d, "nation")
+        .select((col("n_nationkey") + 100).as("id"),
+          col("n_regionkey").as("parent"), col("n_name").as("name")))
+      .createOrReplaceTempView("q58_hier")
+    val w = graft.wrapper.QueryWrapper(s)
+    val (ok, res) = w.query(
+      """SELECT id, name, LEVEL AS lvl, SYS_CONNECT_BY_PATH(name, '/') AS pth,
+        |       CONNECT_BY_ROOT name AS root_name, CONNECT_BY_ISLEAF AS isleaf
+        |FROM q58_hier
+        |START WITH parent IS NULL
+        |CONNECT BY PRIOR id = parent""".stripMargin)
+    require(ok, res.errorMessage)
+    res.dataFrame.get.orderBy(col("id"))
+  }
+
+  private val q58Sql =
+    """WITH RECURSIVE hier AS (
+      |  SELECT r_regionkey AS id, CAST(NULL AS BIGINT) AS parent, r_name AS name FROM region
+      |  UNION ALL
+      |  SELECT n_nationkey + 100 AS id, n_regionkey AS parent, n_name AS name FROM nation
+      |), h AS (
+      |  SELECT id, name, 1 AS lvl, '/' || name AS pth, name AS root_name
+      |  FROM hier WHERE parent IS NULL
+      |  UNION ALL
+      |  SELECT c.id, c.name, h.lvl + 1, h.pth || '/' || c.name, h.root_name
+      |  FROM hier c JOIN h ON c.parent = h.id
+      |)
+      |SELECT h.id, h.name, h.lvl, h.pth, h.root_name,
+      |       CASE WHEN k.parent IS NULL THEN 1 ELSE 0 END AS isleaf
+      |FROM h LEFT JOIN (SELECT DISTINCT parent FROM hier WHERE parent IS NOT NULL) k
+      |  ON k.parent = h.id
+      |ORDER BY h.id""".stripMargin
+
+  /** GROUP_CONCAT dialect spelling (B10e) oracle-checked end-to-end: the
+    * wrapper rewrites it to native listagg; DuckDB aggregates the same
+    * sorted-distinct concatenation from a list. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("q59_orders")
+    t(s, d, "customer").createOrReplaceTempView("q59_customer")
+    val w = graft.wrapper.QueryWrapper(s)
+    val (ok, res) = w.query(
+      """SELECT c_mktsegment,
+        |       GROUP_CONCAT(DISTINCT o_orderstatus ORDER BY o_orderstatus SEPARATOR '|') AS statuses,
+        |       COUNT(*) AS n
+        |FROM q59_orders JOIN q59_customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    require(ok, res.errorMessage)
+    res.dataFrame.get
+  }
+
+  private val q59Sql =
+    """SELECT c_mktsegment,
+      |       array_to_string(list_sort(list_distinct(list(o_orderstatus))), '|') AS statuses,
+      |       COUNT(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1296,5 +1362,7 @@ object Queries {
     QueryDef("q55_filter_agg", q55, Some(q55Sql)),
     QueryDef("q56_range_join", q56, Some(q56Sql)),
     QueryDef("q57_chunking", q57, Some(q57Sql)),
+    QueryDef("q58_connect_by", q58, Some(q58Sql)),
+    QueryDef("q59_group_concat", q59, Some(q59Sql)),
   )
 }
