@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `randomSplit` is the wrong tool for a 100 TB corpus: its assignment is
+  * a per-task RNG over a particular partitioning, so recomputation,
+  * repartitioning, or an incremental append silently reshuffles examples
+  * between train and test (leakage). Here the split is a pure function of
+  * a stable id — a row's split NEVER changes — and the hash is plain
+  * 64-bit integer arithmetic (Fibonacci/multiplicative hashing, Knuth
+  * TAOCP vol. 3 §6.4), so the exact same assignment is reproducible in
+  * any engine, language, or SQL dialect that has 64-bit integers.
+  *
+  * Everything is a per-row projection: no shuffle, no state, runs at scan
+  * speed regardless of corpus size. */
+object SplitOps {
+
+  /** 2^32 · (golden-ratio conjugate) — the classic multiplicative-hash
+    * constant; coprime to 2^32, spreads sequential ids uniformly. */
+  private val Knuth = 2654435761L
+  private val Mod = 4294967296L // 2^32
+
+  /** Uniform 0–99 bucket from a non-negative integer id. */
+  def bucket(id: Column): Column =
+    pmod(id.cast("long") * lit(Knuth), lit(Mod)) % 100
+
+  /** Adds a `split` column ∈ {train, val, test} with the given percentage
+    * cuts (defaults 90/5/5). Buckets, not rows, are split — exact
+    * fractions hold in expectation, stability holds exactly. */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must cut [0,100] into train/val/test")
+    val b = bucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+}

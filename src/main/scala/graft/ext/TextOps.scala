@@ -104,4 +104,33 @@ object TextOps {
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Gopher-style repetition quality signals, per document:
+    * `top_tok_ratio` (most frequent token's share of all tokens — high on
+    * degenerate "the the the" text) and `dup_bigram_ratio` (1 − distinct
+    * bigrams / bigrams — high on looping generations). Both in [0,1],
+    * half-up rounded to 4 decimals; 0 for empty/1-token docs.
+    *
+    * All in-projection HOFs — no explode, no shuffle. The top-token count
+    * is O(distinct·tokens) per ROW, bounded by document length (chunk
+    * first via [[chunk]] for pathological docs), never by corpus size. */
+  def repetitionScores(df: DataFrame, textCol: String = "text"): DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    df.select(col("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2),
+            i => concat(element_at(col("__toks"), i + 1), lit(" "),
+              element_at(col("__toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("__bg"),
+        array_max(transform(array_distinct(col("__toks")),
+          t => size(filter(col("__toks"), x => x === t)))).as("__maxf"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(coalesce(col("__maxf"), lit(0)).cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("top_tok_ratio"),
+        r4(when(size(col("__bg")) > 0,
+          lit(1.0) - size(array_distinct(col("__bg"))).cast("double") /
+            size(col("__bg"))).otherwise(lit(0.0))).as("dup_bigram_ratio"))
+  }
 }

@@ -1294,6 +1294,59 @@ object Queries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Deterministic train/val/test split ([[graft.ext.SplitOps]]): the
+    * assignment is a pure function of doc_id (Fibonacci hashing in plain
+    * int64 arithmetic), so the EXACT same rows land in the same split on
+    * any engine — which is precisely what the oracle verifies. */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    graft.ext.SplitOps.assignSplit(t(s, d, "documents"), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy(col("split"))
+
+  private val q60Sql =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |         ((doc_id * 2654435761) % 4294967296) % 100 AS bk
+      |  FROM documents)
+      |SELECT CASE WHEN bk < 90 THEN 'train'
+      |            WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+      |       MIN(doc_id) AS min_id
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Gopher-style repetition signals ([[graft.ext.TextOps
+    * .repetitionScores]]): top-token share + duplicate-bigram fraction,
+    * all in-projection HOFs. */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.repetitionScores(t(s, d, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q61Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> LEN(x) > 0) AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, toks,
+      |         CASE WHEN LEN(toks) >= 2
+      |              THEN LIST_TRANSFORM(RANGE(1, LEN(toks)),
+      |                                  i -> toks[i] || ' ' || toks[i + 1])
+      |              ELSE [] END AS bg,
+      |         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(toks),
+      |                  tk -> LEN(LIST_FILTER(toks, x -> x = tk)))) AS maxf
+      |  FROM t)
+      |SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
+      |       FLOOR(CAST(COALESCE(maxf, 0) AS DOUBLE) / GREATEST(LEN(toks), 1)
+      |             * 10000 + 0.5) / 10000 AS top_tok_ratio,
+      |       FLOOR(CASE WHEN LEN(bg) > 0
+      |                  THEN 1.0 - CAST(LEN(LIST_DISTINCT(bg)) AS DOUBLE) / LEN(bg)
+      |                  ELSE 0.0 END * 10000 + 0.5) / 10000 AS dup_bigram_ratio
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1364,5 +1417,7 @@ object Queries {
     QueryDef("q57_chunking", q57, Some(q57Sql)),
     QueryDef("q58_connect_by", q58, Some(q58Sql)),
     QueryDef("q59_group_concat", q59, Some(q59Sql)),
+    QueryDef("q60_train_test_split", q60, Some(q60Sql)),
+    QueryDef("q61_repetition_score", q61, Some(q61Sql)),
   )
 }

@@ -337,19 +337,26 @@ object SqlCompat {
       // first and reject any plan containing a command node anywhere; only
       // then run `spark.sql`, which for a pure query is analysis-only
       // (lazy) and validates resolution without running anything.
-      scala.util.Try {
-        import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
-        import org.apache.spark.sql.catalyst.plans.logical.ParsedStatement
-        val plan = spark.sessionState.sqlParser.parsePlan(query)
-        val commandLike = plan.find {
-          case _: Command => true
-          case _: InsertIntoStatement => true
-          case _: ParsedStatement => true
-          case _ => false
-        }.isDefined
-        !commandLike && scala.util.Try(spark.sql(query)).isSuccess
-      }.getOrElse(false)
+      isPureQuery(spark, query)
   }
+
+  /** True iff `sql` parses to a plan with no command node anywhere AND
+    * analyzes successfully. Safe to call in a dispatch guard: for a pure
+    * query `spark.sql` is analysis-only (lazy), and command-like plans are
+    * rejected BEFORE `spark.sql` could eagerly execute them. */
+  private def isPureQuery(spark: SparkSession, sql: String): Boolean =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement}
+      import org.apache.spark.sql.catalyst.plans.logical.ParsedStatement
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      val commandLike = plan.find {
+        case _: Command => true
+        case _: InsertIntoStatement => true
+        case _: ParsedStatement => true
+        case _ => false
+      }.isDefined
+      !commandLike && scala.util.Try(spark.sql(sql)).isSuccess
+    }.getOrElse(false)
 
   /** Append the CSV files' schema-conforming rows to the table; malformed
     * rows quarantine (logged by the caller via the returned counts), except
@@ -603,7 +610,7 @@ object SqlCompat {
 
   private val MergeHeadRe =
     ("(?is)^\\s*merge\\s+into\\s+([\\w.`]+)(?:\\s+(?:as\\s+)?(\\w+))?" +
-      "\\s+using\\s+([\\w.`]+)(?:\\s+(?:as\\s+)?(\\w+))?\\s+on\\s").r
+      "\\s+using\\s+(?:([\\w.`]+)|\\((.*?)\\))(?:\\s+(?:as\\s+)?(\\w+))?\\s+on\\s").r
   // Clause starts match only the full `WHEN [NOT] MATCHED` phrase, so a
   // CASE WHEN inside a SET expression is never a clause boundary.
   private val WhenClauseRe = "(?i)\\bwhen\\s+(not\\s+)?matched\\b".r
@@ -628,12 +635,15 @@ object SqlCompat {
     * WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
     * WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (…)` — the
     * Exasol/ANSI upsert the reference's pass-through surface accepts,
-    * including conditional clauses (multiple, tried in order). */
+    * including conditional clauses (multiple, tried in order) and a
+    * parenthesized subquery source (`USING (SELECT …) alias`, alias
+    * required — `sourceIsQuery` then holds). */
   final case class Merge(
       target: String, targetAlias: String,
       source: String, sourceAlias: String,
       condition: String,
-      clauses: Seq[MergeClause]) {
+      clauses: Seq[MergeClause],
+      sourceIsQuery: Boolean = false) {
     // Convenience views of the (common) single-unconditional-clause shape.
     def matchedSet: Option[Seq[(String, String)]] =
       clauses.collectFirst { case MatchedUpdate(_, a) => a }
@@ -686,21 +696,29 @@ object SqlCompat {
         }
         val targetAlias = Option(m.group(2)).getOrElse(
           sql.substring(m.start(1), m.end(1)).split('.').last)
-        val sourceAlias = Option(m.group(4)).getOrElse(
-          sql.substring(m.start(3), m.end(3)).split('.').last)
+        val isQuery = m.group(3) == null
+        // A subquery source has no derivable name — its alias is required.
+        val sourceAlias =
+          if (isQuery) Option(m.group(5))
+          else Some(Option(m.group(5)).getOrElse(
+            sql.substring(m.start(3), m.end(3)).split('.').last))
+        val source =
+          if (isQuery) sql.substring(m.start(4), m.end(4)).trim
+          else sql.substring(m.start(3), m.end(3))
         // Any unparseable clause -> the whole statement is not ours (falls
         // through to spark.sql for a clear engine error).
-        if (clauses.exists(_.isEmpty)) None
+        if (clauses.exists(_.isEmpty) || sourceAlias.isEmpty) None
         else Some(Merge(sql.substring(m.start(1), m.end(1)), targetAlias,
-          sql.substring(m.start(3), m.end(3)), sourceAlias,
-          condition, clauses.flatten))
+          source, sourceAlias.get, condition, clauses.flatten,
+          sourceIsQuery = isQuery))
       }
     }
   }
 
   def canHandle(spark: SparkSession, m: Merge): Boolean =
-    tableExists(spark, m.target) &&
-      scala.util.Try(spark.table(m.source)).isSuccess
+    tableExists(spark, m.target) && (
+      if (m.sourceIsQuery) isPureQuery(spark, m.source)
+      else scala.util.Try(spark.table(m.source)).isSuccess)
 
   /** Execute MERGE in ONE join pass: full-outer target⋈source on the match
     * condition; matched rows take the first applicable WHEN MATCHED clause
@@ -726,7 +744,8 @@ object SqlCompat {
       .withColumn(tid, monotonically_increasing_id())
       .localCheckpoint(true)
       .alias(m.targetAlias)
-    val src = spark.table(m.source)
+    val src = (if (m.sourceIsQuery) spark.sql(m.source)
+               else spark.table(m.source))
       .withColumn(smk, lit(1)).alias(m.sourceAlias)
     val joined = tgt.join(src, expr(m.condition), "full_outer")
     val matched = col(tid).isNotNull && col(smk).isNotNull

@@ -556,6 +556,42 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS eg2_t")
   }
 
+  test("MERGE USING (subquery) parses, guards, and executes") {
+    // Alias required for a subquery source; commands are rejected unrun.
+    assert(SqlCompat.parseMerge(
+      "MERGE INTO t USING (SELECT 1 AS id) ON t.id = s.id WHEN MATCHED THEN DELETE").isEmpty)
+    val p = SqlCompat.parseMerge(
+      """MERGE INTO tgt t USING (SELECT id, v * 2 AS v FROM src WHERE v > 0) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin).get
+    assert(p.sourceIsQuery)
+    assert(p.source == "SELECT id, v * 2 AS v FROM src WHERE v > 0")
+    assert(p.sourceAlias == "s")
+
+    val loc = Files.createTempDirectory("mrgq").toString
+    spark.sql(s"CREATE TABLE mrgq_t (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/t'")
+    spark.sql(s"CREATE TABLE mrgq_s (id BIGINT, v BIGINT) USING parquet LOCATION '$loc/s'")
+    try {
+      spark.sql("INSERT INTO mrgq_t VALUES (1, 10), (2, 20)")
+      spark.sql("INSERT INTO mrgq_s VALUES (1, -5), (2, 100), (9, 90)")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        """MERGE INTO mrgq_t t
+          |USING (SELECT id, v FROM mrgq_s WHERE v > 0) s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(2L)) // id=2 updated, id=9 inserted
+      val rows = spark.table("mrgq_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // id=1 untouched: the filtered source excludes its v=-5 row.
+      assert(rows.toSeq == Seq((1L, 10L), (2L, 100L), (9L, 90L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS mrgq_t")
+      spark.sql("DROP TABLE IF EXISTS mrgq_s")
+    }
+  }
+
   test("GROUP_CONCAT translates to listagg (DISTINCT/ORDER BY/SEPARATOR)") {
     assert(SqlCompat.translateGroupConcat(
       "SELECT g, GROUP_CONCAT(name) FROM t GROUP BY g") ==
