@@ -112,10 +112,26 @@ object TextOps {
     * half-up rounded to 4 decimals; 0 for empty/1-token docs.
     *
     * All in-projection HOFs — no explode, no shuffle. The top-token count
-    * is O(distinct·tokens) per ROW, bounded by document length (chunk
-    * first via [[chunk]] for pathological docs), never by corpus size. */
+    * sorts the tokens and takes the longest equal-run — O(n log n) per ROW
+    * (the naive distinct×filter scan is O(d·n), quadratic on repetitive
+    * docs, which is exactly the input this metric exists to flag). */
   def repetitionScores(df: DataFrame, textCol: String = "text"): DataFrame = {
     def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    // Longest run of equal adjacent elements in the SORTED token array =
+    // max token frequency. Accumulator: (current run, best run).
+    val s = array_sort(col("__toks"))
+    val maxFreq = when(size(col("__toks")) === 0, lit(0))
+      .when(size(col("__toks")) === 1, lit(1))
+      .otherwise(aggregate(
+        sequence(lit(1), size(col("__toks")) - 1),
+        struct(lit(1).as("cur"), lit(1).as("best")),
+        (acc, i) => {
+          val cur2 = when(element_at(s, i + 1) === element_at(s, i),
+            acc.getField("cur") + 1).otherwise(lit(1))
+          struct(cur2.as("cur"),
+            greatest(acc.getField("best"), cur2).as("best"))
+        },
+        acc => acc.getField("best")))
     df.select(col("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         size(col("__toks")).as("n_tokens"),
@@ -124,10 +140,9 @@ object TextOps {
             i => concat(element_at(col("__toks"), i + 1), lit(" "),
               element_at(col("__toks"), i + 2))))
           .otherwise(array().cast("array<string>")).as("__bg"),
-        array_max(transform(array_distinct(col("__toks")),
-          t => size(filter(col("__toks"), x => x === t)))).as("__maxf"))
+        maxFreq.as("__maxf"))
       .select(col("doc_id"), col("n_tokens"),
-        r4(coalesce(col("__maxf"), lit(0)).cast("double") /
+        r4(col("__maxf").cast("double") /
           greatest(col("n_tokens"), lit(1))).as("top_tok_ratio"),
         r4(when(size(col("__bg")) > 0,
           lit(1.0) - size(array_distinct(col("__bg"))).cast("double") /
