@@ -172,6 +172,14 @@ final class QueryWrapper private (
           SqlCompat.runImport(spark, SqlCompat.parseImport(stmt).get)
         if (bad > 0) log("WARNING", s"IMPORT quarantined $bad malformed row(s)")
         new QueryResult(stmt, None, Some(loaded), None)
+      case _ if SqlCompat.parseFbvImport(stmt)
+          .exists(fb => SqlCompat.canHandle(spark, fb)) =>
+        // Exasol IMPORT … FROM FBV (fixed-byte-value): fixed-width ingest
+        // through the same quarantine lane.
+        val (loaded, bad) =
+          SqlCompat.runFbvImport(spark, SqlCompat.parseFbvImport(stmt).get)
+        if (bad > 0) log("WARNING", s"IMPORT quarantined $bad malformed row(s)")
+        new QueryResult(stmt, None, Some(loaded), None)
       case _ if SqlCompat.parseExport(stmt)
           .exists(ex => SqlCompat.canHandle(spark, ex)) =>
         // Exasol EXPORT … INTO CSV: table → CSV directory.

@@ -385,6 +385,75 @@ object SqlCompat {
     } finally res.unpersist()
   }
 
+  // --- FBV: Exasol's fixed-byte-value file format (one SIZE=n element per
+  // target column, fields space-padded). The reference's host engine
+  // accepts it through the same QW:40 pass-through as CSV IMPORT.
+
+  private val FbvImportRe =
+    ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?fbv\\s+" +
+      "file\\s+'([^']*)'\\s*\\(([^)]*)\\)(.*?)\\s*;?\\s*$").r
+  private val FbvSizeRe = "(?is)size\\s*=\\s*(\\d+)".r
+
+  final case class FbvImport(table: String, path: String, sizes: Seq[Int],
+      rejectLimit: Option[Long])
+
+  /** `IMPORT INTO t FROM [LOCAL] FBV FILE 'path' (SIZE=n, SIZE=m, …)
+    * [REJECT LIMIT …]` — one SIZE per target column, in order. */
+  def parseFbvImport(sql: String): Option[FbvImport] =
+    FbvImportRe.findFirstMatchIn(maskOptions(sql)).flatMap { m =>
+      val sizes = FbvSizeRe.findAllMatchIn(sql.substring(m.start(3), m.end(3)))
+        .map(_.group(1).toInt).toSeq
+      val opts = sql.substring(m.start(4), m.end(4))
+      if (sizes.isEmpty) None
+      else Some(FbvImport(sql.substring(m.start(1), m.end(1)),
+        sql.substring(m.start(2), m.end(2)), sizes,
+        RejectLimitRe.findFirstMatchIn(opts).flatMap { r =>
+          if (r.group(1).equalsIgnoreCase("unlimited")) None
+          else Some(r.group(1).toLong)
+        }))
+    }
+
+  def canHandle(spark: SparkSession, f: FbvImport): Boolean =
+    tableExists(spark, f.table) &&
+      f.sizes.length == spark.table(f.table).schema.length
+
+  /** Fixed-width ingest with the same quarantine lane as CSV: a line of
+    * the wrong total length, or a non-blank field that fails its column's
+    * cast, quarantines the raw line (or fails the statement past an
+    * explicit REJECT LIMIT). Blank (all-space) fields are NULL. Pure
+    * line-parallel projection — splits scale like any text scan. */
+  def runFbvImport(spark: SparkSession, f: FbvImport): (Long, Long) = {
+    val schema = spark.table(f.table).schema
+    val offsets = f.sizes.scanLeft(1)(_ + _) // substring() is 1-based
+    val total = f.sizes.sum
+    val raw = spark.read.text(f.path)
+    val fields = schema.zip(f.sizes.indices).map { case (fld, i) =>
+      val str = trim(substring(col("value"), offsets(i), f.sizes(i)))
+      val nonBlank = when(length(str) > 0, str) // all-space field → NULL
+      // try_cast: NULL on malformed (ANSI cast would fail the whole scan);
+      // the bad-row predicate turns that NULL into a quarantine instead.
+      (nonBlank.try_cast(fld.dataType).as(fld.name),
+        nonBlank.isNotNull && nonBlank.try_cast(fld.dataType).isNull)
+    }
+    val lenBad = length(col("value")) =!= lit(total)
+    val bad = (lenBad +: fields.map(_._2)).reduce(_ || _)
+    val parsed = raw.withColumn("__bad", bad).cache()
+    try {
+      val good = parsed.filter(!col("__bad"))
+        .select(fields.map(_._1): _*)
+      val quarantined = parsed.filter(col("__bad"))
+        .select(col("value").as("raw_record"))
+      val loaded = good.count()
+      val nBad = quarantined.count()
+      f.rejectLimit.foreach { cap =>
+        require(nBad <= cap,
+          s"IMPORT: $nBad malformed row(s) exceed REJECT LIMIT $cap")
+      }
+      good.write.mode("append").insertInto(f.table)
+      (loaded, nBad)
+    } finally { parsed.unpersist(); () }
+  }
+
   /** Write the table/query result as a CSV directory. Header only WITH
     * COLUMN NAMES; an existing target path fails unless REPLACE (both the
     * host engine's file-export semantics). Returns the exported row count. */

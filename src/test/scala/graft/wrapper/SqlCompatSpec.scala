@@ -556,6 +556,32 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS eg2_t")
   }
 
+  test("IMPORT FROM FBV: fixed-width parse, blank->NULL, quarantine") {
+    val loc = Files.createTempDirectory("impfbv").toString
+    spark.sql(s"CREATE TABLE fbv_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      // 5-byte id + 6-byte name; row 3 has a non-numeric id (quarantines),
+      // row 4 is short (quarantines), row 5 has an all-blank name (NULL).
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$loc/in.fbv"),
+        "    1alpha \n    2beta  \nxxxxxgamma \nshort\n    5      \n")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"IMPORT INTO fbv_t FROM LOCAL FBV FILE '$loc/in.fbv' (SIZE=5, SIZE=6)")
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(3L))
+      assert(w.messages.exists(m => m.msgType == "WARNING" &&
+        m.message.contains("quarantined 2")))
+      val rows = spark.table("fbv_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "alpha"), (2L, "beta"), (5L, null)))
+      // REJECT LIMIT caps quarantine like the CSV path:
+      w.onError = "continue"
+      val (ok2, _) = w.query(
+        s"IMPORT INTO fbv_t FROM FBV FILE '$loc/in.fbv' (SIZE=5, SIZE=6) REJECT LIMIT 1")
+      assert(!ok2)
+    } finally spark.sql("DROP TABLE IF EXISTS fbv_t")
+  }
+
   test("MERGE USING (subquery) parses, guards, and executes") {
     // Alias required for a subquery source; commands are rejected unrun.
     assert(SqlCompat.parseMerge(
