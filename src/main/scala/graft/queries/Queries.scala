@@ -1347,6 +1347,39 @@ object Queries {
       |                  ELSE 0.0 END * 10000 + 0.5) / 10000 AS dup_bigram_ratio
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Near-dup CLUSTERS, not just pairs ([[graft.operators
+    * .ConnectedComponents]]): components of the q32 character-Jaccard
+    * graph — transitive closure a pair list can't express, oracled via
+    * DuckDB's recursive reachability. The threshold compares the 4dp-
+    * rounded score (the value q32 proves engine-identical). */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val small = t(s, d, "documents").filter(col("doc_id") < 25)
+      .select(col("doc_id"), array_distinct(split(col("text"), "")).as("cs"))
+    val edges = small.as("a").join(small.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        round(graft.ext.DedupOps.jaccard(col("a.cs"), col("b.cs")), 4).as("jac"))
+      .filter(col("jac") >= 0.5)
+    graft.operators.ConnectedComponents.labels(edges, "id1", "id2")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q62Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM documents a JOIN documents b
+      |    ON a.doc_id < b.doc_id AND a.doc_id < 25 AND b.doc_id < 25
+      |  WHERE ROUND(JACCARD(a.text, b.text), 4) >= 0.5
+      |), sym AS (
+      |  SELECT id1 AS a, id2 AS b FROM e UNION ALL SELECT id2, id1 FROM e
+      |), reach AS (
+      |  SELECT a AS id, a AS r FROM sym
+      |  UNION
+      |  SELECT sym.a AS id, reach.r FROM sym JOIN reach ON reach.id = sym.b
+      |)
+      |SELECT id AS doc_id, MIN(r) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1419,5 +1452,6 @@ object Queries {
     QueryDef("q59_group_concat", q59, Some(q59Sql)),
     QueryDef("q60_train_test_split", q60, Some(q60Sql)),
     QueryDef("q61_repetition_score", q61, Some(q61Sql)),
+    QueryDef("q62_neardup_clusters", q62, Some(q62Sql)),
   )
 }
