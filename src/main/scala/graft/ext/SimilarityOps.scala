@@ -26,6 +26,29 @@ object SimilarityOps {
   private def toDoubleArray(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127,
+    * q_i = clamp(⌊v_i/scale + 0.5⌋, ±127) — 4× less storage/IO than
+    * float32 for ANN corpora (the difference between scanning 100 TB and
+    * 25 TB), with reconstruction error ≤ scale/2 per dimension. All-zero
+    * vectors quantize to zeros with scale 0. Arithmetic is exact-double
+    * (float→double widening, IEEE division, FLOOR(x+0.5)) so the SAME
+    * codes come out of any engine. Returns struct(scale, q: array<int>). */
+  def quantizeInt8(embedding: Column): Column = {
+    val d = toDoubleArray(embedding)
+    val scale = array_max(transform(d, x => abs(x))) / lit(127.0d)
+    struct(
+      scale.as("scale"),
+      when(scale === 0.0d, transform(d, _ => lit(0)))
+        .otherwise(transform(d, x =>
+          greatest(lit(-127), least(lit(127),
+            floor(x / scale + 0.5d).cast("int"))))).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: q_i·scale as array<double>. */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      x => x.cast("double") * quantized.getField("scale"))
+
   /** Per-label mean vector. Uses MLlib `Summarizer.mean`, which partial-
     * aggregates (map-side combine) one vector per row through a single
     * shuffle — unlike a posexplode reshape, which would amplify the shuffle

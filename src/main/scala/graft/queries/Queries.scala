@@ -1380,6 +1380,43 @@ object Queries {
       |SELECT id AS doc_id, MIN(r) AS component
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Int8 embedding quantization ([[graft.ext.SimilarityOps
+    * .quantizeInt8]]) — the ANN storage/IO scale path (float32 → int8 is
+    * 4× less scan). The digest (scale + code-array stats) oracle-checks
+    * that BOTH engines derive bit-identical codes from the same exact-
+    * double arithmetic. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        graft.ext.SimilarityOps.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"),
+        col("qz.scale").as("scale"),
+        size(col("qz.q")).as("n_dims"),
+        aggregate(col("qz.q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_min(col("qz.q")).as("min_q"),
+        array_max(col("qz.q")).as("max_q"))
+      .orderBy(col("vec_id"))
+
+  private val q63Sql =
+    """WITH qz AS (
+      |  SELECT vec_id,
+      |         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |         LIST_MAX(LIST_TRANSFORM(embedding,
+      |                  x -> ABS(CAST(x AS DOUBLE)))) / 127 AS scale
+      |  FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id, scale,
+      |         CASE WHEN scale = 0 THEN LIST_TRANSFORM(v, x -> 0)
+      |              ELSE LIST_TRANSFORM(v, x -> GREATEST(-127, LEAST(127,
+      |                   CAST(FLOOR(x / scale + 0.5) AS INTEGER)))) END AS q
+      |  FROM qz)
+      |SELECT vec_id, scale,
+      |       CAST(LEN(q) AS INTEGER) AS n_dims,
+      |       CAST(LIST_SUM(q) AS BIGINT) AS sum_q,
+      |       CAST(LIST_MIN(q) AS INTEGER) AS min_q,
+      |       CAST(LIST_MAX(q) AS INTEGER) AS max_q
+      |FROM codes ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1453,5 +1490,6 @@ object Queries {
     QueryDef("q60_train_test_split", q60, Some(q60Sql)),
     QueryDef("q61_repetition_score", q61, Some(q61Sql)),
     QueryDef("q62_neardup_clusters", q62, Some(q62Sql)),
+    QueryDef("q63_embedding_quantize", q63, Some(q63Sql)),
   )
 }

@@ -45,6 +45,34 @@ class SplitOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  test("int8 quantization: round-trip error bounded by scale/2, zeros safe") {
+    val sql = spark
+    import sql.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)), // all-zero vector: scale 0, codes 0
+      (3L, Seq(-2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        SimilarityOps.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
+        SimilarityOps.dequantizeInt8(col("qz")).as("deq"),
+        transform(col("embedding"), x => x.cast("double")).as("orig"))
+      .orderBy("vec_id").collect()
+    out.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val deq = r.getSeq[Double](3)
+      val orig = r.getSeq[Double](4)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      orig.zip(deq).foreach { case (o, dq) =>
+        assert(math.abs(o - dq) <= scale / 2 + 1e-12, s"vec ${r.getLong(0)}")
+      }
+    }
+    assert(out(1).getDouble(1) == 0.0 && out(1).getSeq[Int](2).forall(_ == 0))
+    assert(out(2).getSeq[Int](2) == Seq(-127, 127))
+  }
+
   test("repetitionScores: hand-computed ratios") {
     val sql = spark
     import sql.implicits._
