@@ -38,7 +38,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Dev-loop filter: SPARK_GRAFT_ONLY="q61,q40" times just those queries.
+    // Unset (the driver's invocation) → full suite, behavior unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (pass <- 1 to 2; (name, fn) <- names) {

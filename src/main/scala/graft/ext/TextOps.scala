@@ -112,14 +112,19 @@ object TextOps {
     * half-up rounded to 4 decimals; 0 for empty/1-token docs.
     *
     * All in-projection HOFs — no explode, no shuffle. The top-token count
-    * sorts the tokens and takes the longest equal-run — O(n log n) per ROW
-    * (the naive distinct×filter scan is O(d·n), quadratic on repetitive
-    * docs, which is exactly the input this metric exists to flag). */
+    * sorts the tokens ONCE into a materialized column and takes the longest
+    * equal-run — O(n log n) per ROW. Two traps this avoids: the naive
+    * distinct×filter scan is O(d·n) (quadratic on repetitive docs, exactly
+    * the input this metric exists to flag), and embedding `array_sort`
+    * inside the aggregate lambda re-sorts per ITERATION (HOF lambda bodies
+    * are interpreted with no subexpression elimination → O(n² log n); this
+    * cost r5's bench 31 s on sf0.1). */
   def repetitionScores(df: DataFrame, textCol: String = "text"): DataFrame = {
     def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
     // Longest run of equal adjacent elements in the SORTED token array =
-    // max token frequency. Accumulator: (current run, best run).
-    val s = array_sort(col("__toks"))
+    // max token frequency. Accumulator: (current run, best run). `__sorted`
+    // MUST be a plain attribute here, not an expression — see scaladoc.
+    val s = col("__sorted")
     val maxFreq = when(size(col("__toks")) === 0, lit(0))
       .when(size(col("__toks")) === 1, lit(1))
       .otherwise(aggregate(
@@ -133,6 +138,8 @@ object TextOps {
         },
         acc => acc.getField("best")))
     df.select(col("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        array_sort(col("__toks")).as("__sorted"))
       .select(col("doc_id"),
         size(col("__toks")).as("n_tokens"),
         when(size(col("__toks")) >= 2,

@@ -72,12 +72,17 @@ object ExactQuantile {
     val localRanked = ranged.withColumn("__lrn", row_number().over(wLocal))
 
     // Null-safe equi-join (NULL group keys are a real group) on a broadcast.
+    // Both sides descend from `ranged`, so explicit plan aliases keep the
+    // resolver honest — dataset-column references here resolve to the SAME
+    // attribute ids and Spark only repairs the "trivially true" condition
+    // heuristically via dataset-id metadata.
     val joinKeys = "__pid" +: groupCols
-    val cond = joinKeys.map(k => localRanked(k) <=> offsets(k)).reduce(_ && _)
-    val ranked = joinKeys
-      .foldLeft(localRanked.join(broadcast(offsets), cond)) {
-        (d, k) => d.drop(offsets(k))
-      }
+    val l = localRanked.as("__l")
+    val o = offsets.as("__o")
+    val cond = joinKeys.map(k => col("__l." + k) <=> col("__o." + k))
+      .reduce(_ && _)
+    val ranked = l.join(broadcast(o), cond)
+      .select(col("__l.*"), col("__o.__off"), col("__o.__n"))
       .withColumn("__rn", col("__off") + col("__lrn"))
 
     // ≤ 2·|ps| surviving rows per group → final agg shuffle is trivial.

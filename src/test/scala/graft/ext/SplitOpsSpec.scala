@@ -53,7 +53,7 @@ class SplitOpsSpec extends AnyFunSuite with SparkTestBase {
       (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
       (2L, Seq(0.0f, 0.0f)), // all-zero vector: scale 0, codes 0
       (3L, Seq(-2.0f, 2.0f))).toDF("vec_id", "embedding")
-    val out = df.select(col("vec_id"),
+    val out = df.select(col("vec_id"), col("embedding"),
         SimilarityOps.quantizeInt8(col("embedding")).as("qz"))
       .select(col("vec_id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
         SimilarityOps.dequantizeInt8(col("qz")).as("deq"),
