@@ -109,11 +109,17 @@ object MultimodalOps {
   /** Frame-sampling shape: pick every `stride`-th byte as a stand-in for
     * every n-th video frame — the real operator slices the payload the same
     * way. Pure SQL expression, codegen'd. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media.select(
       col("doc_id"),
       octet_length(col("bytes")).as("n_bytes"),
-      expr(s"filter(transform(sequence(1, octet_length(bytes)), " +
-        s"i -> IF(i % $stride = 1, substring(bytes, i, 1), NULL)), x -> x IS NOT NULL)")
+      // Generate only the sampled offsets (1, 1+stride, …) instead of
+      // enumerating every byte and filtering — stride× fewer interpreted
+      // lambda iterations, and stride=1 correctly yields every byte.
+      expr(s"IF(octet_length(bytes) = 0, CAST(array() AS array<binary>), " +
+        s"transform(sequence(1, octet_length(bytes), $stride), " +
+        "i -> substring(bytes, i, 1)))")
         .as("frames"))
+  }
 }

@@ -34,14 +34,21 @@ object SimilarityOps {
     * (float→double widening, IEEE division, FLOOR(x+0.5)) so the SAME
     * codes come out of any engine. Returns struct(scale, q: array<int>). */
   def quantizeInt8(embedding: Column): Column = {
-    val d = toDoubleArray(embedding)
-    val scale = array_max(transform(d, x => abs(x))) / lit(127.0d)
-    struct(
-      scale.as("scale"),
-      when(scale === 0.0d, transform(d, _ => lit(0)))
-        .otherwise(transform(d, x =>
-          greatest(lit(-127), least(lit(127),
-            floor(x / scale + 0.5d).cast("int"))))).as("q"))
+    // Expression-level "let": HOF lambda bodies are interpreted with no
+    // subexpression elimination, so referencing `scale` (itself an O(n)
+    // array_max) directly inside the per-element lambda would re-reduce the
+    // whole array per ELEMENT — O(n²) per row. Binding the double array and
+    // then the scale as single-element-transform lambda variables evaluates
+    // each exactly once; the inner lambda touches only O(1) variables.
+    element_at(transform(array(toDoubleArray(embedding)), d =>
+      element_at(transform(
+        array(array_max(transform(d, x => abs(x))) / lit(127.0d)), scale =>
+        struct(
+          scale.as("scale"),
+          when(scale === 0.0d, transform(d, _ => lit(0)))
+            .otherwise(transform(d, x =>
+              greatest(lit(-127), least(lit(127),
+                floor(x / scale + 0.5d).cast("int"))))).as("q"))), 1)), 1)
   }
 
   /** Inverse of [[quantizeInt8]]: q_i·scale as array<double>. */

@@ -218,9 +218,15 @@ object AsOfJoin {
     // the unsalted window groups NULL keys into one partition, so the
     // salted variant must carry across NULL-key buckets too. `carries` is
     // keys×buckets rows — broadcast-sized.
-    val joinCond = saltedKeys.map(k => filled(k) <=> carries(k)).reduce(_ && _)
-    val stitched = saltedKeys.foldLeft(
-      filled.join(carries, joinCond, "left")) { (df, k) => df.drop(carries(k)) }
+    // Explicit plan aliases: both sides descend from `union`, so dataset-
+    // column references would resolve to the same attribute ids and rely on
+    // Spark's trivially-true-predicate repair.
+    val f = filled.as("__f")
+    val c = carries.as("__c")
+    val joinCond = saltedKeys.map(k => col("__f." + k) <=> col("__c." + k))
+      .reduce(_ && _)
+    val stitched = f.join(c, joinCond, "left")
+      .select(col("__f.*") +: payloadCols.map(p => col("__c.__c_" + p)): _*)
     val finalized = payloadCols.foldLeft(stitched) { (df, p) =>
       df.withColumn(p, coalesce(col(s"__in_$p"), col(s"__c_$p")))
     }
