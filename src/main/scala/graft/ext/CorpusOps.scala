@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level (cross-document) text operators for LLM-training-data
+  * pipelines: global vocabulary statistics, TF-IDF term weighting, and
+  * train/test n-gram contamination checks.
+  *
+  * Reference evidence: exasol/etl-utils `query_wrapper.sql:40` forwards
+  * arbitrary SQL to the host engine; these are the corpus analytics an ETL
+  * pipeline built on that wrapper would push through it, re-expressed as
+  * declarative Spark plans.
+  *
+  * Scale shapes (the 1000-executor case):
+  *   - every aggregation is a plain hash `groupBy` → map-side partial
+  *     aggregation before the one shuffle each needs;
+  *   - global top-k is `orderBy().limit(k)` → Spark plans
+  *     `TakeOrderedAndProject` (per-partition heaps + driver merge of k
+  *     rows), never a full sort;
+  *   - TF-IDF joins term frequencies to document frequencies on the term
+  *     key — an equi-shuffle join whose both sides are already term-keyed
+  *     aggregates, so AQE can pick broadcast when the vocabulary is small;
+  *   - contamination joins test-side n-grams to the distinct train-side
+  *     gram set on the gram key. Exactness is the point (decontamination
+  *     must not miss), so no sketch shortcut: one shuffle per side, skew
+  *     bounded because grams are near-unique by construction.
+  */
+object CorpusOps {
+
+  private def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
+  /** Global token frequency top-k: (tok, cnt), count-desc then token-asc.
+    * One explode + one hash aggregate + TakeOrderedAndProject. */
+  def vocabTopK(df: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    // explode_outer + null filter ≡ explode, but without the inferred
+    // pre-Generate filter that would re-evaluate the tokenizer twice more
+    // per row (InferFiltersFromGenerate fires only on non-outer explodes).
+    df.select(explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(k)
+
+  /** Top-`perDoc` terms per document by TF-IDF
+    * (`tf · ln((N+1)/(df+1))`, 4dp half-up): (doc_id, rk, tok, tfidf).
+    *
+    * N rides along as a broadcast scalar subquery — no driver-side
+    * `count()`, the whole thing is one plan. Ordering (and therefore rank)
+    * uses the ROUNDED score so the tie-break is engine-stable. */
+  def tfIdfTop(df: DataFrame, perDoc: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        r4(col("tf") * log((col("n") + lit(1.0d)) / (col("df") + lit(1.0d)))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perDoc)
+      .select(col(idCol), col("rk"), col("tok"), col("tfidf"))
+      .orderBy(col(idCol), col("rk"))
+  }
+
+  /** Train/test n-gram contamination: for every TEST-split document
+    * ([[SplitOps.assignSplit]] on the id), how many of its distinct
+    * word `n`-grams also occur in any TRAIN-split document —
+    * (doc_id, n_grams, n_hits, hit_ratio·4dp).
+    *
+    * The decontamination primitive: a test doc with a high hit ratio has
+    * leaked into (or from) the training corpus. Exact by design. */
+  def contamination(df: DataFrame, n: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // Tokens MUST be a materialized column before shingling: the shingle
+    // lambda slices the token array per element, and HOF lambda bodies
+    // re-evaluate embedded expressions per iteration — passing the
+    // tokenize expression directly re-splits the whole document per gram.
+    val split = SplitOps.assignSplit(df, idCol)
+      .select(col(idCol), col("split"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("split"),
+        DedupOps.shingles(col("__toks"), n).as("__g"))
+    val grams = split.select(col(idCol), col("split"),
+      explode_outer(col("__g")).as("g"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("g")).distinct().withColumn("__hit", lit(1))
+    grams.filter(col("split") === "test")
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hits"))
+      .withColumn("hit_ratio",
+        r4(col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L))))
+      .orderBy(col(idCol))
+  }
+}

@@ -96,20 +96,31 @@ object DedupOps {
     // works on the longs. Long-array intersection is far cheaper than
     // string-array intersection, and |hashed ∩| = |string ∩| up to 64-bit
     // collisions (≪ 1e-15 per pair; this is a sketch pipeline throughout).
-    val hashed = docs.select(
-      col(idCol).as("id"),
-      hashShingles(shingles(wordTokens(col(textCol)), shingleSize)).as("hs"))
+    // Tokens are materialized as a column BEFORE shingling: for
+    // shingleSize ≥ 2 the shingle lambda slices the token array per
+    // element, and a lambda-embedded tokenize expression would re-split
+    // the whole document per shingle (interpreted lambda bodies have no
+    // subexpression elimination).
+    val hashed = docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        hashShingles(shingles(col("__toks"), shingleSize)).as("hs"))
 
+    // *_outer generates throughout this file: InferFiltersFromGenerate
+    // synthesizes `size(e) > 0 AND isnotnull(e)` for NON-outer explodes,
+    // duplicating the whole generator expression (here: the full
+    // shingle→hash→minhash→band chain) two more times per row. The arrays
+    // are non-empty by construction, so outer semantics are identical.
     val banded = hashed
       .select(col("id"),
-        posexplode(bandKeys(minhashFromHashes(col("hs"), numHashes),
+        posexplode_outer(bandKeys(minhashFromHashes(col("hs"), numHashes),
           numHashes, bands)).as(Seq("band", "band_hash")))
 
     val candidates = banded
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
+      .select(explode_outer(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
           |            y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))"""
@@ -175,7 +186,7 @@ object DedupOps {
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
       .filter(size(col("items")).between(2, maxBucket))
-      .select(explode(expr(
+      .select(explode_outer(expr(
         """flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items)),
           |    y -> struct(least(x.id, y.id) AS id1, greatest(x.id, y.id) AS id2,
@@ -202,14 +213,14 @@ object DedupOps {
         hashShingles(wordTokens(col(textCol))).as("hs"))
       .select(col("id"), simhashExpr("hs").as("fp"))
     val banded = fp.select(col("id"), col("fp"),
-      posexplode(expr(
+      posexplode_outer(expr(
         "transform(sequence(0, 3), b -> (shiftright(fp, CAST(b * 16 AS INT))) & 65535)"))
         .as(Seq("band", "band_key")))
     banded
       .groupBy(col("band"), col("band_key"))
       .agg(collect_list(struct(col("id"), col("fp"))).as("items"))
       .filter(size(col("items")).between(2, maxBucket)) // degenerate-bucket guard
-      .select(explode(expr(
+      .select(explode_outer(expr(
         """flatten(transform(items, (x, i) ->
           |  transform(slice(items, i + 2, size(items)),
           |    y -> struct(least(x.id, y.id) AS id1, greatest(x.id, y.id) AS id2,

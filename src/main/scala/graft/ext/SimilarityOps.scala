@@ -222,7 +222,10 @@ object SimilarityOps {
     def withBuckets(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col("vec_id").as(idAs),
         toDoubleArray(col("embedding")).as(vecAs),
-        posexplode(array((0 until tables).map(t =>
+        // _outer: the table array is never empty (tables >= 1) and a
+        // non-outer explode would get an inferred pre-filter duplicating
+        // every per-table lshBucket expression twice more per row.
+        posexplode_outer(array((0 until tables).map(t =>
           lshBucket(col("embedding"), planes, t * planes)): _*))
           .as(Seq("tbl", "bucket")))
     val cb = withBuckets(corpus, "vec_id", "vec")

@@ -1417,6 +1417,148 @@ object Queries {
       |       CAST(LIST_MAX(q) AS INTEGER) AS max_q
       |FROM codes ORDER BY vec_id""".stripMargin
 
+  /** Global vocabulary top-k ([[graft.ext.CorpusOps.vocabTopK]]) — one
+    * explode, one map-side-combined hash aggregate, then
+    * `TakeOrderedAndProject` (per-partition heaps, k-row driver merge;
+    * never a full sort). */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.vocabTopK(t(s, d, "documents"), 20)
+
+  private val q64Sql =
+    """SELECT tok, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                                x -> LEN(x) > 0)) AS tok
+      |      FROM documents)
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
+  /** Per-document TF-IDF top terms ([[graft.ext.CorpusOps.tfIdfTop]]).
+    * N rides as a broadcast scalar aggregate; tf⋈df is a term-keyed
+    * equi-join of two already-aggregated sides. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.tfIdfTop(t(s, d, "documents"), 3)
+
+  private val q65Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                            x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |         FLOOR(tf.tf * LN((n.n + 1.0) / (dfreq.df + 1.0)) * 10000
+      |               + 0.5) / 10000 AS tfidf
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, tok, tfidf,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY tfidf DESC, tok) AS rk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok, tfidf
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Train/test n-gram contamination ([[graft.ext.CorpusOps
+    * .contamination]]): per TEST doc (q60's hash split), the fraction of
+    * its distinct word trigrams that occur in ANY train doc — the exact
+    * decontamination primitive. Gram⋈gram is the one big-big shuffle and
+    * it is key-perfect (near-unique grams → no skew). */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.contamination(t(s, d, "documents"), 3)
+
+  private val q66Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+      |              THEN 'train'
+      |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+      |              THEN 'val' ELSE 'test' END AS split,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     x -> LEN(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, split,
+      |         UNNEST(CASE WHEN LEN(toks) >= 3
+      |                THEN LIST_DISTINCT(LIST_TRANSFORM(
+      |                       RANGE(0, LEN(toks) - 2),
+      |                       i -> ARRAY_TO_STRING(toks[i + 1 : i + 3], ' ')))
+      |                ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS gram
+      |  FROM d),
+      |train AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+      |test AS (SELECT doc_id, gram FROM g WHERE split = 'test')
+      |SELECT test.doc_id,
+      |       COUNT(*) AS n_grams,
+      |       COUNT(train.gram) AS n_hits,
+      |       FLOOR(CAST(COUNT(train.gram) AS DOUBLE)
+      |             / GREATEST(COUNT(*), 1) * 10000 + 0.5) / 10000 AS hit_ratio
+      |FROM test LEFT JOIN train USING (gram)
+      |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin
+
+  /** PII redaction ([[graft.ext.TextOps.redactPii]]) over text with
+    * deterministically PLANTED emails/phones/IPs (the synthetic corpus has
+    * none — planting per doc_id makes the regex path real on both
+    * engines). Codegen'd regexp chain; scan-speed, no UDF. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.0.0."), pmod(col("doc_id"), lit(256)).cast("string")
+      ).as("txt"))
+    planted.select(col("doc_id"),
+      regexp_count(col("txt"), lit(graft.ext.TextOps.emailRe)).as("n_emails"),
+      regexp_count(col("txt"), lit(graft.ext.TextOps.phoneRe)).as("n_phones"),
+      regexp_count(col("txt"), lit(graft.ext.TextOps.ipv4Re)).as("n_ips"),
+      graft.ext.TextOps.redactPii(col("txt")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q67Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |              || '@mail.example or +1-555-'
+      |              || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |              || ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS txt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(txt,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+      |    AS n_emails,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(txt,
+      |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(txt,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER)
+      |    AS n_ips,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(txt,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+      |    AS redacted
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Document-length histogram: arithmetic 64-char bins (DuckDB has no
+    * WIDTH_BUCKET), capped at bin 8 — the corpus-shape profile every
+    * pipeline report starts with. Pure groupBy on a computed key:
+    * map-side combine, one tiny shuffle. */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(least(floor(col("n_chars") / 64.0d), lit(8.0d))
+        .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bucket"))
+
+  private val q68Sql =
+    """SELECT CAST(LEAST(FLOOR(n_chars / 64.0), 8.0) AS INTEGER) AS bucket,
+      |       COUNT(*) AS cnt,
+      |       MIN(n_chars) AS min_chars,
+      |       MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1491,5 +1633,10 @@ object Queries {
     QueryDef("q61_repetition_score", q61, Some(q61Sql)),
     QueryDef("q62_neardup_clusters", q62, Some(q62Sql)),
     QueryDef("q63_embedding_quantize", q63, Some(q63Sql)),
+    QueryDef("q64_vocab_topk", q64, Some(q64Sql)),
+    QueryDef("q65_tfidf", q65, Some(q65Sql)),
+    QueryDef("q66_contamination", q66, Some(q66Sql)),
+    QueryDef("q67_pii_redact", q67, Some(q67Sql)),
+    QueryDef("q68_length_histogram", q68, Some(q68Sql)),
   )
 }

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Hand-computed cases for the corpus-level operators (the DuckDB oracles
+  * of q64–q67 prove the cross-engine half at sf scale). */
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("vocabTopK: counts and count-desc/token-asc tie order") {
+    val sql = spark
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "b a b"),
+      (2L, "a c  b")).toDF("doc_id", "text")
+    val out = CorpusOps.vocabTopK(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:2 b:3 c:1 → b first; a before c only by count; ties (a=2) none here
+    assert(out == Seq(("b", 3L), ("a", 2L), ("c", 1L)))
+    // k truncates after ordering:
+    val top1 = CorpusOps.vocabTopK(docs, 1).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "b")
+  }
+
+  test("tfIdfTop: hand-computed tf·ln((N+1)/(df+1)) and rank ties") {
+    val sql = spark
+    import sql.implicits._
+    // N=2. "x" only in doc 1 (tf 2, df 1): 2·ln(3/2)=0.8109… → 0.8109
+    // "y" in both (df 2): 1·ln(3/3)=0 in each doc.
+    val docs = Seq(
+      (1L, "x y x"),
+      (2L, "y z")).toDF("doc_id", "text")
+    val out = CorpusOps.tfIdfTop(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1(0)._3 == "x" && math.abs(d1(0)._4 - 0.8109) < 1e-9)
+    // doc 1's #2 is y at 0.0; doc 2 ranks z (ln(3/2)=0.4055) over y (0):
+    assert(d1(1)._3 == "y" && d1(1)._4 == 0.0)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(_._3).toSeq == Seq("z", "y"))
+    assert(math.abs(d2(0)._4 - 0.4055) < 1e-9)
+  }
+
+  test("contamination: planted overlap between known split ids") {
+    val sql = spark
+    import sql.implicits._
+    // Pick ids whose Knuth bucket lands in train vs test deterministically.
+    val buckets = (0L until 200L).map(i =>
+      i -> ((i * 2654435761L) % 4294967296L) % 100)
+    val trainId = buckets.find(_._2 < 90).get._1
+    val testId = buckets.find(_._2 >= 95).get._1
+    val docs = Seq(
+      (trainId, "p q r s"),          // trigrams: "p q r", "q r s"
+      (testId, "p q r x y z")        // trigrams: p q r | q r x | r x y | x y z
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.contamination(docs, 3).collect()
+    assert(out.length == 1 && out(0).getLong(0) == testId)
+    assert(out(0).getLong(1) == 4)        // n_grams
+    assert(out(0).getLong(2) == 1)        // n_hits ("p q r")
+    assert(out(0).getDouble(3) == 0.25)   // 1/4
+  }
+
+  test("contamination: short doc falls back to whole-text gram") {
+    val sql = spark
+    import sql.implicits._
+    val buckets = (0L until 200L).map(i =>
+      i -> ((i * 2654435761L) % 4294967296L) % 100)
+    val trainId = buckets.find(_._2 < 90).get._1
+    val testId = buckets.find(_._2 >= 95).get._1
+    val docs = Seq(
+      (trainId, "a b"),   // < 3 tokens → single gram "a b"
+      (testId, "a b")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.contamination(docs, 3).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 1 &&
+      out(0).getLong(2) == 1 && out(0).getDouble(3) == 1.0)
+  }
+
+  test("redactPii: masks emails, phones, IPv4s; counts via regexp_count") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c@x.co and a@b.io call +1-555-0042 host 10.0.0.7 end"),
+      (2L, "no pii here 1234 v1.2 x@y"))
+      .toDF("id", "t")
+    val out = df.select(
+      col("id"),
+      TextOps.redactPii(col("t")).as("r"),
+      regexp_count(col("t"), lit(TextOps.emailRe)).as("ne"),
+      regexp_count(col("t"), lit(TextOps.phoneRe)).as("np"),
+      regexp_count(col("t"), lit(TextOps.ipv4Re)).as("ni"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) ==
+      "mail <EMAIL> and <EMAIL> call <PHONE> host <IP> end")
+    assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 1 &&
+      out(0).getInt(4) == 1)
+    // "x@y" has no dot-TLD, "1.2" is not a dotted quad → untouched:
+    assert(out(1).getString(1) == "no pii here 1234 v1.2 x@y")
+    assert(out(1).getInt(2) == 0 && out(1).getInt(3) == 0 &&
+      out(1).getInt(4) == 0)
+  }
+}
