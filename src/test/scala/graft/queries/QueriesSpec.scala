@@ -52,6 +52,34 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toLowerCase.contains("percentile"))
   }
 
+  test("q64 vocab top-k plans as TakeOrderedAndProject, never a full sort") {
+    val plan = run("q64_vocab_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("generates over computed arrays carry no inferred pre-filter") {
+    // InferFiltersFromGenerate would inline the whole generator expression
+    // into a `size(e) > 0 AND isnotnull(e)` filter BELOW the Generate —
+    // for the shingle/chunk pipelines that re-splits the document per gram
+    // (q66 first measured 8.3 s at sf0.1). *_outer generates dodge the
+    // rule; this pins the optimized plans filter-free under each Generate.
+    Seq("q66_contamination", "q57_chunking", "q30_minhash_neardup").foreach {
+      name =>
+        val plan = run(name).queryExecution.optimizedPlan
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+        plan.foreach {
+          case g: Generate =>
+            g.child.foreach {
+              case f: Filter =>
+                assert(!f.condition.toString.contains("lambdafunction"),
+                  s"$name: inferred filter re-evaluates a generator lambda")
+              case _ =>
+            }
+          case _ =>
+        }
+    }
+  }
+
   test("q40's salted as-of equals the unsalted path, incl. a 90%-hot user") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sf/events.parquet")
