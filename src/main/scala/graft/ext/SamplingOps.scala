@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling/mixing for LLM-training-data pipelines.
+  *
+  * Nothing here uses `rand()`: sampling decisions are pure functions of the
+  * row id ([[SplitOps.bucket]] Fibonacci hashing), so a sample is
+  * reproducible across runs, engines, cluster sizes, and partitionings —
+  * and an appended corpus never reshuffles previously-sampled rows
+  * (the q60 split-stability argument, applied to sampling).
+  */
+object SamplingOps {
+
+  /** Per-stratum deterministic rate sampling: a row survives iff its id
+    * bucket (0–99) is below its stratum's percentage. A pure projection
+    * filter — no shuffle, scan-speed at 100 TB, pushdown-friendly.
+    * `rates` maps stratum value → keep-percentage; absent strata keep
+    * `defaultPct`%. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "percentages must be within [0,100]")
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(SplitOps.bucket(col(idCol)) < pct)
+  }
+
+  /** Power-law source-mixing weights: each source's sampling weight
+    * relative to the LARGEST source, `(n_s / n_max)^alpha` — the classic
+    * temperature-style rebalance (alpha < 1 upweights small sources).
+    *
+    * Normalizing against the max instead of the sum keeps the arithmetic
+    * engine-exact: `n_s` and `n_max` are integers (exact in double), one
+    * IEEE division and one `pow`/`sqrt` per row — no float SUM across
+    * groups whose addition order could differ between engines.
+    *
+    * Output: (source, n_docs, rel_weight·4dp) ordered by source. The
+    * per-source aggregate is map-side combined; the max arrives via a
+    * window over the #sources-row aggregate — driver-tiny. */
+  def sourceMixWeights(df: DataFrame, sourceCol: String = "source",
+      alpha: Double = 0.5): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val wAll = Window.partitionBy()
+    val ratio = col("n_docs").cast("double") /
+      max(col("n_docs")).over(wAll).cast("double")
+    val weight = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(alpha))
+    counts
+      .withColumn("rel_weight", floor(weight * 10000 + lit(0.5)) / 10000)
+      .orderBy(col(sourceCol))
+  }
+}

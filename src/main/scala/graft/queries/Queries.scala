@@ -1559,6 +1559,49 @@ object Queries {
       |       MAX(n_chars) AS max_chars
       |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Deterministic stratified sampling ([[graft.ext.SamplingOps
+    * .stratifiedSample]]): per-language keep rates as a pure projection
+    * filter on the id hash — reproducible across runs/engines/partitions,
+    * no shuffle, no rand(). Digest per stratum for the oracle. */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    graft.ext.SamplingOps.stratifiedSample(
+      t(s, d, "documents"), "doc_id", "lang",
+      Map("en" -> 50, "de" -> 25, "fr" -> 10, "es" -> 5), defaultPct = 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("lang"))
+
+  private val q69Sql =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |         ((doc_id * 2654435761) % 4294967296) % 100 AS bk
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_sampled,
+      |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+      |FROM s
+      |WHERE bk < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25
+      |                     WHEN 'fr' THEN 10 WHEN 'es' THEN 5 ELSE 2 END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Power-law source-mixing weights ([[graft.ext.SamplingOps
+    * .sourceMixWeights]], alpha = 0.5 over `lang`): rebalance weights
+    * relative to the largest stratum, engine-exact arithmetic (integer
+    * counts → one IEEE division + sqrt; no cross-group float sum). */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    graft.ext.SamplingOps.sourceMixWeights(t(s, d, "documents"), "lang")
+
+  private val q70Sql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT lang, n_docs,
+      |       FLOOR(SQRT(CAST(n_docs AS DOUBLE) /
+      |                  CAST(MAX(n_docs) OVER () AS DOUBLE)) * 10000 + 0.5)
+      |         / 10000 AS rel_weight
+      |FROM c ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1638,5 +1681,7 @@ object Queries {
     QueryDef("q66_contamination", q66, Some(q66Sql)),
     QueryDef("q67_pii_redact", q67, Some(q67Sql)),
     QueryDef("q68_length_histogram", q68, Some(q68Sql)),
+    QueryDef("q69_stratified_sample", q69, Some(q69Sql)),
+    QueryDef("q70_source_mix", q70, Some(q70Sql)),
   )
 }
