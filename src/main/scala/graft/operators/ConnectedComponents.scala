@@ -53,7 +53,87 @@ object ConnectedComponents {
     }
     require(changed == 0,
       s"connected components did not converge in $maxIter rounds — " +
-        "graph diameter exceeds maxIter (raise it, or use a log-round variant)")
+        "graph diameter exceeds maxIter (raise it, or use labelsLogRounds)")
     labels
+  }
+
+  /** The O(log n)-round alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — same output contract as [[labels]], but round count is
+    * logarithmic in component size instead of linear in graph DIAMETER,
+    * so it survives long-path topologies (citation chains, linked lists
+    * of near-identical revisions) that would starve min-label
+    * propagation. Each round is two groupBy-join passes over the edge
+    * set; the edge set only shrinks toward the final star forest.
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    neighborhood minimum — long tails collapse onto local minima;
+    *  - small-star: every node re-hangs its smaller-or-equal neighbors
+    *    (and itself) onto the minimum of its smaller neighborhood —
+    *    local minima chain down toward the component minimum.
+    *
+    * Fixpoint = a forest of stars rooted at each component's minimum id.
+    * Convergence is detected by edge-set equality (count + order-free
+    * xxhash64 checksum — two tiny aggregates, no sort). */
+  def labelsLogRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val init = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = init.select(col("u").as("id"))
+      .union(init.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    // (count, order-independent checksum) — cheap edge-set fingerprint.
+    // bit_xor, not sum: XOR never overflows (sum of hashes throws under
+    // ANSI), and the edge set is distinct so XOR self-cancellation only
+    // occurs via 64-bit hash collision.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u")) // larger neighbors re-hang onto m (< v)
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is (big, small)-oriented: Γ⁻(u) = exactly u's rows.
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hung = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      hung.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    var e = init
+    var fp = fingerprint(e)
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIter) {
+      it += 1
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      stable = nfp == fp
+      fp = nfp
+      e = next
+    }
+    require(stable,
+      s"large-star/small-star did not converge in $maxIter rounds")
+    // Star forest: every non-root points at its component's minimum.
+    nodes.join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

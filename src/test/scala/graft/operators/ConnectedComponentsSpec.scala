@@ -46,6 +46,38 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def runLog(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] = {
+    val sql = spark
+    import sql.implicits._
+    ConnectedComponents.labelsLogRounds(
+        edges.toDF("id1", "id2"), "id1", "id2", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelsLogRounds matches union-find on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      assert(runLog(edges) == unionFind(edges))
+    }
+  }
+
+  test("labelsLogRounds handles a 400-node path in logarithmic rounds") {
+    // Diameter 399: min-label propagation would need ~400 rounds; the
+    // alternating algorithm must finish within 20 — the 100 TB story for
+    // long-chain topologies (revision chains, citation paths).
+    val path = (1L until 400L).map(i => (i, i + 1))
+    val got = runLog(path, maxIter = 20)
+    assert(got == (1L to 400L).map(_ -> 1L).toMap)
+  }
+
+  test("labelsLogRounds: reversed/parallel edges and two components") {
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (10L, 11L), (2L, 1L))
+    assert(runLog(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("non-convergence within maxIter fails loudly instead of silently") {
     val sql = spark
     import sql.implicits._
