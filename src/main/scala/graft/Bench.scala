@@ -60,8 +60,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Median-based companion total (lower-median of the 4 samples): min is
+    // robust to contention bursts but best-case-biased; publishing both
+    // keeps cross-round deltas honest without changing the primary metric.
+    val totalMedian = names.map { case (k, _) =>
+      val s = samples(k).sorted
+      if (s.isEmpty) 0.0 else s((s.length - 1) / 2)
+    }.sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"queries":$qs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(line) finally w.close()
