@@ -52,6 +52,16 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toLowerCase.contains("percentile"))
   }
 
+  test("no declared query plans a CartesianProduct") {
+    // Broadcast cross joins (BroadcastNestedLoopJoin over a tiny side —
+    // centroids, scalar aggregates, query sets) are deliberate; an
+    // unpartitioned CartesianProduct anywhere is always a scale bug.
+    Queries.all.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), q.name)
+    }
+  }
+
   test("q64 vocab top-k plans as TakeOrderedAndProject, never a full sort") {
     val plan = run("q64_vocab_topk").queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
