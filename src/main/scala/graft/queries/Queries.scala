@@ -1602,6 +1602,168 @@ object Queries {
       |         / 10000 AS rel_weight
       |FROM c ORDER BY lang""".stripMargin
 
+  /** SCD-2 validity intervals from the events change log
+    * ([[graft.operators.Scd2.intervals]]): consecutive same-type
+    * observations per user collapse into [valid_from, valid_to) rows.
+    * All windows partition by the dimension key — distributes by key
+    * cardinality, no unpartitioned window. */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scd2.intervals(
+      t(s, d, "events").select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), "ts", Seq("event_type"), "event_id")
+      // Interval bounds as integer epoch-µs: Spark parquet writes ts[ns]
+      // (INT96-read) where DuckDB yields ts[µs] — no green query emits a
+      // raw timestamp column, so stay on the proven exact-integer surface.
+      .select(col("user_id"), col("version"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("event_type"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+
+  private val q71Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN LAG(event_id) OVER w IS NULL
+      |                OR event_type IS DISTINCT FROM LAG(event_type) OVER w
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (
+      |  SELECT user_id, ts, event_type,
+      |         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM e),
+      |p AS (
+      |  SELECT user_id, island, MIN(ts) AS valid_from, MIN(event_type) AS event_type
+      |  FROM i GROUP BY user_id, island)
+      |SELECT user_id, CAST(island AS INTEGER) AS version,
+      |       EPOCH_US(valid_from) AS valid_from_us,
+      |       EPOCH_US(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island)) AS valid_to_us,
+      |       event_type,
+      |       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL) AS is_current
+      |FROM p ORDER BY user_id, version""".stripMargin
+
+  /** Size-balanced deterministic shard assignment
+    * ([[graft.ext.ShardOps.assignShards]]): global rank by (n_chars DESC,
+    * doc_id) via the bounded-memory range-partition construction, shard =
+    * (rank−1) mod 16. Digest = per-shard count/size/id-range. */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    graft.ext.ShardOps.assignShards(
+      t(s, d, "documents").select("doc_id", "n_chars"),
+      nShards = 16, sizeCol = "n_chars", tieBreaker = "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("shard"))
+
+  private val q72Sql =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT CAST((rn - 1) % 16 AS INTEGER) AS shard, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Pre-load data-quality profile ([[graft.ext.ProfileOps.profile]]):
+    * per-column row/null/exact-distinct counts + byte-wise min/max in ONE
+    * scan (all aggregates in a single agg; stack-unpivot of the 1-row
+    * result). */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.profile(t(s, d, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars", "text"))
+
+  private val q73Sql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |       COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+         |       COUNT(DISTINCT $c) AS n_distinct,
+         |       MIN(CAST($c AS VARCHAR)) AS min_s,
+         |       MAX(CAST($c AS VARCHAR)) AS max_s
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars", "text")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** Word-bigram Jaccard over the q32 pair subset — the n-gram-granularity
+    * sibling of the character Jaccard (and the exact verify metric of the
+    * q30 MinHash path): distinct 2-shingles ([[graft.ext.DedupOps
+    * .shingles]]), pairwise |∩|/|∪|. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").filter(col("doc_id") < 25)
+      .select(col("doc_id"), graft.ext.DedupOps.wordTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), graft.ext.DedupOps.shingles(col("w"), 2).as("bg"))
+    val a = base.select(col("doc_id").as("id1"), col("bg").as("bg1"))
+    val b = base.select(col("doc_id").as("id2"), col("bg").as("bg2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (floor(graft.ext.DedupOps.jaccard(col("bg1"), col("bg2")) * 10000
+          + lit(0.5)) / 10000).as("jac"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val q74Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LEN(t) > 0) AS w
+      |  FROM documents WHERE doc_id < 25),
+      |g AS (
+      |  SELECT doc_id,
+      |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)),
+      |                                      i -> w[i] || ' ' || w[i + 1])) AS bg
+      |  FROM w WHERE LEN(w) >= 2)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       FLOOR(CAST(LEN(LIST_INTERSECT(a.bg, b.bg)) AS DOUBLE)
+      |             / LEN(LIST_DISTINCT(a.bg || b.bg)) * 10000 + 0.5) / 10000 AS jac
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
+  /** One k-means assignment pass with explicit centroids (vec_id < 8) —
+    * the oracle-checked anchor of the [[graft.ext.SimilarityOps
+    * .kmeansCentroids]] IVF-training path (whose multi-round convergence is
+    * spec-tested): broadcast centroids, per-row argmax, no corpus shuffle.
+    * Per-row cosines are floor-rounded to 1e-4 BEFORE the sum so the
+    * digest is an order-independent integer sum, not a float reduction. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val toD = (c: Column) => transform(c, (x: Column) => x.cast("double"))
+    val emb = t(s, d, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), toD(col("embedding")).as("ce"))
+    emb.select(col("vec_id"), toD(col("embedding")).as("ve"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", graft.ext.SimilarityOps.cosine(col("ve"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("cos")),
+        struct(col("cos"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("best.cos").as("cos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("vec_id")).as("min_vec"),
+        sum(floor(col("cos") * 10000 + lit(0.5)).cast("long")).as("sum_cos4"))
+      .orderBy(col("cell"))
+  }
+
+  private val q75Sql =
+    """WITH c AS (
+      |  SELECT vec_id AS cid,
+      |         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      |  FROM embeddings WHERE vec_id < 8),
+      |s AS (
+      |  SELECT e.vec_id, c.cid,
+      |         LIST_COSINE_SIMILARITY(
+      |           LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)), c.ce) AS cos
+      |  FROM embeddings e, c),
+      |a AS (
+      |  SELECT vec_id, cid, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      |  FROM s)
+      |SELECT cid AS cell, COUNT(*) AS n_members, MIN(vec_id) AS min_vec,
+      |       CAST(SUM(CAST(FLOOR(cos * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cos4
+      |FROM a WHERE rk = 1 GROUP BY cid ORDER BY cell""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1683,5 +1845,10 @@ object Queries {
     QueryDef("q68_length_histogram", q68, Some(q68Sql)),
     QueryDef("q69_stratified_sample", q69, Some(q69Sql)),
     QueryDef("q70_source_mix", q70, Some(q70Sql)),
+    QueryDef("q71_scd2_intervals", q71, Some(q71Sql)),
+    QueryDef("q72_shard_assign", q72, Some(q72Sql)),
+    QueryDef("q73_dq_profile", q73, Some(q73Sql)),
+    QueryDef("q74_ngram_jaccard", q74, Some(q74Sql)),
+    QueryDef("q75_kmeans_assign", q75, Some(q75Sql)),
   )
 }

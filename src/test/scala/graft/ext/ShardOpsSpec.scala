@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import scala.util.Random
+
+/** Global-rank correctness + shard balance for [[ShardOps]] (q72's DuckDB
+  * oracle proves the cross-engine half on documents). */
+class ShardOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("withGlobalRank equals a single-partition row_number, incl. ties") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new Random(7)
+    // Many ties in `size` — ranks must still form a total order.
+    val rows = (1L to 2000L).map(i => (i, rnd.nextInt(20).toLong))
+    val df = rows.toDF("id", "size").repartition(13)
+    val got = ShardOps.withGlobalRank(df, Seq(col("size").desc, col("id").asc))
+      .select("id", "__rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = rows.sortBy { case (id, sz) => (-sz, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("assignShards balances size within one max-item per shard") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new Random(42)
+    // Heavy-tailed sizes — the case round-robin-by-rank is built for.
+    val rows = (1L to 3000L).map(i =>
+      (i, math.pow(10, rnd.nextDouble() * 4).toLong + 1))
+    val out = ShardOps.assignShards(rows.toDF("id", "sz"), 8, "sz", "id")
+      .groupBy("shard").agg(sum("sz").as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 8 && out.map(_._1).sorted.toSeq == (0 until 8))
+    // Row counts differ by at most 1; size totals by at most the largest item.
+    assert(out.map(_._3).max - out.map(_._3).min <= 1)
+    val maxItem = rows.map(_._2).max
+    assert(out.map(_._2).max - out.map(_._2).min <= maxItem)
+  }
+
+  test("assignment is deterministic across runs and input partitioning") {
+    val sql = spark
+    import sql.implicits._
+    val rows = (1L to 500L).map(i => (i, (i * 37) % 100))
+    val a = ShardOps.assignShards(rows.toDF("id", "sz"), 4, "sz", "id")
+      .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = ShardOps.assignShards(rows.toDF("id", "sz").repartition(11), 4, "sz", "id")
+      .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
+  test("no unpartitioned window over the data — only over the #partitions cells") {
+    val sql = spark
+    import sql.implicits._
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "sz")
+    val plan = ShardOps.assignShards(df, 4, "sz", "id")
+      .queryExecution.optimizedPlan.toString
+    // Both windows lead with __pid: the data-path one PARTITIONS by it,
+    // the offsets one ORDERS the #partitions-row cell table by it.
+    val specs = "windowspecdefinition\\(([^,]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(s => assert(s.startsWith("__pid#"), plan))
+  }
+}
