@@ -70,6 +70,34 @@ object CorpusOps {
       .orderBy(col(idCol), col("rk"))
   }
 
+  /** Per-document token-rarity features from global document frequencies —
+    * the integer-exact quality filter for surfacing gibberish/OCR noise
+    * (many corpus-rare tokens) without a language model:
+    * (doc_id, n_distinct_toks, n_rare, sum_df, rare_ratio·4dp) where
+    * `df(tok)` = #documents containing the token and `n_rare` counts
+    * distinct tokens with `df ≤ maxDf`.
+    *
+    * All aggregates are integers until the one final ratio, so the digest
+    * is engine-exact (no float summation order anywhere). The token⋈df
+    * join is term-keyed like [[tfIdfTop]]'s — both sides are already
+    * aggregates, AQE broadcasts small vocabularies. */
+  def tokenRarity(df: DataFrame, maxDf: Long, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode_outer(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .where(col("tok").isNotNull)
+    // Tokens are distinct WITHIN a doc, so count = document frequency.
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_toks"),
+        count(when(col("df") <= maxDf, 1)).as("n_rare"),
+        sum(col("df")).as("sum_df"))
+      .withColumn("rare_ratio",
+        r4(col("n_rare").cast("double") / greatest(col("n_distinct_toks"), lit(1L))))
+      .orderBy(col(idCol))
+  }
+
   /** Train/test n-gram contamination: for every TEST-split document
     * ([[SplitOps.assignSplit]] on the id), how many of its distinct
     * word `n`-grams also occur in any TRAIN-split document —

@@ -1764,6 +1764,27 @@ object Queries {
       |       CAST(SUM(CAST(FLOOR(cos * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cos4
       |FROM a WHERE rk = 1 GROUP BY cid ORDER BY cell""".stripMargin
 
+  /** Corpus-rare-token quality features ([[graft.ext.CorpusOps
+    * .tokenRarity]], df ≤ 2): integer aggregates end to end, one term-keyed
+    * join of two aggregates. */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.tokenRarity(t(s, d, "documents"), maxDf = 2L)
+
+  private val q76Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         UNNEST(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                                          t -> LEN(t) > 0))) AS tok
+      |  FROM documents),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+      |SELECT doc_id, COUNT(*) AS n_distinct_toks,
+      |       COUNT(CASE WHEN df <= 2 THEN 1 END) AS n_rare,
+      |       CAST(SUM(df) AS BIGINT) AS sum_df,
+      |       FLOOR(CAST(COUNT(CASE WHEN df <= 2 THEN 1 END) AS DOUBLE)
+      |             / GREATEST(COUNT(*), 1) * 10000 + 0.5) / 10000 AS rare_ratio
+      |FROM toks JOIN dfreq USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1850,5 +1871,6 @@ object Queries {
     QueryDef("q73_dq_profile", q73, Some(q73Sql)),
     QueryDef("q74_ngram_jaccard", q74, Some(q74Sql)),
     QueryDef("q75_kmeans_assign", q75, Some(q75Sql)),
+    QueryDef("q76_token_rarity", q76, Some(q76Sql)),
   )
 }

@@ -15,6 +15,15 @@ final case class SessionOut(
     n_events: Long,
     total_value: Double)
 
+final case class Scd2Obs(key: Long, ts: Timestamp, seq: Long, v: String)
+final case class Scd2State(version: Int, sinceMs: Long, v: Option[String])
+final case class Scd2Closed(
+    key: Long,
+    version: Int,
+    valid_from: Timestamp,
+    valid_to: Timestamp,
+    v: String)
+
 /** Structured Streaming operators — the streaming analogs of the batch
   * inventory (SURVEY §7.7): `readStream` → event-time transforms with
   * watermarks → `writeStream`. The reference is batch-procedural only; these
@@ -133,6 +142,44 @@ object StreamOps {
     keyCols.foldLeft(l.join(r, keyCond && timeCond, "inner")) {
       (df, k) => df.drop(r(k))
     }
+  }
+
+  /** Streaming SCD-2 maintenance over a CDC-style observation feed — the
+    * streaming twin of [[graft.operators.Scd2.intervals]]. State per key is
+    * ONE open interval (version, since, value); when an observation carries
+    * a different tracked value, the open interval CLOSES and is emitted
+    * `[valid_from, valid_to)`, and a new one opens. Emitted rows match the
+    * batch operator's closed intervals exactly (asserted in StreamOpsSpec);
+    * the open intervals live in the state store (query it for `is_current`
+    * rows, or snapshot via the batch operator).
+    *
+    * Ordering contract: observations are sorted (ts, seq) WITHIN a batch;
+    * across batches the feed must be per-key in-order (the standard CDC
+    * log-compaction assumption). Dimension state never times out — one
+    * tiny row per key, the bounded-by-construction case. */
+  def scd2Stream(obs: Dataset[Scd2Obs]): Dataset[Scd2Closed] = {
+    def fn(key: Long, it: Iterator[Scd2Obs],
+        state: GroupState[Scd2State]): Iterator[Scd2Closed] = {
+      val out = List.newBuilder[Scd2Closed]
+      var st = state.getOption
+      it.toSeq.sortBy(o => (o.ts.getTime, o.seq)).foreach { o =>
+        st match {
+          case Some(s) if s.v != Option(o.v) =>
+            out += Scd2Closed(key, s.version, new Timestamp(s.sinceMs),
+              o.ts, s.v.orNull)
+            st = Some(Scd2State(s.version + 1, o.ts.getTime, Option(o.v)))
+          case Some(_) => // unchanged value extends the open interval
+          case None =>
+            st = Some(Scd2State(1, o.ts.getTime, Option(o.v)))
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+    obs
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        fn)(Encoders.product[Scd2State], Encoders.product[Scd2Closed])
   }
 
   /** Tumbling-window event counts with watermarking — the canonical

@@ -100,4 +100,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1).getInt(2) == 0 && out(1).getInt(3) == 0 &&
       out(1).getInt(4) == 0)
   }
+
+  test("tokenRarity: df from distinct in-doc tokens; rare = df <= maxDf") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (1L, "the cat the cat zyx"), // distinct {the, cat, zyx}
+      (2L, "the dog"),             // {the, dog}
+      (3L, "the cat"))             // {the, cat}
+      .toDF("doc_id", "text")
+    // df: the→3, cat→2, zyx→1, dog→1. maxDf=1 → rare iff df=1.
+    val out = CorpusOps.tokenRarity(df, maxDf = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 1L, 6L, 0.3333), // the(3)+cat(2)+zyx(1)=6; zyx rare
+      (2L, 2L, 1L, 4L, 0.5),    // the(3)+dog(1)
+      (3L, 2L, 0L, 5L, 0.0)))   // the(3)+cat(2)
+  }
 }
