@@ -39,20 +39,35 @@ object ShardOps {
   /** Adds `__rn` (1-based exact global rank by `sortCols`) with bounded
     * memory everywhere. Ties within equal sort keys land in the same range
     * partition, so local ranks compose into a total order; pass a unique
-    * tie-breaker column for full determinism. */
+    * tie-breaker column for full determinism.
+    *
+    * The local rank is a per-partition counter via `mapPartitions`, NOT a
+    * `Window.partitionBy(spark_partition_id())`: Catalyst cannot see that
+    * range-partitioned rows are already clustered by partition id and
+    * would insert a SECOND full-data hash exchange under the window
+    * (measured in the q72 plan). One range shuffle total (asserted in
+    * ShardOpsSpec). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+    val outSchema = sorted.schema.add("__lrn", LongType, nullable = false)
+    val locallyRanked = sorted.mapPartitions { it =>
+      var i = 0L
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }(Encoders.row(outSchema))
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // #partitions rows: the unpartitioned window below is driver-tiny.
-    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+    val offsets = locallyRanked.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
       .drop("__c")
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    ranged.withColumn("__lrn", row_number().over(wLocal))
+    locallyRanked
       .join(broadcast(offsets), "__pid")
       .withColumn("__rn", col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__off")

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Exact interpolated per-group quantiles (ANSI `PERCENTILE_CONT` / DuckDB
   * `QUANTILE_CONT`) without an unbounded aggregation buffer.
@@ -64,12 +65,33 @@ object ExactQuantile {
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(gcols: _*)))
       .drop("__c")
 
-    // Local rank inside one (range-partition, group) cell: the window
-    // partition is bounded by spark.sql.files.maxPartitionBytes-sized input,
-    // never by group cardinality.
-    val wLocal = Window.partitionBy(col("__pid") +: gcols: _*)
-      .orderBy(col("__v"))
-    val localRanked = ranged.withColumn("__lrn", row_number().over(wLocal))
+    // Local rank inside one (range-partition, group) cell, via a
+    // mapPartitions counter that resets on group-key change over the
+    // partition-sorted rows — NOT a Window.partitionBy(__pid, group):
+    // Catalyst cannot see that range-partitioned rows are already
+    // clustered by partition id and would insert a SECOND full-data hash
+    // exchange under the window (same fix as ShardOps.withGlobalRank, r7;
+    // one range shuffle total, asserted in ExactQuantileSpec).
+    val nGroupCols = groupCols.length
+    val sorted = ranged.sortWithinPartitions(gcols :+ col("__v"): _*)
+    val rankedSchema = sorted.schema.add("__lrn", LongType, nullable = false)
+    val localRanked = sorted.mapPartitions { it =>
+      var prevKey: Seq[Any] = null
+      var i = 0L
+      it.map { r =>
+        // SQL grouping treats NaN as equal to itself; Scala == does not.
+        val key = (0 until nGroupCols).map { j =>
+          r.get(j) match {
+            case d: java.lang.Double if d.isNaN => "__nan"
+            case f: java.lang.Float if f.isNaN => "__nan"
+            case v => v
+          }
+        }
+        if (key != prevKey) { prevKey = key; i = 0L }
+        i += 1
+        Row.fromSeq(r.toSeq :+ i)
+      }
+    }(Encoders.row(rankedSchema))
 
     // Null-safe equi-join (NULL group keys are a real group) on a broadcast.
     // Both sides descend from `ranged`, so explicit plan aliases keep the

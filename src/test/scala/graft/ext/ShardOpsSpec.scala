@@ -52,17 +52,29 @@ class ShardOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
-  test("no unpartitioned window over the data — only over the #partitions cells") {
+  test("one full-data shuffle: the offsets branch reuses the range exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sql = spark
     import sql.implicits._
     val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "sz")
-    val plan = ShardOps.assignShards(df, 4, "sz", "id")
-      .queryExecution.optimizedPlan.toString
-    // Both windows lead with __pid: the data-path one PARTITIONS by it,
-    // the offsets one ORDERS the #partitions-row cell table by it.
+    val out = ShardOps.assignShards(df, 4, "sz", "id")
+    // Both branches' range exchanges canonicalize identically, so AQE's
+    // exchange reuse executes the full-data shuffle ONCE (the local rank is
+    // a mapPartitions counter, not a Window that would re-shuffle on __pid).
+    val rangeShuffles = out.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e.canonicalized
+    }
+    assert(rangeShuffles.nonEmpty && rangeShuffles.distinct.size == 1)
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+    // The only window is the offsets prefix-sum, ordered by __pid over the
+    // driver-tiny cell table.
+    val opt = out.queryExecution.optimizedPlan.toString
     val specs = "windowspecdefinition\\(([^,]+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
+      .findAllMatchIn(opt).map(_.group(1)).toSeq
     assert(specs.nonEmpty)
-    specs.foreach(s => assert(s.startsWith("__pid#"), plan))
+    specs.foreach(s => assert(s.startsWith("__pid#"), opt))
   }
 }

@@ -68,4 +68,22 @@ class ExactQuantileSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toLowerCase.contains("percentile"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("one full-data shuffle: the cells branch reuses the range exchange") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.SparkTestBase.spark.implicits._
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    val out = ExactQuantile.quantiles(df, Seq("g"), "v", Seq(0.5), Seq("p50"))
+    // The local rank is a mapPartitions counter (reset per group), not a
+    // Window.partitionBy(__pid, g) that would re-shuffle the data; both
+    // branches' range exchanges canonicalize identically so AQE runs ONE.
+    val rangeShuffles = out.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e.canonicalized
+    }
+    assert(rangeShuffles.nonEmpty && rangeShuffles.distinct.size == 1)
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
 }
