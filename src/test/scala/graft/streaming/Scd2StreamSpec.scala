@@ -84,4 +84,41 @@ class Scd2StreamSpec extends AnyFunSuite with SparkTestBase {
       (1L, 2, ts(10), ts(30), "b")))
     assert(got == batchClosed(b1 ++ b2))
   }
+
+  test("randomized: stream equals batch for any change log and batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(20260812)
+    for (trial <- 1 to 3) {
+      // Random per-key in-order log: few keys, few values (forces merges),
+      // NULLs included, occasional duplicate timestamps (seq breaks ties).
+      val values = Array("a", "b", null)
+      var minute = 0
+      val obs = (1 to 60).map { seq =>
+        minute += rnd.nextInt(2) // duplicates when the increment is 0
+        Scd2Obs(1L + rnd.nextInt(3), ts(minute), seq.toLong,
+          values(rnd.nextInt(values.length)))
+      }
+      // Split into 1–4 batches at random cut points, stream-order preserved.
+      val cuts = (Seq(0, obs.length) ++ Seq.fill(rnd.nextInt(3))(
+        rnd.nextInt(obs.length))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => obs.slice(a, b) }
+
+      val mem = MemoryStream[Scd2Obs]
+      val q = StreamOps.scd2Stream(mem.toDS()).writeStream
+        .format("memory").queryName(s"scd2_rand_$trial")
+        .outputMode("append").start()
+      batches.filter(_.nonEmpty).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+
+      val got = spark.table(s"scd2_rand_$trial").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getString(4)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got == batchClosed(obs), s"trial $trial: cuts=$cuts")
+    }
+  }
 }
