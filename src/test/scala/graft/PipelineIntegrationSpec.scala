@@ -56,11 +56,34 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkTestBase {
       .agg(sum(col("ws_tokens")).as("total_tokens")).head()
     assert(stats.getLong(0) > 0)
 
-    // 7. Write the curated corpus; quick audit roundtrip.
+    // 7. Pre-write data-quality gate: the id column must be non-null and
+    //    unique before the corpus ships (ProfileOps, r7).
+    val profile = graft.ext.ProfileOps.profile(curated, Seq("doc_id"))
+      .collect()(0)
+    assert(profile.getLong(2) == 0L, "doc_id nulls")          // n_nulls
+    assert(profile.getLong(3) == nCurated, "doc_id distinct") // n_distinct
+    w.log("INFO", "dq gate", Some(nCurated))
+
+    // 8. Deterministic train/test split + size-balanced training shards
+    //    (SplitOps r5, ShardOps r7), exported partitioned BY SHARD so a
+    //    trainer reads one directory per worker.
+    val split = graft.ext.SplitOps.assignSplit(curated, "doc_id")
+    val train = split.filter(col("split") === "train")
+    val sharded = graft.ext.ShardOps.assignShards(
+      train.withColumn("n_chars", length(col("text"))),
+      nShards = 4, sizeCol = "n_chars", tieBreaker = "doc_id")
+    sharded.select("doc_id", "text", "shard")
+      .write.partitionBy("shard").parquet(s"$dir/train_shards")
+    val shardSizes = spark.read.parquet(s"$dir/train_shards")
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(shardSizes.length == 4 && shardSizes.max - shardSizes.min <= 1)
+    w.log("INFO", "train shards", Some(shardSizes.sum))
+
+    // 9. Write the curated corpus; quick audit roundtrip.
     curated.select("doc_id", "text").write.parquet(s"$dir/curated")
     assert(spark.read.parquet(s"$dir/curated").count() == nCurated)
 
-    // 8. Close the job; the audit trail holds every stage with rowcounts.
+    // 10. Close the job; the audit trail holds every stage with rowcounts.
     w.finish()
     val jl = store.jobLog.collect()
     assert(jl.length == 1 && jl(0).getString(2) == "FINISHED SUCCESSFULLY")
