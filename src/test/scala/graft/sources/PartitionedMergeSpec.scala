@@ -54,6 +54,18 @@ class PartitionedMergeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("day"), plan)
   }
 
+  test("empty source is a no-op: zero stats, files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("pm0").toString + "/t"
+    Seq((1L, 0, "a"), (2L, 1, "b")).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    val before = Seq(0, 1).map(d => fileState(s"$dir/day=$d"))
+    val empty = Seq.empty[(Long, Int, String)].toDF("id", "day", "v")
+    val stats = PartitionedMerge.upsert(spark, dir, "day", Seq("id", "day"), empty)
+    assert(stats == UpsertStats(0, 0, 0))
+    assert(Seq(0, 1).map(d => fileState(s"$dir/day=$d")) == before)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("rejects duplicate source keys and keys without the partition column") {
     val dir = java.nio.file.Files.createTempDirectory("pm3").toString + "/t"
     Seq((1L, 0, "a")).toDF("id", "day", "v").write.partitionBy("day").parquet(dir)
