@@ -1687,6 +1687,15 @@ object Queries {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** The 100 TB profile path: HLL-sketch distincts — no expand, bounded
+    * memory regardless of column cardinality (exact q73 carries a 5-way
+    * expand whose shuffle scales with the text column; the q47/q47b
+    * exact-vs-sketch pairing). Spec: within 5% of exact per column. */
+  private def q73b(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.profile(t(s, d, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars", "text"),
+      approxDistinct = true)
+
   /** Word-bigram Jaccard over the q32 pair subset — the n-gram-granularity
     * sibling of the character Jaccard (and the exact verify metric of the
     * q30 MinHash path): distinct 2-shingles ([[graft.ext.DedupOps
@@ -1869,6 +1878,7 @@ object Queries {
     QueryDef("q71_scd2_intervals", q71, Some(q71Sql)),
     QueryDef("q72_shard_assign", q72, Some(q72Sql)),
     QueryDef("q73_dq_profile", q73, Some(q73Sql)),
+    QueryDef("q73b_dq_profile_approx", q73b, None),
     QueryDef("q74_ngram_jaccard", q74, Some(q74Sql)),
     QueryDef("q75_kmeans_assign", q75, Some(q75Sql)),
     QueryDef("q76_token_rarity", q76, Some(q76Sql)),

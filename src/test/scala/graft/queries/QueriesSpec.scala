@@ -21,6 +21,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q73b approx profile distincts within 5% of exact q73; no expand") {
+    val exact = run("q73_dq_profile").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approxDf = run("q73b_dq_profile_approx")
+    approxDf.collect().foreach { r =>
+      val (c, a, e) = (r.getString(0), r.getLong(3).toDouble,
+        exact(r.getString(0)).toDouble)
+      // 5% relative, floor of ±1 absolute (HLL at cardinality ~20 is off
+      // by at most a count or two).
+      assert(math.abs(a - e) <= math.max(1.0, 0.05 * e),
+        s"$c: approx $a vs exact $e")
+    }
+    // The sketch path must not plan the multi-DISTINCT Expand rewrite.
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("q47b approx percentiles within 2% of exact q47 per group") {
     val exact = run("q47_percentiles").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
