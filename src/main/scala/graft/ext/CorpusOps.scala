@@ -107,6 +107,23 @@ object CorpusOps {
     * leaked into (or from) the training corpus. Exact by design. */
   def contamination(df: DataFrame, n: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    val grams = gramsBySplit(df, n, textCol, idCol)
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("g")).distinct().withColumn("__hit", lit(1))
+    grams.filter(col("split") === "test")
+      .join(trainGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hits"))
+      .withColumn("hit_ratio",
+        r4(col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L))))
+      .orderBy(col(idCol))
+  }
+
+  /** (idCol, split, g): one row per distinct word `n`-gram per document,
+    * tagged with the document's deterministic train/val/test split. */
+  private def gramsBySplit(df: DataFrame, n: Int, textCol: String,
+      idCol: String): DataFrame = {
     // Tokens MUST be a materialized column before shingling: the shingle
     // lambda slices the token array per element, and HOF lambda bodies
     // re-evaluate embedded expressions per iteration — passing the
@@ -116,15 +133,45 @@ object CorpusOps {
         TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("split"),
         DedupOps.shingles(col("__toks"), n).as("__g"))
-    val grams = split.select(col(idCol), col("split"),
-      explode_outer(col("__g")).as("g"))
-    val trainGrams = grams.filter(col("split") === "train")
-      .select(col("g")).distinct().withColumn("__hit", lit(1))
+    split.select(col(idCol), col("split"), explode_outer(col("__g")).as("g"))
+  }
+
+  /** Bloom-filter contamination screen — the 100 TB path to
+    * [[contamination]]. Same output shape (doc_id, n_grams, n_hits,
+    * hit_ratio·4dp), but `n_hits` counts BLOOM hits: a superset of the
+    * exact hits (Bloom filters have no false negatives, so no leaked test
+    * doc is ever missed) with false-positive rate ≤ `fpp`.
+    *
+    * Scale shape vs the exact join: the exact path shuffles BOTH gram
+    * sides (train distinct + test⋈train). Here the train side never
+    * shuffles at all — `stat.bloomFilter` is a tree-aggregated sketch
+    * build over the scan partitions (duplicate insertions are harmless, so
+    * no `distinct` either), and the test side probes a broadcast bitmap
+    * and goes straight to its per-doc aggregation. At trillion-gram train
+    * corpora a single filter outgrows a broadcast (~1.2 GB per 10⁹ grams
+    * at 1% fpp); the documented extension is k hash-sharded filters
+    * (gram-hash prefix selects the shard) probed the same way — the
+    * test-side plan shape is unchanged.
+    *
+    * The probe is a Scala UDF (Spark exposes no public might-contain
+    * expression); it breaks the codegen span only around the boolean
+    * probe itself, after the train side has already collapsed to a
+    * broadcast value. Deterministic: the sketch's Murmur3 hashes are
+    * fixed-seed and insertion order cannot change a Bloom bitmap. */
+  def contaminationBloom(df: DataFrame, n: Int, fpp: Double = 0.01,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = gramsBySplit(df, n, textCol, idCol)
+    val train = grams.filter(col("split") === "train").select(col("g"))
+    // Sizing: the non-distinct gram count is a one-scan upper bound on the
+    // distinct count — Bloom sizing only needs an upper bound.
+    val expected = math.max(train.count(), 1L)
+    val bf = train.stat.bloomFilter("g", expected, fpp)
+    val bfBc = df.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((s: String) => s != null && bfBc.value.mightContainString(s))
     grams.filter(col("split") === "test")
-      .join(trainGrams, Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        count(col("__hit")).as("n_hits"))
+        count(when(probe(col("g")), 1)).as("n_hits"))
       .withColumn("hit_ratio",
         r4(col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L))))
       .orderBy(col(idCol))

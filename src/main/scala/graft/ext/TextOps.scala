@@ -117,6 +117,55 @@ object TextOps {
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
 
+  /** All `http(s)://…` URLs in a text (space-delimited, like the PII
+    * patterns a Java∩RE2 common-subset regex — same string runs on Spark
+    * and DuckDB). */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^ ]+"), lit(0))
+
+  /** Normalized registrable-host of one URL: authority component (up to
+    * the first `/`, `?` or `#`), lowercased, leading `www.` stripped.
+    * Pure codegen'd regex projection — scan-speed URL analytics. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^https?://([^/?#]+)", 1)),
+      "^www\\.", "")
+
+  /** Per-document character-unigram Shannon entropy (nats, 4dp) — the
+    * cheap gibberish/encoding-noise detector: natural text sits near
+    * ~3 nats, base64/hex blobs and single-char spam fall far outside.
+    * Output: (idCol, n_chars, n_distinct_chars, entropy_nats).
+    *
+    * Determinism across engines: H = ln(n) − Σ c·ln(c) / n, with the sum
+    * taken over per-char counts in CHARACTER-SORTED order via a
+    * sequential HOF fold — both engines add the same doubles in the same
+    * order, so the 4dp digest is stable (a plain SUM() over groups has
+    * engine-dependent accumulation order). Scale shape: one explode +
+    * two key-local hash aggregations; the per-doc count array is bounded
+    * by the alphabet (~100 entries), never by document length. */
+  def charEntropy(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+    val chars = df.select(col(idCol),
+        explode_outer(split(col(textCol), "")).as("ch"))
+      .where(col("ch").isNotNull && col("ch") =!= "")
+    val counts = chars.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("__cs"))
+      .select(col(idCol),
+        col("n").as("n_chars"),
+        col("n_distinct_chars"),
+        r4(log(col("n").cast("double")) -
+          aggregate(col("__cs"), lit(0.0d),
+            (acc, x) => acc + x.getField("c").cast("double") *
+              log(x.getField("c").cast("double"))) /
+          col("n").cast("double")).as("entropy_nats"))
+      .orderBy(col(idCol))
+  }
+
   /** Rolling polynomial hash (base 31, mod 1e9+7) over the character
     * codepoints — a deterministic document fingerprint computable
     * identically in any engine (the cross-engine-stable alternative to

@@ -1794,6 +1794,136 @@ object Queries {
       |FROM toks JOIN dfreq USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bloom-filter contamination screen ([[graft.ext.CorpusOps
+    * .contaminationBloom]]) — the 100 TB path to q66: the train side never
+    * shuffles (tree-aggregated sketch build, broadcast bitmap probe), only
+    * the test side's per-doc aggregation does. No oracle: hits are a
+    * bounded superset of q66's exact hits (no false negatives, fp ≤ fpp);
+    * CorpusOpsSpec pins both properties against the exact path. */
+  private def q66b(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.contaminationBloom(t(s, d, "documents"), 3)
+
+  /** Per-domain URL analytics ([[graft.ext.TextOps.urls]] /
+    * [[graft.ext.TextOps.urlDomain]]) over deterministically PLANTED urls
+    * (the synthetic corpus has none) — the source-attribution /
+    * domain-blocklist primitive of web-scale curation. Pure Java∩RE2
+    * regex projection + explode + one hash agg with map-side partials;
+    * the mixed-case planting exercises the normalization. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://Sub"), pmod(col("doc_id"), lit(50)).cast("string"),
+        lit(".Example.com/p/"), col("doc_id").cast("string"),
+        lit(" and http://www.ref"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".org/x?q=1")).as("txt"))
+    planted.select(col("doc_id"),
+        explode(graft.ext.TextOps.urls(col("txt"))).as("url"))
+      .select(col("doc_id"),
+        graft.ext.TextOps.urlDomain(col("url")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_urls").desc, col("domain"))
+  }
+
+  private val q77Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         text || ' see https://Sub' || CAST(doc_id % 50 AS VARCHAR)
+      |              || '.Example.com/p/' || CAST(doc_id AS VARCHAR)
+      |              || ' and http://www.ref' || CAST(doc_id % 20 AS VARCHAR)
+      |              || '.org/x?q=1' AS txt
+      |  FROM documents),
+      |u AS (SELECT doc_id,
+      |             UNNEST(REGEXP_EXTRACT_ALL(txt, 'https?://[^ ]+')) AS url
+      |      FROM p),
+      |h AS (SELECT doc_id,
+      |             REGEXP_REPLACE(
+      |               LOWER(REGEXP_EXTRACT(url, '^https?://([^/?#]+)', 1)),
+      |               '^www\.', '') AS domain
+      |      FROM u)
+      |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM h GROUP BY domain ORDER BY n_urls DESC, domain""".stripMargin
+
+  /** Character-unigram entropy ([[graft.ext.TextOps.charEntropy]]) — the
+    * cheap gibberish / encoding-noise quality gate. Engine-exact 4dp
+    * digest via a character-sorted sequential fold (see the op scaladoc
+    * for why a plain SUM of doubles would not be). */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.charEntropy(t(s, d, "documents"))
+
+  private val q78Sql =
+    """WITH ch AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) AS ch FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, ch, COUNT(*) AS c
+      |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+      |         COUNT(*) AS n_distinct_chars,
+      |         LIST(CAST(c AS DOUBLE) ORDER BY ch) AS cs
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_chars, n_distinct_chars,
+      |       FLOOR((LN(CAST(n_chars AS DOUBLE))
+      |              - LIST_REDUCE(LIST_TRANSFORM(cs, c -> c * LN(c)),
+      |                            (a, b) -> a + b)
+      |                / CAST(n_chars AS DOUBLE)) * 10000 + 0.5) / 10000
+      |         AS entropy_nats
+      |FROM ag ORDER BY doc_id""".stripMargin
+
+  /** Near-dup cluster CANONICAL selection — the decision layer over q62's
+    * connected components: every doc (≤25, q62's graph) carries its
+    * cluster id (singletons → their own id) and `keep`=1 iff it is the
+    * cluster's representative (longest text, doc_id tie-break).
+    * Downstream dedup is `filter(keep = 1)`. The window partitions by
+    * cluster id — at 100 TB clusters are small (near-dup groups), so the
+    * partition-local sort is bounded and skew-free. */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val small = t(s, d, "documents").filter(col("doc_id") < 25)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        array_distinct(split(col("text"), "")).as("cs"))
+    val edges = small.as("a")
+      .join(small.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        round(graft.ext.DedupOps.jaccard(col("a.cs"), col("b.cs")), 4).as("jac"))
+      .filter(col("jac") >= 0.5)
+    val labels = graft.operators.ConnectedComponents.labels(edges, "id1", "id2")
+      .withColumnRenamed("id", "doc_id")
+    val base = small.select(col("doc_id"), col("len"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("comp"), col("doc_id")))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("len").desc, col("doc_id").asc)
+    base.withColumn("keep", when(row_number().over(w) === 1, 1).otherwise(0))
+      .select(col("doc_id"), col("component"), col("len"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM documents a JOIN documents b
+      |    ON a.doc_id < b.doc_id AND a.doc_id < 25 AND b.doc_id < 25
+      |  WHERE ROUND(JACCARD(a.text, b.text), 4) >= 0.5
+      |), sym AS (
+      |  SELECT id1 AS a, id2 AS b FROM e UNION ALL SELECT id2, id1 FROM e
+      |), reach AS (
+      |  SELECT a AS id, a AS r FROM sym
+      |  UNION
+      |  SELECT sym.a AS id, reach.r FROM sym JOIN reach ON reach.id = sym.b
+      |), comp AS (
+      |  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+      |), base AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+      |         CAST(LEN(d.text) AS INTEGER) AS len
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |  WHERE d.doc_id < 25)
+      |SELECT doc_id, component, len,
+      |       CASE WHEN ROW_NUMBER() OVER (PARTITION BY component
+      |                                    ORDER BY len DESC, doc_id) = 1
+      |            THEN 1 ELSE 0 END AS keep
+      |FROM base ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -1882,5 +2012,9 @@ object Queries {
     QueryDef("q74_ngram_jaccard", q74, Some(q74Sql)),
     QueryDef("q75_kmeans_assign", q75, Some(q75Sql)),
     QueryDef("q76_token_rarity", q76, Some(q76Sql)),
+    QueryDef("q66b_contamination_bloom", q66b, None),
+    QueryDef("q77_url_extract", q77, Some(q77Sql)),
+    QueryDef("q78_char_entropy", q78, Some(q78Sql)),
+    QueryDef("q79_cluster_canonical", q79, Some(q79Sql)),
   )
 }

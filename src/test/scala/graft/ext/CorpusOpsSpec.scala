@@ -77,6 +77,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       out(0).getLong(2) == 1 && out(0).getDouble(3) == 1.0)
   }
 
+  test("contaminationBloom: no false negatives vs exact, bounded fp, same grams") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = asMap(CorpusOps.contamination(docs, 3))
+    val bloom = asMap(CorpusOps.contaminationBloom(docs, 3, fpp = 0.01))
+    assert(bloom.keySet == exact.keySet)
+    var totalGrams = 0L
+    var extra = 0L
+    bloom.foreach { case (id, (ng, nh)) =>
+      val (eg, eh) = exact(id)
+      assert(ng == eg, s"doc $id: gram count $ng vs exact $eg")
+      assert(nh >= eh, s"doc $id: bloom lost a hit (false negative)")
+      totalGrams += ng
+      extra += nh - eh
+    }
+    assert(extra.toDouble / totalGrams <= 0.05,
+      s"false-positive ratio ${extra.toDouble / totalGrams} above bound")
+  }
+
+  test("contaminationBloom: plan has no join — train side is a broadcast bitmap") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = CorpusOps.contaminationBloom(docs, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.linesIterator.take(12).mkString("\n"))
+  }
+
   test("redactPii: masks emails, phones, IPv4s; counts via regexp_count") {
     val sql = spark
     import sql.implicits._

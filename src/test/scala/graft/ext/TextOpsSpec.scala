@@ -72,4 +72,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(fps(1) == 0L) // empty fold = init
     assert(fps(0) == fps(2))
   }
+
+  test("charEntropy: hand-computed nats on tiny docs") {
+    val df = Seq((1L, "aab"), (2L, "abab"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // "aab": n=3, counts a:2 b:1 → H = ln3 − (2·ln2 + 1·ln1)/3
+    val h1 = math.floor((math.log(3) - (2 * math.log(2)) / 3) * 10000 + 0.5) / 10000
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 2)
+    assert(out(1L).getDouble(3) == h1)
+    // "abab": two chars at p=1/2 each → H = ln2 exactly
+    val h2 = math.floor(math.log(2) * 10000 + 0.5) / 10000
+    assert(out(2L).getLong(1) == 4 && out(2L).getLong(2) == 2)
+    assert(out(2L).getDouble(3) == h2)
+    // single-char doc → zero entropy
+    assert(out(3L).getLong(1) == 1 && out(3L).getLong(2) == 1)
+    assert(out(3L).getDouble(3) == 0.0)
+  }
+
+  test("urls + urlDomain: extraction order and host normalization") {
+    val df = Seq((1L, "x https://www.Foo.Example.com/p/1?a=2 y http://bar.org/z end"))
+      .toDF("doc_id", "text")
+    val out = df.select(org.apache.spark.sql.functions.explode(
+        TextOps.urls(col("text"))).as("u"))
+      .select(TextOps.urlDomain(col("u")).as("d"))
+      .as[String].collect().toSeq
+    assert(out == Seq("foo.example.com", "bar.org"))
+  }
 }
