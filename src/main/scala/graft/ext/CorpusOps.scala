@@ -162,9 +162,16 @@ object CorpusOps {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val grams = gramsBySplit(df, n, textCol, idCol)
     val train = grams.filter(col("split") === "train").select(col("g"))
-    // Sizing: the non-distinct gram count is a one-scan upper bound on the
-    // distinct count — Bloom sizing only needs an upper bound.
-    val expected = math.max(train.count(), 1L)
+    // Sizing: Bloom sizing only needs an UPPER bound on the distinct gram
+    // count, and a doc has at most as many n-grams as tokens — so size
+    // from the train-side token total. That sizing pass is a trivial
+    // text-column projection + count (no shingling, no explode), an order
+    // cheaper than the gram pipeline it sizes.
+    val expected = math.max(
+      SplitOps.assignSplit(df, idCol).filter(col("split") === "train")
+        .agg(sum(greatest(size(TextOps.tokens(col(textCol))), lit(1))))
+        .head().getLong(0),
+      1L)
     val bf = train.stat.bloomFilter("g", expected, fpp)
     val bfBc = df.sparkSession.sparkContext.broadcast(bf)
     val probe = udf((s: String) => s != null && bfBc.value.mightContainString(s))
