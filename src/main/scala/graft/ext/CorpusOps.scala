@@ -120,6 +120,43 @@ object CorpusOps {
       .orderBy(col(idCol))
   }
 
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb curation
+    * primitive): drop every line that occurs in ≥ `minDocs` DISTINCT
+    * documents (headers, footers, nav chrome), and rebuild each document
+    * from its surviving lines in original order. "Lines" are
+    * [[TextOps.chunk]] windows of `lineTokens` tokens, so the operator is
+    * corpus-agnostic about newline conventions. Output:
+    * (idCol, n_kept, cleaned) — every input doc appears, an
+    * all-boilerplate doc with n_kept=0 and cleaned=''.
+    *
+    * Scale shape: the line-frequency aggregate has map-side partials; the
+    * boilerplate set is by construction the corpus's highest-frequency
+    * lines — a tiny relation that AQE broadcasts into the keep-join. The
+    * per-doc rebuild sorts a bounded in-memory array (lines of ONE doc),
+    * not a shuffle sort. */
+  def lineDedup(df: DataFrame, lineTokens: Int, minDocs: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = TextOps.chunk(df, lineTokens, 0, idCol, textCol)
+      .select(col(idCol), col("chunk_id").as("line_id"),
+        col("chunk").as("line"))
+    val boiler = lines.groupBy(col("line"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("line")).withColumn("__b", lit(1))
+    val rebuilt = lines.join(boiler, Seq("line"), "left")
+      .filter(col("__b").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_id"), col("line")))),
+          x => x.getField("line")), "\n").as("cleaned"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col(idCol))
+  }
+
   /** (idCol, split, g): one row per distinct word `n`-gram per document,
     * tagged with the document's deterministic train/val/test split. */
   private def gramsBySplit(df: DataFrame, n: Int, textCol: String,

@@ -117,6 +117,13 @@ object TextOps {
         phoneRe, "<PHONE>"),
       ipv4Re, "<IP>")
 
+  /** Whitespace/control normalization — the first pass of every text
+    * curation pipeline: C0 control chars (tab, CR, NUL, …) become spaces,
+    * space runs collapse to one, ends are trimmed. Pure codegen'd regex
+    * chain (Java∩RE2 subset), scan-speed. */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " "))
+
   /** All `http(s)://…` URLs in a text (space-delimited, like the PII
     * patterns a Java∩RE2 common-subset regex — same string runs on Spark
     * and DuckDB). */

@@ -1924,6 +1924,115 @@ object Queries {
       |            THEN 1 ELSE 0 END AS keep
       |FROM base ORDER BY doc_id""".stripMargin
 
+  /** Line-level boilerplate dedup ([[graft.ext.CorpusOps.lineDedup]]) —
+    * a constant 6-token header is PLANTED on every doc (the corpus has no
+    * newline convention), so the operator must detect it as boilerplate
+    * (present in ≥3 distinct docs), drop it, and rebuild every doc from
+    * its surviving 6-token lines in order. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(lit("begin shared header boiler plate line "), col("text"))
+        .as("text"))
+    graft.ext.CorpusOps.lineDedup(planted, lineTokens = 6, minDocs = 3L)
+  }
+
+  private val q80Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         'begin shared header boiler plate line ' || text AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     x -> LEN(x) > 0) AS tk
+      |  FROM p),
+      |lines AS (
+      |  SELECT doc_id, i AS line_id,
+      |         ARRAY_TO_STRING(tk[(i*6+1):(i*6+6)], ' ') AS line
+      |  FROM (SELECT doc_id, tk,
+      |               UNNEST(RANGE(0, GREATEST(CAST(CEIL(LEN(tk)/6.0) AS INT),
+      |                                        1))) AS i
+      |        FROM toks)),
+      |boiler AS (
+      |  SELECT line FROM lines GROUP BY line
+      |  HAVING COUNT(DISTINCT doc_id) >= 3),
+      |kept AS (
+      |  SELECT l.doc_id, l.line_id, l.line
+      |  FROM lines l LEFT JOIN boiler b USING (line)
+      |  WHERE b.line IS NULL),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         STRING_AGG(line, CHR(10) ORDER BY line_id) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |       COALESCE(a.cleaned, '') AS cleaned
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** LOCF gap-fill (last observation carried forward) — the standard
+    * time-series repair step before feature extraction: NULLs are PLANTED
+    * on every third event, then each user's series is filled from its
+    * last non-null value in (ts, event_id) order. One key-partitioned
+    * window, no self-join — the running-frame `last(ignoreNulls)` is
+    * O(1) per row. Leading NULLs (no predecessor) stay NULL. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").withColumn("v",
+      when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        col("v").isNull.cast("int").as("was_null"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q81Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_null,
+      |       LAST_VALUE(v IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS value_filled
+      |FROM ev ORDER BY event_id""".stripMargin
+
+  /** Whitespace/control normalization ([[graft.ext.TextOps.normalizeWs]])
+    * over text with PLANTED tab/CR/double-space noise (the corpus is
+    * clean ASCII) — the curation pipeline's first pass, as a pure
+    * codegen'd regex projection. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(col("text"), expr("char(9)"), lit("  tabbed  value "),
+        expr("char(13)")).as("txt"))
+    planted.select(col("doc_id"),
+        length(col("txt")).as("n_raw"),
+        graft.ext.TextOps.normalizeWs(col("txt")).as("normed"))
+      .withColumn("n_norm", length(col("normed")))
+      .select(col("doc_id"), col("n_raw"), col("n_norm"), col("normed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q82Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         text || CHR(9) || '  tabbed  value ' || CHR(13) AS txt
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, txt,
+      |         TRIM(REGEXP_REPLACE(REGEXP_REPLACE(txt, '[\x00-\x1f]', ' ',
+      |                                            'g'),
+      |                             ' +', ' ', 'g')) AS normed
+      |  FROM p)
+      |SELECT doc_id, CAST(LEN(txt) AS INTEGER) AS n_raw,
+      |       CAST(LEN(normed) AS INTEGER) AS n_norm, normed
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2016,5 +2125,8 @@ object Queries {
     QueryDef("q77_url_extract", q77, Some(q77Sql)),
     QueryDef("q78_char_entropy", q78, Some(q78Sql)),
     QueryDef("q79_cluster_canonical", q79, Some(q79Sql)),
+    QueryDef("q80_line_dedup", q80, Some(q80Sql)),
+    QueryDef("q81_gap_fill", q81, Some(q81Sql)),
+    QueryDef("q82_normalize_ws", q82, Some(q82Sql)),
   )
 }

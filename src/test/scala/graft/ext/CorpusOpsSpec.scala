@@ -104,6 +104,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("lineDedup: drops shared lines, rebuilds in order, keeps empty docs") {
+    val sql = spark
+    import sql.implicits._
+    // 2-token lines; "x y" opens all three docs → boilerplate at minDocs=3.
+    val docs = Seq(
+      (1L, "x y a b c d"),   // lines: "x y" | "a b" | "c d"
+      (2L, "x y a b"),       // lines: "x y" | "a b"  ("a b" in 2 docs only)
+      (3L, "x y")            // all-boilerplate doc
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, lineTokens = 2, minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (2L, "a b\nc d"))
+    assert(out(2L) == (1L, "a b"))
+    assert(out(3L) == (0L, ""))
+  }
+
   test("redactPii: masks emails, phones, IPv4s; counts via regexp_count") {
     val sql = spark
     import sql.implicits._
