@@ -144,12 +144,20 @@ object TextOps {
     * Output: (idCol, n_chars, n_distinct_chars, entropy_nats).
     *
     * Determinism across engines: H = ln(n) − Σ c·ln(c) / n, with the sum
-    * taken over per-char counts in CHARACTER-SORTED order via a
-    * sequential HOF fold — both engines add the same doubles in the same
-    * order, so the 4dp digest is stable (a plain SUM() over groups has
-    * engine-dependent accumulation order). Scale shape: one explode +
-    * two key-local hash aggregations; the per-doc count array is bounded
-    * by the alphabet (~100 entries), never by document length. */
+    * accumulated over per-char counts in CHARACTER-SORTED order — both
+    * engines add the same doubles in the same order, so the 4dp digest is
+    * stable (a plain SUM() over groups has engine-dependent accumulation
+    * order).
+    *
+    * Scale shape: one explode + two hash aggregations — and that is the
+    * RIGHT 100 TB shape, not a compromise: the per-(doc, char) partial
+    * aggregate runs map-side BEFORE the exchange, so only ~alphabet rows
+    * per document ever shuffle (the exploded chars never leave their scan
+    * partition). The tempting "pure projection" alternative — per-row
+    * sorted-char run-length fold — shuffles nothing extra but pays an
+    * interpreted HOF pass over EVERY character and measured 4× slower at
+    * sf0.1; the count array here is bounded by the alphabet, never by
+    * document length. */
   def charEntropy(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
