@@ -243,4 +243,45 @@ object SimilarityOps {
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest centroid,
+    * then compare pairs ONLY within a cell — a row is a duplicate iff some
+    * lower-id row in the same cell has cosine ≥ `tau`. `dup_of` is the
+    * smallest such id (the kept representative); dedup = `keep = 1`.
+    *
+    * Scale shape: centroids broadcast (assignment never shuffles the
+    * corpus); the pair join is keyed on `cell`, so the quadratic is
+    * bounded by cell size — corpus/k on average, never all-pairs. That
+    * cell-bounding is the whole point of clustering before comparing:
+    * at 100 TB the cell is also the layout bucket, so the self-join is
+    * co-partitioned. Cosines are half-up rounded to 4dp BEFORE the
+    * threshold so the keep/drop decision is engine-exact.
+    *
+    * `corpus` needs (`vec_id`, `embedding`); `centroids` (`cid`, `ce`)
+    * with double-array `ce` (e.g. from [[kmeansCentroids]]). */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+      tau: Double = 0.999): DataFrame = {
+    val assigned = corpus
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col("vec"), col("ce")))
+      .groupBy(col("vec_id"))
+      // Ties (exact duplicate of a centroid row) break to the lowest cid
+      // on both engines: order by (cos, -cid) descending.
+      .agg(max_by(struct(col("cid"), col("vec")),
+        struct(col("cos"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"), col("best.vec").as("vec"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"), col("vec").as("v1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"), col("vec").as("v2"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(floor(cosine(col("v1"), col("v2")) * 10000 + lit(0.5)) / 10000 >= tau)
+      .groupBy(col("id2")).agg(min(col("id1")).as("dup_of"))
+    assigned.join(dups, assigned("vec_id") === dups("id2"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dup_of").isNull, 1).otherwise(0).cast("int").as("keep"),
+        col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
 }

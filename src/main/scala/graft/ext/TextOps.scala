@@ -124,6 +124,40 @@ object TextOps {
   def normalizeWs(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1f]", " "), " +", " "))
 
+  /** HTML/markup boilerplate removal — strip `<…>` tags, then decode the
+    * four entities that dominate web-scraped corpora (`&lt; &gt; &nbsp;
+    * &amp;` — amp LAST so `&amp;lt;` decodes to the literal `&lt;`, the
+    * standard single-pass order), then collapse the whitespace the removed
+    * tags leave behind. Pure codegen'd regex/replace chain (Java∩RE2
+    * subset), scan-speed — the cheap first pass before a real DOM
+    * extractor for the rows that still look like markup afterwards. */
+  def stripMarkup(text: Column): Column = {
+    val untagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      untagged, "&lt;", "<"), "&gt;", ">"), "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  /** Hashing-trick linear text scorer — the fastText-style shape of a
+    * quality classifier (bag of hashed tokens × weight vector) with a
+    * deterministic weight function standing in for trained weights, so the
+    * ARCHITECTURE (hash → bucket → weight-sum → sign) is real and
+    * engine-exact while no model file is needed. Per token: base-31
+    * polynomial hash mod 1e9+7 (the [[rollingFingerprint]] arithmetic),
+    * bucket = hash mod `buckets`, weight = a Knuth-LCG of the bucket
+    * recentered to [-2^30, 2^30). Integer end to end → exact oracle.
+    * Swapping in trained weights = replacing the LCG with a broadcast
+    * `buckets`-sized lookup array; the plan shape does not change.
+    * All in-projection HOFs: no explode, no shuffle, scan-speed. */
+  def hashClassifierScore(text: Column, buckets: Int = 1024): Column = {
+    val tokHash = (t: Column) => aggregate(
+      transform(split(t, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+    val weight = (h: Column) =>
+      (h % buckets) * 2654435761L % 2147483648L - 1073741824L
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + weight(tokHash(t)))
+  }
+
   /** All `http(s)://…` URLs in a text (space-delimited, like the PII
     * patterns a Java∩RE2 common-subset regex — same string runs on Spark
     * and DuckDB). */

@@ -2033,6 +2033,124 @@ object Queries {
       |       CAST(LEN(normed) AS INTEGER) AS n_norm, normed
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup semantic dedup ([[graft.ext.SimilarityOps.semDedup]], Abbas
+    * et al. 2023) over planted exact duplicates: embeddings unioned with
+    * copies of vec_id < 20 (ids +1000), explicit centroids (vec_id < 8),
+    * τ = 0.999 on 4dp-rounded cosine. Pairs are compared only within a
+    * centroid cell (the cell-bounded quadratic that makes SemDeDup viable
+    * at corpus scale); the planted copies land in their original's cell and
+    * come back `keep = 0, dup_of = original`. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val toD = (c: Column) => transform(c, (x: Column) => x.cast("double"))
+    val emb = t(s, d, "embeddings")
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), toD(col("embedding")).as("ce"))
+    graft.ext.SimilarityOps.semDedup(corpus, cents, tau = 0.999)
+  }
+
+  private val q83Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, v FROM e
+      |  UNION ALL
+      |  SELECT vec_id + 1000 AS vec_id, v FROM e WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |s AS (
+      |  SELECT u.vec_id, u.v, c.cid,
+      |         LIST_COSINE_SIMILARITY(u.v, c.cv) AS cos
+      |  FROM u, c),
+      |a AS (
+      |  SELECT vec_id, v, cid,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                            ORDER BY cos DESC, cid) AS rk
+      |  FROM s),
+      |m AS (SELECT vec_id, v, cid AS cell FROM a WHERE rk = 1),
+      |p AS (
+      |  SELECT b.vec_id AS id2, MIN(a.vec_id) AS dup_of
+      |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE FLOOR(LIST_COSINE_SIMILARITY(a.v, b.v) * 10000 + 0.5) / 10000
+      |        >= 0.999
+      |  GROUP BY b.vec_id)
+      |SELECT m.vec_id, m.cell,
+      |       CAST(CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER)
+      |         AS keep,
+      |       p.dup_of
+      |FROM m LEFT JOIN p ON m.vec_id = p.id2
+      |ORDER BY m.vec_id""".stripMargin
+
+  /** HTML/markup boilerplate removal ([[graft.ext.TextOps.stripMarkup]])
+    * over deterministically planted tags + entities — strip `<…>`, decode
+    * `&lt; &gt; &nbsp; &amp;` (amp last), collapse the leftover
+    * whitespace. Pure codegen'd regex chain. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(lit("<html><p class=\"d\">"), col("text"),
+        lit("</p><br/>&amp; 1 &lt; 2 &nbsp;</html>")).as("txt"))
+    planted.select(col("doc_id"),
+        length(col("txt")).as("n_raw"),
+        graft.ext.TextOps.stripMarkup(col("txt")).as("clean"))
+      .withColumn("n_clean", length(col("clean")))
+      .select(col("doc_id"), col("n_raw"), col("n_clean"), col("clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q84Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         '<html><p class="d">' || text
+      |           || '</p><br/>&amp; 1 &lt; 2 &nbsp;</html>' AS txt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, txt,
+      |         TRIM(REGEXP_REPLACE(
+      |           REPLACE(REPLACE(REPLACE(REPLACE(
+      |             REGEXP_REPLACE(txt, '<[^>]*>', ' ', 'g'),
+      |             '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
+      |           ' +', ' ', 'g')) AS clean
+      |  FROM p)
+      |SELECT doc_id, CAST(LEN(txt) AS INTEGER) AS n_raw,
+      |       CAST(LEN(clean) AS INTEGER) AS n_clean, clean
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Hashing-trick linear quality scorer ([[graft.ext.TextOps
+    * .hashClassifierScore]]) — the fastText architecture with
+    * deterministic LCG weights: token → base-31 hash → 1024-way bucket →
+    * recentered weight, summed per doc, sign = label. Integer end to end
+    * → exact oracle; swapping in trained weights is a broadcast lookup
+    * with the same plan shape. */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+        size(graft.ext.TextOps.tokens(col("text"))).as("n_tokens"),
+        graft.ext.TextOps.hashClassifierScore(col("text")).as("score"))
+      .withColumn("label", (col("score") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+
+  private val q85Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     t -> LEN(t) > 0) AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(LEN(toks) AS INTEGER) AS n_tokens,
+      |         CAST(LIST_REDUCE(
+      |           LIST_PREPEND(CAST(0 AS BIGINT), LIST_TRANSFORM(toks, t ->
+      |             (LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(t, ''),
+      |                                         c -> CAST(ORD(c) AS BIGINT)),
+      |                          (a, b) -> (a * 31 + b) % 1000000007)
+      |              % 1024) * 2654435761 % 2147483648 - 1073741824)),
+      |           (a, b) -> a + b) AS BIGINT) AS score
+      |  FROM t)
+      |SELECT doc_id, n_tokens, score,
+      |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2128,5 +2246,8 @@ object Queries {
     QueryDef("q80_line_dedup", q80, Some(q80Sql)),
     QueryDef("q81_gap_fill", q81, Some(q81Sql)),
     QueryDef("q82_normalize_ws", q82, Some(q82Sql)),
+    QueryDef("q83_semdedup", q83, Some(q83Sql)),
+    QueryDef("q84_markup_strip", q84, Some(q84Sql)),
+    QueryDef("q85_hash_classifier", q85, Some(q85Sql)),
   )
 }

@@ -79,4 +79,36 @@ class SimilarityOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(b1.toSeq == b2.toSeq)
     assert(b1.forall(b => b >= 0 && b < 256))
   }
+
+  test("semDedup: same-cell near-dups dropped to lowest-id rep, cross-direction pairs kept") {
+    // Two 1-D-ish cells: c0 = x-axis, c1 = y-axis.
+    val cents = Seq((0L, Array(1.0d, 0.0d)), (1L, Array(0.0d, 1.0d)))
+      .toDF("cid", "ce")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cell 0, kept (lowest id)
+      (2L, Array(2.0f, 0.0f)),   // cell 0, cos(1,2) = 1 → dup of 1
+      (3L, Array(0.9f, 0.4f)),   // cell 0, cos to 1 = 0.9139 < τ → kept
+      (4L, Array(0.0f, 1.0f)),   // cell 1, kept
+      (5L, Array(0.0f, 3.0f))    // cell 1, dup of 4
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(corpus, cents, tau = 0.999)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((1, -1L)))
+    assert(out(2L) == ((0, 1L)))
+    assert(out(3L) == ((1, -1L)))
+    assert(out(4L) == ((1, -1L)))
+    assert(out(5L) == ((0, 4L)))
+  }
+
+  test("semDedup: chain dedups to the first representative, not transitively re-kept") {
+    val cents = Seq((0L, Array(1.0d, 0.0d))).toDF("cid", "ce")
+    // All colinear → all in cell 0, all pairwise cos = 1.
+    val corpus = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(4.0f, 0.0f)),
+      (12L, Array(0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(corpus, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 1, -1L), (11L, 0, 10L), (12L, 0, 10L)))
+  }
 }
