@@ -272,6 +272,13 @@ object SimilarityOps {
       .agg(max_by(struct(col("cid"), col("vec")),
         struct(col("cos"), -col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("best.vec").as("vec"))
+      // The self-join + final left join reference `assigned` three times;
+      // without a materialization Spark re-derives the scan→assign subtree
+      // for each reference (three corpus passes + three argmax shuffles).
+      // localCheckpoint pins it to ONE pass. In a persisted deployment the
+      // equivalent is writing the assignment bucketed by `cell`
+      // (Layout.writeBucketed), which also co-partitions the pair join.
+      .localCheckpoint()
     val a = assigned.select(col("cell"), col("vec_id").as("id1"), col("vec").as("v1"))
     val b = assigned.select(col("cell"), col("vec_id").as("id2"), col("vec").as("v2"))
     val dups = a.join(b, Seq("cell"))
