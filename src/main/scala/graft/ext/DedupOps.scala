@@ -231,4 +231,64 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("id1"), col("id2"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every word k-gram, slide a window of `w`
+    * consecutive k-gram hashes, keep each window's MINIMUM. Guarantee
+    * MinHash doesn't give: any shared token run of ≥ k+w-1 tokens leaves
+    * at least one identical fingerprint in both documents, while keeping
+    * only ~2/(w+1) of the gram hashes. Both hash levels are the base-31
+    * polynomial mod 1e9+7 — engine-exact, reproducible anywhere.
+    *
+    * All in-projection HOFs over materialized columns (`th`, `kh` are
+    * bound once per row — not recomputed per lambda iteration, the r6
+    * lesson). Docs shorter than k+w-1 tokens have no window → dropped.
+    * Output: (id, fps: array<long>, distinct). */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val M = 1000000007L
+    val tokHash = (t: Column) => aggregate(
+      transform(split(t, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => (a * 31 + c) % M)
+    docs
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .withColumn("th", transform(col("toks"), tokHash))
+      .withColumn("kh", transform(
+        sequence(lit(1), size(col("th")) - (k - 1)),
+        i => aggregate(slice(col("th"), i, lit(k)), lit(0L),
+          (a, x) => (a * 31 + x) % M)))
+      .select(col("id"), array_distinct(transform(
+        sequence(lit(1), size(col("kh")) - (w - 1)),
+        i => array_min(slice(col("kh"), i, lit(w))))).as("fps"))
+  }
+
+  /** Shared-winnowed-fingerprint candidate pairs — exact-substring-overlap
+    * detection (the Lee et al. 2022 dedup family, at fingerprint rather
+    * than suffix-array cost): explode fingerprints, build per-fingerprint
+    * buckets, pair WITHIN buckets only, count shared fingerprints per
+    * pair. Fingerprints held by more than `maxDf` docs are corpus
+    * boilerplate — they'd pair everything with everything, so they're
+    * dropped (the same quadratic-guard role as the LSH degenerate-bucket
+    * cap; at 100 TB this cap is what bounds the bucket join). One corpus
+    * pass: pairs come from `collect_list` buckets (bounded by `maxDf`),
+    * not a bucket self-join re-deriving the scan. */
+  def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 4, w: Int = 4,
+      maxDf: Int = 50, minShared: Long = 2L): DataFrame =
+    winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("id"), explode_outer(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode_outer(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id1"), col("id2"))
 }

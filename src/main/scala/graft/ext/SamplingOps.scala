@@ -52,4 +52,33 @@ object SamplingOps {
       .withColumn("rel_weight", floor(weight * 10000 + lit(0.5)) / 10000)
       .orderBy(col(sourceCol))
   }
+
+  /** Deterministic epoch upsampling — materialize the temperature
+    * rebalance [[sourceMixWeights]] describes: every doc of source `s`
+    * is repeated `min(round((n_max/n_s)^alpha), cap)` times (the largest
+    * source runs one epoch; smaller sources proportionally more, capped
+    * so a tiny source can't explode the corpus).
+    *
+    * Shape at scale: the per-source copy plan is a #sources-row aggregate
+    * joined back via BROADCAST; the repetition itself is a projection-time
+    * `explode(sequence(1, n_copies))` — no shuffle of the corpus, output
+    * flows straight to the sink. Copy counts are integer-exact (integer
+    * ratio through one IEEE pow), so the materialized corpus is
+    * reproducible. Output: input row + (n_copies, copy_idx). */
+  def epochUpsample(df: DataFrame, sourceCol: String = "source",
+      alpha: Double = 0.5, cap: Int = 8): DataFrame = {
+    require(cap >= 1)
+    val wAll = Window.partitionBy()
+    val inv = max(col("n_docs")).over(wAll).cast("double") /
+      col("n_docs").cast("double")
+    val plan = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_copies",
+        least(floor(pow(inv, lit(alpha)) + lit(0.5)).cast("int"), lit(cap)))
+      .select(col(sourceCol), col("n_copies"))
+    df.join(broadcast(plan), sourceCol)
+      // sequence(1, n_copies) is never empty (n_copies ≥ 1) — _outer per
+      // the r6 generate rule (no inferred pre-filter duplicating it).
+      .withColumn("copy_idx",
+        explode_outer(sequence(lit(1), col("n_copies"))))
+  }
 }

@@ -92,7 +92,20 @@ object GraftExtensions {
     dialectEntry("seconds_between", 2)(a =>
       TimestampDiff("SECOND", a(1), a.head)),
     dialectEntry("days_between", 2)(a =>
-      TimestampDiff("DAY", a(1), a.head))) ++ variadicDialectFunctions
+      TimestampDiff("DAY", a(1), a.head)),
+    // Like seconds/days_between: complete periods via TimestampDiff (the
+    // Exasol fractional-tail nuance is a documented divergence).
+    dialectEntry("minutes_between", 2)(a =>
+      TimestampDiff("MINUTE", a(1), a.head)),
+    dialectEntry("hours_between", 2)(a =>
+      TimestampDiff("HOUR", a(1), a.head)),
+    // No months_between entry: Spark's BUILTIN months_between already has
+    // the Oracle/Exasol fractional semantics — shadowing it would change
+    // existing Spark SQL.
+    dialectEntry("years_between", 2)(a =>
+      TimestampDiff("YEAR", a(1), a.head)),
+    dialectEntry("week", 1)(delegate("weekofyear"))) ++
+      variadicDialectFunctions
 
   // Variadic Exasol functions that SHADOW a Spark builtin of the same name:
   // the overlapping arity keeps the builtin's exact expression (so existing
@@ -138,7 +151,16 @@ object GraftExtensions {
         case Seq(s, fmt) => ToNumber(s, fmt)
         case _ => throw new IllegalArgumentException(
           s"to_number(string[, fmt]) takes 1-2 arguments, got ${args.length}")
-      }}))
+      }}),
+    // MID(string, position[, length]) — Exasol's SUBSTR spelling.
+    (FunctionIdentifier("mid"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "mid"),
+      { args: Seq[Expression] =>
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException(
+            s"mid(string, position[, length]) takes 2-3 arguments, got ${args.length}")
+        delegate("substring")(args)
+      }))
 
   /** Register on an already-built session (the injection path above only
     * runs at session build). Skips if already registered.

@@ -2151,6 +2151,77 @@ object Queries {
       |       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS label
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Winnowing shared-substring candidate pairs ([[graft.ext.DedupOps
+    * .winnowPairs]], Schleimer et al. SIGMOD 2003): word 4-gram hashes,
+    * window-of-4 minima, pairs sharing ≥2 df-capped fingerprints. The
+    * guarantee: any shared run of ≥7 tokens leaves an identical
+    * fingerprint in both docs — exact-substring sensitivity the MinHash
+    * family can't give. Fires on the corpus's real boilerplate lines. */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    graft.ext.DedupOps.winnowPairs(t(s, d, "documents"))
+
+  private val q86Sql =
+    """WITH t AS (
+      |  SELECT doc_id AS id,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     x -> LEN(x) > 0) AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT id,
+      |         LIST_TRANSFORM(toks, t -> LIST_REDUCE(
+      |           LIST_PREPEND(CAST(0 AS BIGINT),
+      |             LIST_TRANSFORM(STRING_SPLIT(t, ''),
+      |                            c -> CAST(ORD(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 1000000007)) AS th
+      |  FROM t WHERE LEN(toks) >= 7),
+      |g AS (
+      |  SELECT id,
+      |         LIST_TRANSFORM(RANGE(1, LEN(th) - 2), i -> LIST_REDUCE(
+      |           LIST_PREPEND(CAST(0 AS BIGINT), th[i:i+3]),
+      |           (a, b) -> (a * 31 + b) % 1000000007)) AS kh
+      |  FROM f),
+      |wd AS (
+      |  SELECT id,
+      |         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(kh) - 2),
+      |                                      i -> LIST_MIN(kh[i:i+3]))) AS fps
+      |  FROM g),
+      |ex AS (SELECT id, UNNEST(fps) AS fp FROM wd),
+      |b AS (SELECT fp, COUNT(*) AS df FROM ex GROUP BY fp),
+      |kept AS (SELECT ex.id, ex.fp FROM ex JOIN b USING (fp)
+      |         WHERE df BETWEEN 2 AND 50),
+      |p AS (
+      |  SELECT a.id AS id1, c.id AS id2, COUNT(*) AS n_shared
+      |  FROM kept a JOIN kept c ON a.fp = c.fp AND a.id < c.id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared
+      |FROM p WHERE n_shared >= 2 ORDER BY id1, id2""".stripMargin
+
+  /** Deterministic epoch upsampling ([[graft.ext.SamplingOps
+    * .epochUpsample]], α = 1 full equalization, cap 4) over the skewed
+    * `lang` strata — the materialization of a temperature rebalance:
+    * broadcast per-stratum copy plan, projection-time
+    * `explode(sequence(1, n_copies))`, no corpus shuffle. Sliced to
+    * doc_id < 100 for the declared output. */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    graft.ext.SamplingOps
+      .epochUpsample(t(s, d, "documents"), "lang", alpha = 1.0, cap = 4)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"), col("n_copies"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+
+  private val q87Sql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |p AS (
+      |  SELECT lang,
+      |         LEAST(CAST(FLOOR(POW(CAST((SELECT MAX(n_docs) FROM c) AS DOUBLE)
+      |                               / n_docs, 1.0) + 0.5) AS INTEGER),
+      |               4) AS n_copies
+      |  FROM c)
+      |SELECT d.doc_id, d.lang, CAST(p.n_copies AS INTEGER) AS n_copies,
+      |       CAST(UNNEST(GENERATE_SERIES(1, p.n_copies)) AS INTEGER) AS copy_idx
+      |FROM documents d JOIN p USING (lang) WHERE d.doc_id < 100
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2249,5 +2320,7 @@ object Queries {
     QueryDef("q83_semdedup", q83, Some(q83Sql)),
     QueryDef("q84_markup_strip", q84, Some(q84Sql)),
     QueryDef("q85_hash_classifier", q85, Some(q85Sql)),
+    QueryDef("q86_winnow_pairs", q86, Some(q86Sql)),
+    QueryDef("q87_epoch_upsample", q87, Some(q87Sql)),
   )
 }

@@ -22,6 +22,13 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkTestBase {
     val total = docs.count()
     w.log("INFO", "corpus loaded", Some(total))
 
+    // 1b. Text repair first (r7): markup strip + whitespace/control
+    //     normalization — curation's first pass, pure projections.
+    val cleaned = docs.withColumn("text",
+      graft.ext.TextOps.normalizeWs(
+        graft.ext.TextOps.stripMarkup(col("text"))))
+    assert(cleaned.filter(col("text").rlike("<[^>]*>")).count() == 0)
+
     // 2. Language ID + quality features, joined on doc_id.
     val lang = graft.ext.TextOps.langScores(docs)
       .select(col("doc_id"), col("guessed_lang"))
@@ -78,6 +85,19 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("shard").count().collect().map(_.getLong(1))
     assert(shardSizes.length == 4 && shardSizes.max - shardSizes.min <= 1)
     w.log("INFO", "train shards", Some(shardSizes.sum))
+
+    // 8b. Epoch upsampling (r7): equalize the language mix of the train
+    //     set — copies bounded, copy_idx materialized, no corpus shuffle.
+    val upsampled = graft.ext.SamplingOps.epochUpsample(
+      train.select("doc_id", "text", "lang"), "lang", alpha = 1.0, cap = 4)
+    val perLang = upsampled.groupBy("lang").count()
+      .collect().map(_.getLong(1))
+    val rawPerLang = train.groupBy("lang").count()
+      .collect().map(_.getLong(1))
+    // the rebalance strictly narrows the stratum-size spread
+    assert(perLang.max.toDouble / perLang.min <
+      rawPerLang.max.toDouble / rawPerLang.min)
+    w.log("INFO", "epoch upsample", Some(upsampled.count()))
 
     // 9. Write the curated corpus; quick audit roundtrip.
     curated.select("doc_id", "text").write.parquet(s"$dir/curated")

@@ -91,4 +91,51 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("winnowing guarantee: a shared >= k+w-1 token run yields a shared fingerprint") {
+    val sql2 = spark
+    import sql2.implicits._
+    // 8-token common run (k+w-1 = 7) embedded in different contexts.
+    val common = "the quick brown fox jumps over lazy dogs"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $common delta epsilon"),
+      (2L, s"one two $common three four five six"),
+      (3L, "completely different text with nothing shared here at all ok")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.winnowPairs(docs, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: short docs dropped; df cap kills corpus boilerplate fingerprints") {
+    val sql2 = spark
+    import sql2.implicits._
+    val boiler = "all rights reserved by the example corp site"
+    val short = Seq((1L, "too few tokens here"), (2L, "too few tokens here"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.winnowFingerprints(short).count() == 0)
+    // The same run in FOUR docs with maxDf = 3: every shared fingerprint
+    // exceeds the cap -> no candidate pairs at all.
+    val four = (1L to 4L).map(i => (i, s"doc $i unique padding $boiler"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.winnowPairs(four, maxDf = 3, minShared = 1L).count() == 0)
+    // With the cap lifted the same corpus pairs everything.
+    assert(DedupOps.winnowPairs(four, maxDf = 50, minShared = 1L).count() == 6)
+  }
+
+  test("winnowFingerprints matches the hand-rolled two-level polynomial") {
+    val sql2 = spark
+    import sql2.implicits._
+    val text = "a bb ccc dd e ff g" // 7 tokens -> 4 k-grams -> 1 window
+    val M = 1000000007L
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    def kh(ts: Seq[String]): Long = ts.map(h).foldLeft(0L)((a, x) => (a * 31 + x) % M)
+    val toks = text.split(" ").toSeq
+    val expected = (0 to 3).map(i => kh(toks.slice(i, i + 4))).min
+    val out = DedupOps.winnowFingerprints(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getSeq[Long](1) == Seq(expected))
+  }
 }

@@ -47,4 +47,25 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq(("big", 100L, 1.0), ("small", 25L, 0.5),
       ("tiny", 4L, 0.2)))
   }
+
+  test("epochUpsample: copy counts from the stratum ratio, capped; rows multiplied") {
+    val sql = spark
+    import sql.implicits._
+    val df = (Seq.fill(8)("big") ++ Seq.fill(2)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    // alpha=1: big -> 8/8 = 1 copy; small -> 8/2 = 4 copies.
+    val out = SamplingOps.epochUpsample(df, "src", alpha = 1.0, cap = 8)
+    val perSrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc == Map("big" -> 8L, "small" -> 8L)) // equalized
+    // copy_idx enumerates 1..n_copies for every row
+    val idxs = out.filter($"src" === "small" && $"id" === 8L)
+      .select("copy_idx").collect().map(_.getInt(0)).sorted
+    assert(idxs.toSeq == Seq(1, 2, 3, 4))
+    // the cap bounds the multiplier
+    val capped = SamplingOps.epochUpsample(df, "src", alpha = 1.0, cap = 2)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("big" -> 8L, "small" -> 4L))
+  }
 }

@@ -68,6 +68,30 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(7) == 10L)
   }
 
+  test("r7 dialect additions: *_between, week, mid; builtin months_between untouched") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT hours_between(timestamp'2026-01-02 03:30:00',
+        |                     timestamp'2026-01-02 01:00:00') AS hb,
+        |       minutes_between(timestamp'2026-01-01 01:00:00',
+        |                       timestamp'2026-01-01 00:58:30') AS mb,
+        |       years_between(timestamp'2026-03-01 00:00:00',
+        |                     timestamp'2024-04-01 00:00:00') AS yb,
+        |       week(date'2026-01-08') AS wk,
+        |       mid('CORPORATE', 3, 4) AS m3,
+        |       mid('CORPORATE', 7) AS m2,
+        |       months_between(date'2026-02-15', date'2026-01-01') AS mob""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 2L)   // complete hours
+    assert(r.getLong(1) == 1L)   // complete minutes
+    assert(r.getLong(2) == 1L)   // complete years (11 months short of 2)
+    assert(r.getInt(3) == 2)     // ISO week of 2026-01-08
+    assert(r.getString(4) == "RPOR")
+    assert(r.getString(5) == "ATE")
+    // builtin months_between keeps its fractional Oracle semantics
+    assert(math.abs(r.getDouble(6) - 1.4516129) < 1e-6)
+  }
+
   test("INSTR / TRUNC / TO_NUMBER stragglers run via wrapper pass-through") {
     GraftExtensions.register(spark)
     val w = graft.wrapper.QueryWrapper(spark)
