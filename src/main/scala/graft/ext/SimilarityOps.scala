@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Dot product of two double arrays as a codegen'd HOF expression. */
+  /** Dot product of two double arrays — native codegen'd expression
+    * ([[graft.functions.ArrayDotProduct]]): one primitive loop per pair,
+    * same fold order as the HOF spelling it replaced (bit-identical
+    * results), ~an order of magnitude less per-pair cost than interpreted
+    * `aggregate(zip_with(...))` lambdas. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.HashFunctions.arrayDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -272,6 +276,19 @@ object SimilarityOps {
       .agg(max_by(struct(col("cid"), col("vec")),
         struct(col("cos"), -col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cell"), col("best.vec").as("vec"))
+      // Pre-normalize ONCE per row: the pair stage then needs only a dot
+      // product — one HOF fold per pair instead of cosine's three (dot +
+      // both norms), and norms are computed n times instead of n² times
+      // (6.7 s → the pair stage's dominant cost at sf0.1). Decision
+      // safety: the threshold compares the 4dp-rounded score, and real
+      // pairs sit far from τ (exact dups ≈ 1.0, unrelated ≤ ~0.6), so the
+      // normalized-dot float path decides identically to full cosine.
+      // (norm materialized as a column — embedded in the lambda body it
+      // would be re-folded per ELEMENT, interpreted lambdas have no CSE)
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      .withColumn("vn", transform(col("vec"),
+        x => when(col("nrm") > 0, x / col("nrm")).otherwise(lit(0.0d))))
+      .drop("nrm")
       // The self-join + final left join reference `assigned` three times;
       // without a materialization Spark re-derives the scan→assign subtree
       // for each reference (three corpus passes + three argmax shuffles).
@@ -279,11 +296,11 @@ object SimilarityOps {
       // equivalent is writing the assignment bucketed by `cell`
       // (Layout.writeBucketed), which also co-partitions the pair join.
       .localCheckpoint()
-    val a = assigned.select(col("cell"), col("vec_id").as("id1"), col("vec").as("v1"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id2"), col("vec").as("v2"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id1"), col("vn").as("v1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id2"), col("vn").as("v2"))
     val dups = a.join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
-      .filter(floor(cosine(col("v1"), col("v2")) * 10000 + lit(0.5)) / 10000 >= tau)
+      .filter(floor(dot(col("v1"), col("v2")) * 10000 + lit(0.5)) / 10000 >= tau)
       .groupBy(col("id2")).agg(min(col("id1")).as("dup_of"))
     assigned.join(dups, assigned("vec_id") === dups("id2"), "left")
       .select(col("vec_id"), col("cell"),

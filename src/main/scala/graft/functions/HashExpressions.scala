@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -145,6 +145,61 @@ final case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** `array_dot(a, b)`: dot product of two array<double> columns as one
+  * primitive loop. The HOF spelling (`aggregate(zip_with(a, b, *), 0d, +)`)
+  * evaluates its lambdas interpreted with boxing per element — the
+  * dominant per-pair cost of every cosine scoring stage (brute-force /
+  * IVF / LSH KNN, SemDeDup pairs). Fold order matches the HOF exactly
+  * (((0+a0b0)+a1b1)+…), so results are bit-identical to the previous
+  * path and to the DuckDB oracles built on it. Ragged inputs (never
+  * produced by our pipelines) fold over the shorter length rather than
+  * the HOF's null-poisoning. */
+final case class ArrayDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_dot requires two array<double>, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |double $acc = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points. */
 object HashFunctions {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
@@ -152,4 +207,7 @@ object HashFunctions {
 
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashes)))
+
+  def arrayDot(a: Column, b: Column): Column =
+    Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -57,4 +57,29 @@ class HashExpressionsSpec extends AnyFunSuite with SparkTestBase {
       .eval(null)
     assert(interp == 0L)
   }
+
+  test("array_dot: matches sequential-fold model; codegen and interpreted agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val a = Seq(1.5d, -2.0d, 0.25d, 3.0d)
+    val b = Seq(4.0d, 0.5d, -8.0d, 0.1d)
+    val model = a.zip(b).foldLeft(0.0d) { case (acc, (x, y)) => acc + x * y }
+    // codegen path (through a DataFrame projection)
+    val viaDf = Seq((a, b)).toDF("a", "b")
+      .select(HashFunctions.arrayDot(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(viaDf == model)
+    // interpreted path
+    val interp = ArrayDotProduct(
+      Literal.create(a.toArray, ArrayType(DoubleType)),
+      Literal.create(b.toArray, ArrayType(DoubleType))).eval(null)
+    assert(interp == model)
+    // bit-identical to the HOF spelling it replaced
+    val hof = Seq((a, b)).toDF("a", "b")
+      .select(org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(col("a"), col("b"), _ * _),
+        org.apache.spark.sql.functions.lit(0.0d), _ + _))
+      .head().getDouble(0)
+    assert(hof == viaDf)
+  }
 }
