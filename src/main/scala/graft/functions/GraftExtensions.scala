@@ -48,6 +48,13 @@ object GraftExtensions {
         require(args.length == 1,
           s"simhash64(hashes) takes 1 argument, got ${args.length}")
         SimHash64(args.head)
+      }),
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          s"array_dot(a, b) takes 2 arguments, got ${args.length}")
+        ArrayDotProduct(args.head, args(1))
       })) ++ dialectFunctions
 
   // ------------------------------------------------- Exasol dialect aliases

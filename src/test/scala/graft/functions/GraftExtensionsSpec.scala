@@ -68,6 +68,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(7) == 10L)
   }
 
+  test("array_dot reachable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 0.5D, -1.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == (4.0 + 1.0 - 3.0))
+  }
+
   test("r7 dialect additions: *_between, week, mid; builtin months_between untouched") {
     GraftExtensions.register(spark)
     val r = spark.sql(
@@ -124,7 +132,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     new GraftExtensions().apply(ext)
     val names =
       org.apache.spark.sql.graftbridge.Bridge.injectedFunctionNames(ext)
-    val expected = Set("minhash_signature", "simhash64", "zeroifnull",
+    val expected = Set("minhash_signature", "simhash64", "array_dot", "zeroifnull",
       "nullifzero", "hash_md5", "hash_sha1", "hash_sha256", "edit_distance",
       "add_days", "add_hours", "add_minutes", "add_seconds", "add_weeks",
       "add_years", "seconds_between", "days_between")
