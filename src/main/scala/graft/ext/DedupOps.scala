@@ -291,4 +291,49 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("id1"), col("id2"))
+
+  /** Incremental exact dedup — the nightly-append case: drop `batch` rows
+    * whose content already exists in `corpus`, where the corpus is orders
+    * of magnitude larger than the batch. The corpus is NEVER shuffled:
+    *
+    *  1. one corpus pass builds a tree-aggregated Bloom sketch of content
+    *     hashes (`stat.bloomFilter` — partial sketches merge at the
+    *     driver, no exchange);
+    *  2. batch rows failing the broadcast Bloom probe are DEFINITELY new
+    *     (Bloom has no false negatives) and ship without any join;
+    *  3. the few Bloom-positive rows verify against a second corpus scan
+    *     that is filtered to the (broadcast) candidate hash set and
+    *     anti-joined back — both join sides are batch-sized, so at fpp
+    *     0.01 the verify tier touches ~1% of an already-small batch.
+    *
+    * Two corpus scans, zero corpus shuffles, no state kept between runs.
+    * A deployment that persists the corpus hash column (or the sketch
+    * itself) drops to one/zero corpus scans; the shape here assumes
+    * nothing beyond the raw corpus. Exactness: the final decision is the
+    * anti-join on the 64-bit content hash — a Bloom false positive costs
+    * a verify-join row, never a wrongly-dropped one (dedup at the
+    * xxhash64-collision level, like every hash-dedup tier here). */
+  def dedupIncrement(batch: DataFrame, corpus: DataFrame,
+      textCol: String = "text", fpp: Double = 0.01,
+      expectedCorpus: Long = -1L): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val corpusH = corpus.select(h.as("__h"))
+    // stat.bloomFilter NPEs on an empty input (null aggregation buffer) —
+    // and with no corpus everything is new anyway.
+    if (corpusH.isEmpty) return batch
+    val expected = math.max(
+      if (expectedCorpus > 0) expectedCorpus else corpus.count(), 1L)
+    val bf = corpusH.stat.bloomFilter("__h", expected, fpp)
+    val bfBc = batch.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((x: Long) => bfBc.value.mightContainLong(x))
+    val hashed = batch.withColumn("__h", h)
+    val definitelyNew = hashed.filter(!probe(col("__h")))
+    val candidates = hashed.filter(probe(col("__h")))
+    val candHashes = candidates.select(col("__h")).distinct()
+    val confirmed = corpusH.join(broadcast(candHashes), Seq("__h"))
+      .select(col("__h")).distinct()
+    val verifiedNew =
+      candidates.join(broadcast(confirmed), Seq("__h"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("__h")
+  }
 }

@@ -124,6 +124,33 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(DedupOps.winnowPairs(four, maxDf = 50, minShared = 1L).count() == 6)
   }
 
+  test("dedupIncrement: known content dropped, new content kept, batch unchanged otherwise") {
+    val sql2 = spark
+    import sql2.implicits._
+    val corpus = Seq((1L, "existing doc one"), (2L, "existing doc two"),
+      (3L, "existing doc three")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "existing doc one"),    // exact dup of corpus content
+      (11L, "brand new doc"),
+      (12L, "existing doc three"),  // dup
+      (13L, "another new doc")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupIncrement(batch, corpus)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(11L, 13L))
+    // schema passes through untouched (no residual hash column)
+    assert(DedupOps.dedupIncrement(batch, corpus).columns.toSeq
+      == Seq("doc_id", "text"))
+    // empty corpus -> everything is new
+    assert(DedupOps.dedupIncrement(batch, corpus.filter($"doc_id" < 0))
+      .count() == 4)
+    // a high-fpp sketch (every probe positive) still decides exactly via
+    // the verify join
+    val noisy = DedupOps.dedupIncrement(batch, corpus, fpp = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(noisy.toSeq == Seq(11L, 13L))
+  }
+
   test("winnowFingerprints matches the hand-rolled two-level polynomial") {
     val sql2 = spark
     import sql2.implicits._
