@@ -2222,6 +2222,36 @@ object Queries {
       |FROM documents d JOIN p USING (lang) WHERE d.doc_id < 100
       |ORDER BY doc_id, copy_idx""".stripMargin
 
+  /** Incremental exact dedup ([[graft.ext.DedupOps.dedupIncrement]]) —
+    * nightly-append shape: corpus = doc_id < 400 (never shuffled: Bloom
+    * sketch + broadcast verify), batch = the remaining docs UNION planted
+    * copies of 20 corpus texts (ids +10000). The planted rows are the
+    * known dups and must vanish; the decision is the exact content-hash
+    * anti-join, the Bloom is only the join-free fast path. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("n_chars")))
+    graft.ext.DedupOps.dedupIncrement(batch, corpus)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q88Sql =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+      |batch AS (
+      |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text, n_chars
+      |  FROM documents WHERE doc_id < 20)
+      |SELECT b.doc_id, b.n_chars FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2322,5 +2352,6 @@ object Queries {
     QueryDef("q85_hash_classifier", q85, Some(q85Sql)),
     QueryDef("q86_winnow_pairs", q86, Some(q86Sql)),
     QueryDef("q87_epoch_upsample", q87, Some(q87Sql)),
+    QueryDef("q88_dedup_increment", q88, Some(q88Sql)),
   )
 }
