@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, explode_outer, udf}
 import graft.SparkTestBase
 
 /** Planted-duplicate tests for MinHash+LSH and SimHash (VERDICT r1 #9:
@@ -149,6 +150,45 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     val noisy = DedupOps.dedupIncrement(batch, corpus, fpp = 0.5)
       .collect().map(_.getLong(0)).sorted
     assert(noisy.toSeq == Seq(11L, 13L))
+  }
+
+  test("winnowing detection guarantee holds on randomized corpora (property)") {
+    val sql2 = spark
+    import sql2.implicits._
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      def randDoc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      // 30 random docs; docs 2i and 2i+1 for i < 5 share a planted run of
+      // exactly k+w-1 = 7 tokens at random offsets.
+      val runs = (0 until 5).map(_ => randDoc(7))
+      val docs = (0 until 30).map { i =>
+        val base = randDoc(10 + rnd.nextInt(10))
+        val withRun = if (i < 10) {
+          val run = runs(i / 2)
+          val at = rnd.nextInt(base.length + 1)
+          base.take(at) ++ run ++ base.drop(at)
+        } else base
+        (i.toLong, withRun.mkString(" "))
+      }.toDF("doc_id", "text")
+      // Brute-force ground truth: pairs sharing ANY 7-token window.
+      val window = udf((t: String) =>
+        t.split(" ").sliding(7).filter(_.length == 7)
+          .map(_.mkString(" ")).toSeq)
+      val wins = docs.select(col("doc_id"),
+        explode_outer(window(col("text"))).as("w7"))
+      val truth = wins.as("a").join(wins.as("b"),
+          col("a.w7") === col("b.w7") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = DedupOps.winnowPairs(docs, maxDf = 1000, minShared = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // The guarantee is one-directional: every true shared-run pair MUST
+      // be found (fingerprint collisions may add extra candidates).
+      assert(truth.subsetOf(found),
+        s"seed $seed missed: ${truth -- found}")
+      assert(truth.nonEmpty)
+    }
   }
 
   test("winnowFingerprints matches the hand-rolled two-level polynomial") {
