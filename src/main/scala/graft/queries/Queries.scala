@@ -2252,6 +2252,26 @@ object Queries {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
       |ORDER BY doc_id""".stripMargin
 
+  /** Skyline / Pareto frontier ([[graft.operators.Skyline.pareto]] — the
+    * engine behind Exasol's PREFERRING clause, translated for wrapper SQL
+    * by SqlCompat.translatePreferring): cheapest-for-their-size parts,
+    * HIGH p_size PLUS LOW p_retailprice. Two-phase mapPartitions skyline —
+    * local frontiers shuffle, the corpus doesn't; the oracle is the
+    * NOT-EXISTS dominance spelling. */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skyline.pareto(t(s, d, "part"),
+        Seq(("p_size", true), ("p_retailprice", false)))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  private val q89Sql =
+    """SELECT p_partkey, p_size, p_retailprice FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+      |ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2353,5 +2373,6 @@ object Queries {
     QueryDef("q86_winnow_pairs", q86, Some(q86Sql)),
     QueryDef("q87_epoch_upsample", q87, Some(q87Sql)),
     QueryDef("q88_dedup_increment", q88, Some(q88Sql)),
+    QueryDef("q89_skyline", q89, Some(q89Sql)),
   )
 }

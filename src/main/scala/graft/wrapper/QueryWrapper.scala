@@ -189,13 +189,16 @@ final class QueryWrapper private (
       case _ =>
         // Dialect translations, no-ops for Spark-native SQL:
         // CONNECT BY hierarchical queries → recursive CTE, then
+        // PREFERRING skyline → NOT-EXISTS dominance, then
         // GROUP_CONCAT → listagg, then the B10 Exasol datetime-format
         // dialect (the reference's own
         // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), QW:98) → Spark
         // patterns; TO_CHAR → date_format.
         val translated = SqlCompat.translateDatetimeFormats(
-          SqlCompat.translateGroupConcat(
-            SqlCompat.translateConnectBy(stmt).getOrElse(stmt)))
+          SqlCompat.translateGroupConcat {
+            val cb = SqlCompat.translateConnectBy(stmt).getOrElse(stmt)
+            SqlCompat.translatePreferring(cb).getOrElse(cb)
+          })
         val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>
           params.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => name -> v }

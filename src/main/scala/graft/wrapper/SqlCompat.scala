@@ -491,6 +491,83 @@ object SqlCompat {
     "(?i)\\bsys_connect_by_path\\s*\\(\\s*(\\w+)\\s*,\\s*'([^']*)'\\s*\\)".r
   private val IsLeafRe = "(?i)\\bconnect_by_isleaf\\b".r
 
+  private val PreferringKwRe = "(?i)\\bpreferring\\b".r
+  private val WhereKwRe = "(?i)\\bwhere\\b".r
+  private val OrderByKwRe = "(?i)\\border\\s+by\\b".r
+  private val PlusKwRe = "(?i)\\bplus\\b".r
+  private val PrefTermRe = "(?is)^\\s*(high|low)\\s+([\\w.`]+)\\s*$".r
+
+  /** Exasol `PREFERRING` (skyline) → ANSI NOT-EXISTS dominance.
+    *
+    * Supported subset (the ETL-common core): single-table
+    * `SELECT <list> FROM <tbl> [WHERE <cond>] PREFERRING <term> [PLUS
+    * <term>]* [ORDER BY ...]` with each term `HIGH <col>` or `LOW <col>`
+    * (plain column identifiers; `PRIOR TO`/`INVERSE`/partitioned
+    * preferences are out of scope and left untranslated). The WHERE text
+    * is replicated into the dominance subquery, where its unqualified
+    * column references bind to the inner scope — both the candidate and
+    * the dominator must satisfy it, which is PREFERRING's semantics
+    * (the skyline of the filtered set).
+    *
+    * The rewrite is the CORRECTNESS spelling: engines plan correlated
+    * non-equi NOT EXISTS as a (broadcast) nested loop, which is fine for
+    * wrapper pass-through sizes. The scale path for big frontiers is
+    * [[graft.operators.Skyline.pareto]] — the two-phase mapPartitions
+    * skyline where only local survivors shuffle. */
+  def translatePreferring(sql: String): Option[String] = {
+    val masked = maskNonTopLevel(sql)
+    val end = bodyEnd(sql)
+    for {
+      head <- SelectHeadRe.findFirstMatchIn(masked)
+      fromM <- FromKwRe.findFirstMatchIn(masked.substring(head.end, end))
+        .map(f => (head.end + f.start, head.end + f.end))
+      tblM <- TableAfterFromRe.findFirstMatchIn(masked.substring(fromM._2, end))
+      tblEnd = fromM._2 + tblM.end(1)
+      prefM <- PreferringKwRe.findFirstMatchIn(masked.substring(tblEnd, end))
+        .map(k => (tblEnd + k.start, tblEnd + k.end))
+      whereM = WhereKwRe.findFirstMatchIn(masked.substring(tblEnd, prefM._1))
+        .map(k => (tblEnd + k.start, tblEnd + k.end))
+      // Between table and (WHERE|PREFERRING): whitespace only — GROUP BY
+      // etc. combined with PREFERRING is out of the supported subset.
+      if sql.substring(tblEnd, whereM.map(_._1).getOrElse(prefM._1)).trim.isEmpty
+      orderM = OrderByKwRe.findFirstMatchIn(masked.substring(prefM._2, end))
+        .map(k => (prefM._2 + k.start, prefM._2 + k.end))
+      termsEnd = orderM.map(_._1).getOrElse(end)
+      termsRaw = sql.substring(prefM._2, termsEnd)
+      termsMasked = masked.substring(prefM._2, termsEnd)
+      terms = splitTopLevelKw(termsRaw, termsMasked, PlusKwRe)
+        .map(t => PrefTermRe.findFirstMatchIn(t)
+          .map(m => (m.group(1).toLowerCase == "high", m.group(2))))
+      if terms.nonEmpty && !terms.exists(_.isEmpty)
+    } yield {
+      val dims = terms.flatten
+      val table = sql.substring(fromM._2 + tblM.start(1), fromM._2 + tblM.end(1))
+      val selectList = sql.substring(head.end, fromM._1).trim
+      val whereTxt = whereM.map(w => sql.substring(w._2, prefM._1).trim)
+      val ge = dims.map { case (hi, c) =>
+        s"__sky1.$c ${if (hi) ">=" else "<="} __sky0.$c" }.mkString(" AND ")
+      val gt = dims.map { case (hi, c) =>
+        s"__sky1.$c ${if (hi) ">" else "<"} __sky0.$c" }.mkString(" OR ")
+      val innerWhere = whereTxt.map(w => s"($w) AND ").getOrElse("")
+      val outerWhere = whereTxt.map(w => s"($w) AND ").getOrElse("")
+      val orderTail = orderM.map(o => " " + sql.substring(o._1, end)).getOrElse("")
+      s"SELECT $selectList FROM $table __sky0 WHERE ${outerWhere}NOT EXISTS (" +
+        s"SELECT 1 FROM $table __sky1 WHERE $innerWhere($ge) AND ($gt))" +
+        orderTail
+    }
+  }
+
+  /** Split `raw` on top-level occurrences of a keyword located in the
+    * parallel `maskedText` (same offsets). */
+  private def splitTopLevelKw(raw: String, maskedText: String,
+      kw: scala.util.matching.Regex): Seq[String] = {
+    val cuts = kw.findAllMatchIn(maskedText).map(m => (m.start, m.end)).toSeq
+    val bounds = ((0, 0) +: cuts :+ ((raw.length, raw.length)))
+    bounds.sliding(2).map { case Seq((_, s), (e, _)) =>
+      raw.substring(s, e)
+    }.toSeq
+  }
+
   /** Split on top-level AND keywords (outside strings/comments/parens). */
   private def splitTopLevelAnd(s: String): Seq[String] = {
     val masked = maskNonTopLevel(s)
