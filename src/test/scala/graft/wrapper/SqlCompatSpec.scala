@@ -643,4 +643,33 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     assert(Set("y,z", "z,y").contains(rows.head._3)) // DISTINCT order free
     assert(rows(1) == (("b", "x", "x")))
   }
+
+  test("PREFERRING translation: shape, WHERE replication, guarded negatives") {
+    val out = SqlCompat.translatePreferring(
+      "SELECT a, b FROM t PREFERRING HIGH a PLUS LOW b ORDER BY a")
+    assert(out.isDefined)
+    val sql = out.get
+    assert(sql.contains("NOT EXISTS"))
+    assert(sql.contains("__sky1.a >= __sky0.a"))
+    assert(sql.contains("__sky1.b <= __sky0.b"))
+    assert(sql.contains("__sky1.a > __sky0.a OR __sky1.b < __sky0.b"))
+    assert(sql.trim.endsWith("ORDER BY a"))
+    // WHERE is replicated into the dominance subquery
+    val withWhere = SqlCompat.translatePreferring(
+      "SELECT a FROM t WHERE a > 3 PREFERRING HIGH a").get
+    assert(withWhere.contains("__sky0 WHERE (a > 3) AND NOT EXISTS"))
+    assert(withWhere.contains("__sky1 WHERE (a > 3) AND"))
+    // negatives: keyword inside a string literal; subquery source;
+    // unsupported term form; GROUP BY between table and PREFERRING
+    assert(SqlCompat.translatePreferring(
+      "SELECT 'PREFERRING HIGH x' AS s FROM t").isEmpty)
+    assert(SqlCompat.translatePreferring(
+      "SELECT * FROM (SELECT 1) PREFERRING HIGH x").isEmpty)
+    assert(SqlCompat.translatePreferring(
+      "SELECT * FROM t PREFERRING HIGH a PRIOR TO LOW b").isEmpty)
+    assert(SqlCompat.translatePreferring(
+      "SELECT a FROM t GROUP BY a PREFERRING HIGH a").isEmpty)
+    assert(SqlCompat.translatePreferring(
+      "SELECT a FROM t WHERE a > 1").isEmpty)
+  }
 }
