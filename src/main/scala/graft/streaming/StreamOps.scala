@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -180,6 +181,34 @@ object StreamOps {
       .groupByKey(_.key)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         fn)(Encoders.product[Scd2State], Encoders.product[Scd2Closed])
+  }
+
+  /** CDC stream → partitioned table maintenance: every micro-batch
+    * upserts into a hive-partitioned parquet directory through
+    * [[graft.sources.PartitionedMerge.upsert]], so each trigger reads
+    * and rewrites ONLY the partitions that batch touched — the streaming
+    * materialization of a daily MERGE. Within a batch, `orderCol` picks
+    * the LAST change per key (a batch can carry several changes for one
+    * key; PartitionedMerge requires unique keys per ANSI). foreachBatch
+    * is the right tool, not a custom sink: the upsert is a batch
+    * operation per trigger, and Spark guarantees batch-id-ordered,
+    * effectively-once invocation with AvailableNow/checkpointing. */
+  def upsertStream(cdc: DataFrame, dir: String, partCol: String,
+      keyCols: Seq[String], orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    cdc.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val latest = batch
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk")
+        .drop(orderCol)
+      if (!latest.isEmpty) {
+        graft.sources.PartitionedMerge.upsert(
+          batch.sparkSession, dir, partCol, keyCols, latest)
+        ()
+      }
+    }
   }
 
   /** Tumbling-window event counts with watermarking — the canonical
