@@ -53,6 +53,31 @@ object SamplingOps {
       .orderBy(col(sourceCol))
   }
 
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis A-Res scheme (Inf. Proc. Letters 2006) with the
+    * uniform draw REPLACED by a hash of the row id, so the sample is a
+    * pure function of (ids, weights, salt): reproducible across runs,
+    * engines, partitionings, and appends of non-sampled rows, like every
+    * sampler here. Each row gets key `u^(1/w)` with
+    * `u = hash(id, salt) ∈ (0,1)`; the top-k keys ARE a weighted sample
+    * without replacement (P(first) = w_i/Σw, exactly).
+    *
+    * Scale shape: the key is a projection; top-k is
+    * `TakeOrderedAndProject` (per-partition heads + one merge, no global
+    * sort, no shuffle of the corpus). Weights must be > 0. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: Long = 0L): DataFrame = {
+    require(k >= 1)
+    // Knuth-LCG uniform in (0,1): strictly inside the open interval so
+    // pow() never sees 0 or 1.
+    val u = (pmod((col(idCol).cast("long") + salt) * 2654435761L,
+      lit(2147483647L)).cast("double") + 0.5d) / 2147483648.0d
+    df.withColumn("__key", pow(u, lit(1.0d) / col(weightCol).cast("double")))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Deterministic epoch upsampling — materialize the temperature
     * rebalance [[sourceMixWeights]] describes: every doc of source `s`
     * is repeated `min(round((n_max/n_s)^alpha), cap)` times (the largest

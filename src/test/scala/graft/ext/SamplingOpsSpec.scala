@@ -48,6 +48,35 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
       ("tiny", 4L, 0.2)))
   }
 
+  test("weightedSample: deterministic, partitioning-invariant, weight-sensitive") {
+    val sql = spark
+    import sql.implicits._
+    // 200 light rows (w=1) + 20 heavy rows (w=50)
+    val df = ((1L to 200L).map((_, 1.0)) ++ (201L to 220L).map((_, 50.0)))
+      .toDF("id", "w")
+    val a = SamplingOps.weightedSample(df, "id", "w", 30)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = SamplingOps.weightedSample(df.repartition(7), "id", "w", 30)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b) // reproducible and partitioning-invariant
+    // heavy rows carry 5x the total mass of the light rows -> they must
+    // dominate the sample (all 20 drawn into a k=30 sample on any
+    // reasonable draw; the hash seed is fixed so this is deterministic)
+    assert(a.count(_ > 200L) >= 15)
+    // a different salt gives a different (but again deterministic) sample
+    val c = SamplingOps.weightedSample(df, "id", "w", 30, salt = 7L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(c != a)
+    assert(c.count(_ > 200L) >= 15)
+    // appending rows never evicts differently-hashed history: the keys of
+    // existing rows are unchanged, so the sample only changes where new
+    // rows out-rank old ones
+    val grown = SamplingOps.weightedSample(
+      df.unionByName(Seq((900L, 0.001)).toDF("id", "w")), "id", "w", 30)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(grown == a) // near-zero-weight newcomer cannot displace anything
+  }
+
   test("epochUpsample: copy counts from the stratum ratio, capped; rows multiplied") {
     val sql = spark
     import sql.implicits._
