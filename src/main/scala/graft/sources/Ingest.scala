@@ -102,4 +102,18 @@ object Ingest {
     nullValue.foreach(v => reader = reader.option("nullValue", v))
     split(reader.csv(lines), schema)
   }
+
+  /** Row-level provenance for audit/replay: attach the source file path
+    * and the row's index WITHIN that file from the scan's `_metadata`
+    * struct (constant-folded by the reader — no shuffle, no
+    * monotonically_increasing_id instability across re-runs: the pair
+    * (file, row_index) is stable for an immutable input). Call on a
+    * freshly-read file-source DataFrame, BEFORE any transformation drops
+    * the metadata column. */
+  def withProvenance(df: org.apache.spark.sql.DataFrame,
+      pathCol: String = "src_file",
+      indexCol: String = "src_row"): org.apache.spark.sql.DataFrame =
+    df.select(org.apache.spark.sql.functions.col("*"),
+      org.apache.spark.sql.functions.col("_metadata.file_path").as(pathCol),
+      org.apache.spark.sql.functions.col("_metadata.row_index").as(indexCol))
 }

@@ -41,4 +41,25 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
     assert(res.good.count() == 2)
     assert(res.quarantined.collect().map(_.getString(0)).toSeq == Seq("oops,beta"))
   }
+
+  test("withProvenance: stable (file, row_index) pairs, replay-addressable") {
+    val dir = Files.createTempDirectory("ingp").toString
+    val sql = spark
+    import sql.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(2).write.parquet(s"$dir/t")
+    def load() = Ingest.withProvenance(spark.read.parquet(s"$dir/t"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("src_file"), r.getAs[Long]("src_row")))
+      .toMap
+    val first = load()
+    assert(first.keySet == Set(1L, 2L, 3L))
+    assert(first.values.forall(_._1.endsWith(".parquet")))
+    // stable across re-reads (unlike monotonically_increasing_id)
+    assert(load() == first)
+    // rows in the same file get distinct indices
+    first.values.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.distinct.size == rows.size)
+    }
+  }
 }
