@@ -220,4 +220,36 @@ object CorpusOps {
         r4(col("n_hits").cast("double") / greatest(col("n_grams"), lit(1L))))
       .orderBy(col(idCol))
   }
+
+  /** Unigram-LM log-probability quality score — the CCNet-style
+    * perplexity proxy: a Laplace-smoothed unigram model fit on the
+    * deterministic train split ([[SplitOps.assignSplit]]) scores every
+    * test document. `p(tok) = (df + 1) / (N + V)`.
+    *
+    * Determinism: each token's log-prob is floored to integer MICRO-nats
+    * BEFORE aggregation, so the per-doc score is an order-independent
+    * integer SUM — no cross-partition float reduction (the q75 digest
+    * trick applied to log space). Shapes: one token-keyed join of the
+    * test explode against the train counts (both map-side combined);
+    * `N + V` is a 1-row aggregate read once at plan-build. Docs with no
+    * tokens produce no output row. */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = SplitOps.assignSplit(docs, idCol)
+      .select(col(idCol), col("split"),
+        explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val counts = toks.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val t = counts.agg(sum(col("df")).as("n"), count(lit(1)).as("v")).head()
+    val denom = (t.getLong(0) + t.getLong(1)).toDouble
+    toks.filter(col("split") === "test")
+      .join(counts, Seq("tok"), "left")
+      .withColumn("unats", floor(
+        log((coalesce(col("df"), lit(0L)) + 1).cast("double") / denom)
+          * 1000000).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("unats")).as("sum_unats"))
+      .orderBy(col(idCol))
+  }
 }

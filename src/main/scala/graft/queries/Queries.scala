@@ -2272,6 +2272,39 @@ object Queries {
       |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
       |ORDER BY p_partkey""".stripMargin
 
+  /** Unigram-LM log-prob quality scores ([[graft.ext.CorpusOps
+    * .unigramLogProb]]) — the CCNet-style perplexity proxy over the q60
+    * hash split: Laplace-smoothed train-split model, per-token
+    * micro-nat flooring BEFORE the sum (order-independent integer
+    * digest). */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.unigramLogProb(t(s, d, "documents"))
+
+  private val q90Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+      |              THEN 'train'
+      |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+      |              THEN 'val' ELSE 'test' END AS split,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     x -> LEN(x) > 0) AS toks
+      |  FROM documents),
+      |t AS (SELECT doc_id, split, UNNEST(toks) AS tok FROM d),
+      |counts AS (
+      |  SELECT tok, COUNT(*) AS df FROM t WHERE split = 'train'
+      |  GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(df) + COUNT(*) AS BIGINT) AS denom
+      |        FROM counts),
+      |test AS (SELECT doc_id, tok FROM t WHERE split = 'test')
+      |SELECT test.doc_id, COUNT(*) AS n_toks,
+      |       CAST(SUM(CAST(FLOOR(LN(
+      |              CAST(COALESCE(counts.df, 0) + 1 AS DOUBLE)
+      |              / (SELECT denom FROM tot)) * 1000000) AS BIGINT))
+      |            AS BIGINT) AS sum_unats
+      |FROM test LEFT JOIN counts USING (tok)
+      |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2374,5 +2407,6 @@ object Queries {
     QueryDef("q87_epoch_upsample", q87, Some(q87Sql)),
     QueryDef("q88_dedup_increment", q88, Some(q88Sql)),
     QueryDef("q89_skyline", q89, Some(q89Sql)),
+    QueryDef("q90_unigram_logprob", q90, Some(q90Sql)),
   )
 }

@@ -161,4 +161,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, 2L, 1L, 4L, 0.5),    // the(3)+dog(1)
       (3L, 2L, 0L, 5L, 0.0)))   // the(3)+cat(2)
   }
+
+  test("unigramLogProb: hand-computed micro-nat sums; val/train docs excluded") {
+    val sql2 = spark
+    import sql2.implicits._
+    // id 11 hashes to the test split, id 22 to val, the rest to train
+    // (Fibonacci-hash buckets 95 and 94).
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"),            // train: a:3 b:1 c:1, N=5 V=3
+      (11L, "a b z"),                        // test
+      (22L, "ignored val words")             // val -> no output
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.unigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // denom = 8; terms: ln(4/8), ln(2/8), ln(1/8) floored at 1e6
+    val expected = Seq(math.log(0.5), math.log(0.25), math.log(0.125))
+      .map(l => math.floor(l * 1000000).toLong).sum
+    assert(out.toSeq == Seq((11L, 3L, expected)))
+  }
 }
