@@ -2305,6 +2305,22 @@ object Queries {
       |FROM test LEFT JOIN counts USING (tok)
       |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin
 
+  /** The PREFERRING dialect end-to-end THROUGH the wrapper (the q58
+    * pattern applied to B10f): the Exasol skyline clause ships as SQL
+    * text, [[graft.wrapper.SqlCompat.translatePreferring]] rewrites it to
+    * NOT-EXISTS dominance, and the result must hash-match the same
+    * dominance spelling in DuckDB (and q89's operator output). */
+  private def q89b(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "part").createOrReplaceTempView("q89b_part")
+    val w = graft.wrapper.QueryWrapper(s)
+    val (ok, res) = w.query(
+      """SELECT p_partkey, p_size, p_retailprice FROM q89b_part
+        |PREFERRING HIGH p_size PLUS LOW p_retailprice
+        |ORDER BY p_partkey""".stripMargin)
+    require(ok, res.errorMessage)
+    res.dataFrame.get
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2407,6 +2423,7 @@ object Queries {
     QueryDef("q87_epoch_upsample", q87, Some(q87Sql)),
     QueryDef("q88_dedup_increment", q88, Some(q88Sql)),
     QueryDef("q89_skyline", q89, Some(q89Sql)),
+    QueryDef("q89b_preferring_dialect", q89b, Some(q89Sql)),
     QueryDef("q90_unigram_logprob", q90, Some(q90Sql)),
   )
 }
