@@ -292,6 +292,50 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("id1"), col("id2"))
 
+  /** CROSS-corpus MinHash near-dup pairs — dedup one dataset AGAINST
+    * another (the "is my training set contaminated with this benchmark /
+    * that other crawl" shape, at document rather than n-gram
+    * granularity): same signature → band → bucket machinery as
+    * [[nearDupPairs]], but candidates only ever pair a LEFT doc with a
+    * RIGHT doc — the within-corpus quadratic never happens. Each side's
+    * bucket membership list is capped at `maxBucket` before the bucket
+    * join (the same degenerate-bucket guard), so a hot bucket costs at
+    * most `maxBucket²` pairs. Verification is exact Jaccard on the
+    * hashed shingle sets joined back by id. Returns
+    * (left_id, right_id, jaccard·4dp) ≥ `minJaccard`, ordered. */
+  def crossNearDupPairs(left: DataFrame, right: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 8, shingleSize: Int = 1,
+      minJaccard: Double = 0.0, maxBucket: Int = 64): DataFrame = {
+    def hashedOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"), hashShingles(shingles(col("__toks"), shingleSize)).as("hs"))
+    def bucketsOf(h: DataFrame, idsAs: String) = h
+      .select(col("id"),
+        posexplode_outer(bandKeys(minhashFromHashes(col("hs"), numHashes),
+          numHashes, bands)).as(Seq("band", "band_hash")))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("id")).as(idsAs))
+      .filter(size(col(idsAs)).between(1, maxBucket))
+    val lh = hashedOf(left)
+    val rh = hashedOf(right)
+    val candidates = bucketsOf(lh, "lids")
+      .join(bucketsOf(rh, "rids"), Seq("band", "band_hash"))
+      .select(explode_outer(expr(
+        """flatten(transform(lids, x ->
+          |  transform(rids, y -> struct(x AS id1, y AS id2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+    candidates
+      .join(lh.select(col("id").as("id1"), col("hs").as("s1")), "id1")
+      .join(rh.select(col("id").as("id2"), col("hs").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("s1"), col("s2")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+  }
+
   /** Incremental exact dedup — the nightly-append case: drop `batch` rows
     * whose content already exists in `corpus`, where the corpus is orders
     * of magnitude larger than the batch. The corpus is NEVER shuffled:

@@ -125,6 +125,29 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(DedupOps.winnowPairs(four, maxDf = 50, minShared = 1L).count() == 6)
   }
 
+  test("crossNearDupPairs: planted cross-corpus dup found, within-corpus pairs never emitted") {
+    val sql2 = spark
+    import sql2.implicits._
+    val phrase = "the quick brown fox jumps over the lazy dog again today"
+    val train = Seq(
+      (1L, phrase),
+      (2L, phrase + " extra"),   // near-dup of 1 WITHIN train — must not pair
+      (3L, "completely unrelated words about database engines and joins")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, phrase),            // exact cross-corpus dup of 1 (and near 2)
+      (101L, "nothing in common with anything at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.crossNearDupPairs(train, bench, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (l, r, j) => l == 1L && r == 100L && j == 1.0 })
+    // id1 is always from the left corpus, id2 from the right
+    assert(out.forall { case (l, r, _) => l < 100L && r >= 100L })
+    // the within-train near-dup (1,2) never appears
+    assert(!out.exists { case (l, r, _) => l < 100L && r < 100L })
+    assert(!out.exists(p => p._1 == 3L || p._2 == 101L))
+  }
+
   test("dedupIncrement: known content dropped, new content kept, batch unchanged otherwise") {
     val sql2 = spark
     import sql2.implicits._

@@ -63,6 +63,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("filters reach the scan and projections prune the read schema") {
+    // q02: the equality+range conjunction must be PushedFilters at the
+    // parquet scan, not a post-scan Filter only.
+    val p2 = run("q02_filter_conjunction").queryExecution.executedPlan.toString
+    assert(p2.contains("PushedFilters: ["), p2.linesIterator.take(5).mkString("\n"))
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p2).isDefined,
+      "expected at least one pushed filter on the events scan")
+    // q03: a 3-column projection over 16-column lineitem must prune the
+    // ReadSchema to the referenced columns (plus none extra).
+    val p3 = run("q03_projection_expr").queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p3).map(_.group(1)).getOrElse("")
+    val readCols = readSchema.split(",").map(_.takeWhile(_ != ':').trim).toSet
+    assert(readCols.nonEmpty && readCols.size <= 4,
+      s"q03 should read a handful of lineitem columns, got: $readCols")
+    assert(!readCols.contains("l_comment"), "untouched column was read")
+  }
+
   test("q47 exact percentiles run without a percentile aggregation buffer") {
     val plan = run("q47_percentiles").queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("percentile"))
