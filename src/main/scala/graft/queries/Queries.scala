@@ -2321,6 +2321,36 @@ object Queries {
     res.dataFrame.get
   }
 
+  /** Ordered funnel ([[graft.operators.Funnel.steps]]): how far each user
+    * got through view → click → purchase, each step strictly after the
+    * previous match. One user-keyed shuffle; per-user events stream
+    * through a sorted iterator (no collect_list). Oracle = the recursive
+    * MIN-after spelling, which greedy earliest-match provably equals. */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.steps(t(s, d, "events"),
+      Seq("view", "click", "purchase"))
+
+  private val q91Sql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |       GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id,
+      |       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+      |                 WHEN s2.user_id IS NOT NULL THEN 2
+      |                 WHEN s1.user_id IS NOT NULL THEN 1
+      |                 ELSE 0 END AS INTEGER) AS steps
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |       LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2425,5 +2455,6 @@ object Queries {
     QueryDef("q89_skyline", q89, Some(q89Sql)),
     QueryDef("q89b_preferring_dialect", q89b, Some(q89Sql)),
     QueryDef("q90_unigram_logprob", q90, Some(q90Sql)),
+    QueryDef("q91_funnel", q91, Some(q91Sql)),
   )
 }
