@@ -2351,6 +2351,37 @@ object Queries {
       |       LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Weekly cohort retention — the classic growth-analytics matrix: users
+    * cohorted by the week of their FIRST event, counted per
+    * (cohort_week, weeks_since) of later activity. Two hash aggregates
+    * (first-event per user, then the matrix) + one broadcast-join of the
+    * per-user cohort back onto events; integer arithmetic end to end. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohort, "user_id")
+      .withColumn("weeks_since",
+        floor(unix_micros(col("wk")).minus(unix_micros(col("cohort_wk")))
+          / lit(604800000000L)).cast("int"))
+      .groupBy(col("cohort_wk").cast("date").as("cohort_wk"),
+        col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_wk"), col("weeks_since"))
+  }
+
+  private val q92Sql =
+    """WITH e AS (
+      |  SELECT user_id, DATE_TRUNC('week', ts) AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+      |SELECT CAST(c.cohort_wk AS DATE) AS cohort_wk,
+      |       CAST(FLOOR((EPOCH_US(e.wk) - EPOCH_US(c.cohort_wk))
+      |                  / 604800000000) AS INTEGER) AS weeks_since,
+      |       COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2456,5 +2487,6 @@ object Queries {
     QueryDef("q89b_preferring_dialect", q89b, Some(q89Sql)),
     QueryDef("q90_unigram_logprob", q90, Some(q90Sql)),
     QueryDef("q91_funnel", q91, Some(q91Sql)),
+    QueryDef("q92_retention", q92, Some(q92Sql)),
   )
 }
