@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * OLD row (so `SET a = b, b = a` swaps), WHERE gates the assignment
   * per-row. Execution is read → transform → checkpoint to a temp location →
   * overwrite, which is exactly how an immutable-storage warehouse applies
-  * an UPDATE; rows_affected is the matched-row count. */
+  * an UPDATE; rows_affected is the matched-row count. On hive-partitioned
+  * targets the read and the overwrite are PARTITION-SCOPED whenever the
+  * statement provably confines its effects to a set of partitions (see the
+  * partition-scoped section) — untouched partitions' files are never read
+  * or replaced. */
 object SqlCompat {
 
   private val UpdateHeadRe = "(?is)^\\s*update\\s+([\\w.`]+)\\s+set\\s".r
@@ -108,25 +112,58 @@ object SqlCompat {
   }
 
   /** Execute a parsed UPDATE against a catalog table. Returns the matched
-    * row count (`rows_affected`). */
+    * row count (`rows_affected`).
+    *
+    * On a partitioned table whose assignments leave the partition columns
+    * alone, only the partitions holding matched rows are read and rewritten
+    * (see the partition-scoped section below) — the 100 TB shape of a
+    * nightly UPDATE against a date-partitioned fact table. Unpartitioned
+    * tables, and updates that move rows between partitions, take the
+    * full-table checkpoint-overwrite. */
   def runUpdate(spark: SparkSession, u: Update): Long = {
     val df = spark.table(u.table)
     val cond = u.where.map(expr).getOrElse(lit(true))
+    val pcols = partitionColsOf(spark, u.table)
+    // An assignment TO a partition column can move a row into a partition
+    // this path never read — only the full rewrite sees the destination.
+    val movesRows =
+      pcols.exists(pc => u.assignments.exists(_._1.equalsIgnoreCase(pc)))
+    if (pcols.nonEmpty && !movesRows) {
+      // Touched partitions = those holding matched rows. The discovery scan
+      // prunes when WHERE covers the partition column; either way the WRITE
+      // only ever rewrites partitions that contain a matched row.
+      val touched = df.filter(cond).select(pcols.map(col): _*)
+        .distinct().collect().toSeq
+      if (touched.isEmpty) return 0L // nothing matched → nothing written
+      val pruned = df.filter(touchedPredicate(pcols, touched))
+      val counts = pruned.agg(
+        count(lit(1)), count(when(cond, lit(1)))).head()
+      val ok = partitionScopedOverwrite(spark, u.table, pcols, touched,
+        applyAssignments(pruned, u, cond), expectedRows = counts.getLong(0),
+        mustCoverParts = Some(touched))
+      if (ok) return counts.getLong(1)
+      // Defensive only — an UPDATE preserves every pruned row, so the
+      // checks cannot fail unless the table changed under us.
+    }
     // One scan for both counts: total (staging validation) + matched.
     val counts = df.agg(
       count(lit(1)), count(when(cond, lit(1)))).head()
     val (total, affected) = (counts.getLong(0), counts.getLong(1))
+    checkpointOverwrite(spark, u.table, df, applyAssignments(df, u, cond),
+      expectedRows = total)
+    affected
+  }
 
-    val updated = df.select(df.columns.map { c =>
+  /** SET-list projection with old-row semantics (`SET a = b, b = a` swaps);
+    * WHERE gates each assignment per-row. */
+  private def applyAssignments(df: DataFrame, u: Update,
+      cond: Column): DataFrame =
+    df.select(df.columns.map { c =>
       u.assignments.find(_._1.equalsIgnoreCase(c)) match {
         case Some((_, e)) => when(cond, expr(e)).otherwise(col(c)).as(c)
         case None => col(c)
       }
     }.toSeq: _*)
-
-    checkpointOverwrite(spark, u.table, df, updated, expectedRows = total)
-    affected
-  }
 
   /** Checkpoint `transformed` to a staging dir on the TABLE'S filesystem
     * (visible to every executor — a driver-local temp dir is not, on a real
@@ -172,6 +209,82 @@ object SqlCompat {
     }
   }
 
+  // ------------------------------------------ partition-scoped execution
+  //
+  // When the target catalog table is hive-partitioned and the statement
+  // provably confines its effects to a driver-tiny set of partitions, the
+  // rewrite reads ONLY those partitions (an equality predicate over the
+  // touched values → `PartitionFilters` in the scan) and replaces ONLY
+  // their files (dynamic partition overwrite). A nightly MERGE touching 3
+  // of 3,000 date partitions must not read — let alone rewrite — the other
+  // 2,997. Same shape as [[graft.sources.PartitionedMerge]], wired into
+  // the SQL dialect path. Every safety check runs on an eagerly
+  // materialized checkpoint BEFORE the destructive write; a check that
+  // cannot be satisfied falls back to the full-table path having written
+  // nothing.
+
+  private def partitionColsOf(spark: SparkSession, table: String): Seq[String] =
+    scala.util.Try(
+      org.apache.spark.sql.graftbridge.Bridge.partitionColumnNames(spark, table))
+      .getOrElse(Nil)
+
+  /** OR-of-ANDs equality predicate over the touched partition-value tuples
+    * — the shape Spark's scan planning turns into `PartitionFilters`, so
+    * untouched partitions are never listed or read. */
+  private[wrapper] def touchedPredicate(pcols: Seq[String],
+      touched: Seq[org.apache.spark.sql.Row]): Column =
+    touched.map { r =>
+      pcols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Stage `transformed` as an eager local checkpoint (bounded by the
+    * TOUCHED partitions, never the table — the write below replaces the
+    * very files the plan reads), run the pre-write safety checks, then
+    * dynamic-partition-overwrite only the partitions present in the staged
+    * data. Returns false — having written NOTHING — when a check shows the
+    * statement's effects escape the touched set, so the caller can fall
+    * back to the full-table path. A row-count mismatch aborts hard, same
+    * as [[checkpointOverwrite]].
+    *
+    * Checks: (1) staged rows == expected; (2) every staged partition is in
+    * the touched set — an out-of-set partition in the output would make
+    * dynamic overwrite REPLACE an unread partition with only these rows;
+    * (3) every `mustCoverParts` partition still has ≥1 staged row — a
+    * partition whose rows all vanish is invisible to dynamic overwrite (no
+    * rows written → its old files survive); only a full rewrite clears it. */
+  private def partitionScopedOverwrite(spark: SparkSession, table: String,
+      pcols: Seq[String], touched: Seq[org.apache.spark.sql.Row],
+      transformed: DataFrame, expectedRows: Long,
+      mustCoverParts: Option[Seq[org.apache.spark.sql.Row]]): Boolean = {
+    val schema = spark.table(table).schema
+    val staged = transformed
+      .select(schema.map(f => col(f.name)).toSeq: _*).localCheckpoint(true)
+    val stagedRows = staged.count()
+    require(stagedRows == expectedRows,
+      s"staged partition-scoped rewrite of $table has $stagedRows rows, " +
+        s"expected $expectedRows — aborting before the destructive overwrite")
+    val stagedParts = staged.select(pcols.map(col): _*).distinct().collect()
+      .map(_.toSeq).toSet
+    val touchedSet = touched.map(_.toSeq).toSet
+    if (!stagedParts.subsetOf(touchedSet)) return false
+    if (mustCoverParts.exists(p => !p.map(_.toSeq).toSet.subsetOf(stagedParts)))
+      return false
+    // The catalog insert path reads the overwrite mode from the SESSION
+    // conf (the per-write option is only honored by path-based writes) —
+    // set dynamic for the duration of this statement and restore.
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try staged.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    true
+  }
+
   /** Whether the UPDATE target is a catalog table this path can serve. */
   def canHandle(spark: SparkSession, u: Update): Boolean =
     tableExists(spark, u.table)
@@ -199,10 +312,30 @@ object SqlCompat {
     tableExists(spark, d.table)
 
   /** DELETE FROM t [WHERE p] on a parquet catalog table: keep the
-    * complement, checkpoint, overwrite. Returns the deleted-row count. */
+    * complement, checkpoint, overwrite. Returns the deleted-row count.
+    *
+    * On a partitioned table only the partitions holding deleted rows are
+    * read and rewritten — unless a partition empties completely (dynamic
+    * overwrite cannot clear a partition it writes no rows into), which
+    * falls back to the full rewrite. */
   def runDelete(spark: SparkSession, d: Delete): Long = {
     val df = spark.table(d.table)
     val cond = d.where.map(expr).getOrElse(lit(true))
+    val pcols = partitionColsOf(spark, d.table)
+    if (pcols.nonEmpty) {
+      val touched = df.filter(cond).select(pcols.map(col): _*)
+        .distinct().collect().toSeq
+      if (touched.isEmpty) return 0L // nothing matched → nothing written
+      val pruned = df.filter(touchedPredicate(pcols, touched))
+      val counts = pruned.agg(
+        count(lit(1)), count(when(cond, lit(1)))).head()
+      val (total, affected) = (counts.getLong(0), counts.getLong(1))
+      val remaining = pruned.filter(coalesce(!cond, lit(true)))
+      val ok = partitionScopedOverwrite(spark, d.table, pcols, touched,
+        remaining, expectedRows = total - affected,
+        mustCoverParts = Some(touched))
+      if (ok) return affected
+    }
     val counts = df.agg(
       count(lit(1)), count(when(cond, lit(1)))).head()
     val (total, affected) = (counts.getLong(0), counts.getLong(1))
@@ -881,18 +1014,96 @@ object SqlCompat {
     * id` over a nondeterministic source plan would otherwise be free to
     * renumber between the two actions. Checkpointing truncates the lineage,
     * so re-evaluation is impossible by construction (an executor loss fails
-    * the statement instead of silently renumbering). */
+    * the statement instead of silently renumbering).
+    *
+    * On a partitioned target whose ON clause pins every partition column to
+    * a source-side column (`t.pc = s.x`), with no UPDATE assignment to a
+    * partition column and every INSERT writing the pinned source expression
+    * into it, the merge reads and rewrites ONLY the partitions named by the
+    * source's values — the nightly-MERGE-into-3-of-3000-date-partitions
+    * shape. Anything else takes the full-table path. */
   def runMerge(spark: SparkSession, m: Merge): Long = {
+    val pcols = partitionColsOf(spark, m.target)
+    val prune =
+      if (pcols.isEmpty) None
+      else mergePruneSourceExprs(spark, m, pcols).map(e => (pcols, e))
+    runMergeImpl(spark, m, prune)
+  }
+
+  private val QualEqRe =
+    "(?is)^\\s*([\\w`]+)\\s*\\.\\s*([\\w`]+)\\s*=\\s*([\\w`]+)\\s*\\.\\s*([\\w`]+)\\s*$".r
+
+  /** For each partition column, the SOURCE-side expression it is equated to
+    * by a top-level ON conjunct (`t.pc = s.x`, either order) — None unless
+    * EVERY partition column is pinned, no WHEN MATCHED UPDATE assigns one,
+    * and every WHEN NOT MATCHED INSERT writes the pinned source expression
+    * into it verbatim. Only such statements provably confine their effects
+    * to the source's partition values. */
+  private def mergePruneSourceExprs(spark: SparkSession, m: Merge,
+      pcols: Seq[String]): Option[Seq[String]] = {
+    def unq(s: String) = s.replace("`", "")
+    val conjuncts = splitTopLevelAnd(m.condition).flatMap {
+      case QualEqRe(a, ac, b, bc) => Seq(
+        (unq(a), unq(ac), s"${unq(b)}.${unq(bc)}"),
+        (unq(b), unq(bc), s"${unq(a)}.${unq(ac)}"))
+      case _ => Nil
+    }
+    val srcSide = pcols.map { pc =>
+      conjuncts.collectFirst {
+        case (al, c, other) if al.equalsIgnoreCase(m.targetAlias) &&
+            c.equalsIgnoreCase(pc) &&
+            other.split('.').head.equalsIgnoreCase(m.sourceAlias) => other
+      }
+    }
+    if (srcSide.exists(_.isEmpty)) return None
+    val exprs = srcSide.flatten
+    val updatesPc = m.clauses.exists {
+      case MatchedUpdate(_, assigns) => assigns.exists(a =>
+        pcols.exists(pc => unq(a._1).equalsIgnoreCase(pc) ||
+          unq(a._1).equalsIgnoreCase(s"${m.targetAlias}.$pc")))
+      case _ => false
+    }
+    if (updatesPc) return None
+    val tgtSchema = spark.table(m.target).schema
+    val insertsOk = m.clauses.forall {
+      case NotMatchedInsert(_, cols, values) =>
+        val names = cols.getOrElse(tgtSchema.map(_.name).toSeq)
+        pcols.zip(exprs).forall { case (pc, e) =>
+          names.zip(values).collectFirst {
+            case (n, v) if unq(n).equalsIgnoreCase(pc) => v
+          }.exists(v => unq(v).replaceAll("\\s+", "")
+            .equalsIgnoreCase(e.replaceAll("\\s+", "")))
+        }
+      case _ => true
+    }
+    if (insertsOk) Some(exprs) else None
+  }
+
+  private def runMergeImpl(spark: SparkSession, m: Merge,
+      prune: Option[(Seq[String], Seq[String])]): Long = {
     val tid = "__graft_tid"
     val smk = "__graft_smatch"
     val tgtSchema = spark.table(m.target).schema
-    val tgt = spark.table(m.target)
+    val srcBase = (if (m.sourceIsQuery) spark.sql(m.source)
+                   else spark.table(m.source))
+    val touched = prune.map { case (pcols, srcExprs) =>
+      (pcols, srcBase.alias(m.sourceAlias)
+        .select(srcExprs.map(expr): _*).distinct().collect().toSeq)
+    }
+    touched match { // empty source ⇒ no matches, no inserts ⇒ no-op
+      case Some((_, t)) if t.isEmpty => return 0L
+      case _ => ()
+    }
+    val tgtBase = touched match {
+      case Some((pcols, t)) =>
+        spark.table(m.target).filter(touchedPredicate(pcols, t))
+      case None => spark.table(m.target)
+    }
+    val tgt = tgtBase
       .withColumn(tid, monotonically_increasing_id())
       .localCheckpoint(true)
       .alias(m.targetAlias)
-    val src = (if (m.sourceIsQuery) spark.sql(m.source)
-               else spark.table(m.source))
-      .withColumn(smk, lit(1)).alias(m.sourceAlias)
+    val src = srcBase.withColumn(smk, lit(1)).alias(m.sourceAlias)
     val joined = tgt.join(src, expr(m.condition), "full_outer")
     val matched = col(tid).isNotNull && col(smk).isNotNull
 
@@ -963,9 +1174,26 @@ object SqlCompat {
       }.toSeq: _*))
 
     val result = inserted.fold(updated)(updated.unionByName(_))
-    checkpointOverwrite(spark, m.target, spark.table(m.target), result,
-      expectedRows = nMatched - nDeleted + nTgtOnly + nInserted)
-    nUpdated + nDeleted + nInserted
+    val expected = nMatched - nDeleted + nTgtOnly + nInserted
+    touched match {
+      case Some((pcols, t)) =>
+        // Partitions present in the (pruned) target must survive a
+        // DELETE-capable merge, and inserts must stay inside the source's
+        // partition values. Both are checked pre-write on the staged
+        // checkpoint; on failure nothing was written — run the full path.
+        val mustCover =
+          if (m.matchedDelete)
+            Some(tgt.select(pcols.map(col): _*).distinct().collect().toSeq)
+          else None
+        val ok = partitionScopedOverwrite(spark, m.target, pcols, t, result,
+          expected, mustCoverParts = mustCover)
+        if (ok) nUpdated + nDeleted + nInserted
+        else runMergeImpl(spark, m, None)
+      case None =>
+        checkpointOverwrite(spark, m.target, spark.table(m.target), result,
+          expectedRows = expected)
+        nUpdated + nDeleted + nInserted
+    }
   }
 
   // ---------------------------------------------------------------- B10:

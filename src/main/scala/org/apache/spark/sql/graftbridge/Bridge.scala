@@ -46,4 +46,14 @@ object Bridge {
     val ident = cs.sessionState.sqlParser.parseTableIdentifier(table)
     cs.sessionState.catalog.getTableMetadata(ident).location
   }
+
+  /** Partition column names of a catalog table (empty = unpartitioned).
+    * Lets the DML emulation decide whether a statement can be served by a
+    * touched-partition rewrite instead of a full-table one. */
+  def partitionColumnNames(spark: org.apache.spark.sql.SparkSession,
+      table: String): Seq[String] = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ident = cs.sessionState.sqlParser.parseTableIdentifier(table)
+    cs.sessionState.catalog.getTableMetadata(ident).partitionColumnNames
+  }
 }
