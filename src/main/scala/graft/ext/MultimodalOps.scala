@@ -24,11 +24,25 @@ final case class ResizedMedia(
     out_h: Int,
     pixels: Array[Float])
 
-/** Multimodal-column plumbing. The container ships no image/audio codecs,
-  * so the decode step is a clearly-marked deterministic STUB — but the
-  * Spark-side shape is the real one: binary columns with typed metadata,
-  * decode as `mapPartitions` (one codec/model init per partition, streaming
-  * batch iteration, no driver involvement), typed output schema. */
+/** A really-decoded image: dimensions, band count, and row-major grayscale
+  * pixels (raw sample values for 1-band images; ITU-R 601 luma of the RGB
+  * for multi-band). */
+final case class DecodedImage(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    pixels: Array[Float])
+
+/** Multimodal-column plumbing: binary columns with typed metadata, decode
+  * as `mapPartitions` (one codec init per partition, iterator-to-iterator
+  * streaming, no driver involvement), typed output schema.
+  *
+  * [[decodeImages]]/[[resizeImages]] are the REAL codec path — PNG/JPEG/
+  * BMP/GIF via `javax.imageio` (JDK-built-in, works headless). The
+  * byte-histogram [[decodeFeatures]] and square-ish [[resizePooled]] stay
+  * as the deterministic no-codec test doubles for payloads that are not
+  * images at all. */
 object MultimodalOps {
 
   /** Project a text table into the media shape: payload as `binary` +
@@ -38,6 +52,94 @@ object MultimodalOps {
       col("doc_id"),
       col(textCol).cast("binary").as("bytes"),
       lit("application/octet-stream").as("mime"))
+
+  /** REAL image decode: PNG/JPEG/BMP/GIF through `javax.imageio` inside
+    * the per-partition harness. Undecodable payloads (truncated files,
+    * non-image bytes, unknown formats) are dropped — quarantine them by
+    * anti-joining the output's `doc_id` back against the input. Grayscale
+    * extraction: 1-band rasters read their raw samples exactly (a gray PNG
+    * round-trips bit-perfectly); multi-band images take the ITU-R 601 luma
+    * of the sRGB pixel. */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    val typed = media.as(Encoders.product[MediaRow])
+    typed.mapPartitions { rows =>
+      // Per-partition codec init: disable ImageIO's disk-backed stream
+      // cache (executor tmp churn; payloads are already in memory).
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.bytes))
+          if (img == null) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            val px = new Array[Float](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                px(y * w + x) =
+                  if (bands == 1) raster.getSampleFloat(x, y, 0)
+                  else {
+                    val rgb = img.getRGB(x, y)
+                    0.299f * ((rgb >> 16) & 0xff) +
+                      0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+                  }
+                x += 1
+              }
+              y += 1
+            }
+            Some(DecodedImage(m.doc_id, w, h, bands, px))
+          }
+        } catch { case _: java.io.IOException => None }
+      }
+    }(Encoders.product[DecodedImage])
+  }
+
+  /** Average-pool a decoded image's REAL pixel grid into `outW`×`outH` —
+    * the production resize, fed by [[decodeImages]]. Same output-driven box
+    * sampling as [[resizePooled]] (each output cell averages its ≥1-pixel
+    * source block: downscale average-pools, upscale nearest-neighbors). */
+  def resizeImages(decoded: Dataset[DecodedImage], outW: Int,
+      outH: Int): Dataset[ResizedMedia] = {
+    require(outW > 0 && outH > 0)
+    decoded.mapPartitions { imgs =>
+      imgs.map(d => ResizedMedia(d.doc_id, outW, outH,
+        poolAvg(d.pixels, d.width, d.height, outW, outH)))
+    }(Encoders.product[ResizedMedia])
+  }
+
+  /** Output-driven box-sampled average pooling over a row-major `w`×`h`
+    * float grid. */
+  private def poolAvg(src: Array[Float], w: Int, h: Int, outW: Int,
+      outH: Int): Array[Float] = {
+    val out = new Array[Float](outW * outH)
+    if (src.isEmpty) return out
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * h / outH
+      val y1 = math.max(y0 + 1, (oy + 1) * h / outH)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * w / outW
+        val x1 = math.max(x0 + 1, (ox + 1) * w / outW)
+        var sum = 0.0; var cnt = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += src(y * w + x); cnt += 1; x += 1 }
+          y += 1
+        }
+        out(oy * outW + ox) = (sum / cnt).toFloat
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
 
   /** STUB decode, deterministic: dimensions derived from payload length,
     * features = normalized 16-bin byte histogram. Replace the body with the

@@ -73,4 +73,69 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestBase {
     val frames = out(0).getSeq[Array[Byte]](2)
     assert(frames.map(b => new String(b, "UTF-8")).mkString == "ac")
   }
+
+  /** Encode a row-major grayscale grid as real PNG bytes. */
+  private def grayPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: a real generated PNG round-trips its exact pixels") {
+    val px = Array(10, 20, 30, 40, 50, 60, 70, 80, 90) // 3x3
+    val m = Seq((1L, grayPng(3, 3, px), "image/png"))
+      .toDF("doc_id", "bytes", "mime")
+    val d = MultimodalOps.decodeImages(m).head()
+    assert(d.width == 3 && d.height == 3 && d.channels == 1)
+    assert(d.pixels.toSeq == px.map(_.toFloat).toSeq)
+  }
+
+  test("decodeImages: RGB JPEG decodes with correct dims; luma in range") {
+    val img = new java.awt.image.BufferedImage(
+      8, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 8)
+      img.setRGB(x, y, (x * 30 << 16) | (y * 40 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val m = Seq((7L, bos.toByteArray, "image/jpeg"))
+      .toDF("doc_id", "bytes", "mime")
+    val d = MultimodalOps.decodeImages(m).head()
+    assert(d.doc_id == 7L && d.width == 8 && d.height == 5 && d.channels == 3)
+    assert(d.pixels.length == 40 && d.pixels.forall(v => v >= 0f && v <= 255f))
+  }
+
+  test("decodeImages: undecodable payloads are dropped, not failed") {
+    val m = Seq(
+      (1L, grayPng(2, 2, Array(1, 2, 3, 4)), "image/png"),
+      (2L, "this is not an image".getBytes("UTF-8"), "text/plain"),
+      (3L, Array.empty[Byte], "application/octet-stream"))
+      .toDF("doc_id", "bytes", "mime")
+    val ids = MultimodalOps.decodeImages(m).collect().map(_.doc_id).toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("resizeImages: hand-computed average pooling of a real PNG") {
+    // 4x4 grid 0,10,…,150 → 2x2 pooling: each output cell averages its
+    // 2x2 source block.
+    val px = Array.tabulate(16)(_ * 10)
+    val m = Seq((1L, grayPng(4, 4, px), "image/png"))
+      .toDF("doc_id", "bytes", "mime")
+    val r = MultimodalOps.resizeImages(MultimodalOps.decodeImages(m), 2, 2).head()
+    assert(r.pixels.toSeq == Seq(
+      (0 + 10 + 40 + 50) / 4f, (20 + 30 + 60 + 70) / 4f,
+      (80 + 90 + 120 + 130) / 4f, (100 + 110 + 140 + 150) / 4f))
+  }
+
+  test("resizeImages: non-square upscale keeps real source values") {
+    val px = Array(100, 200) // 2x1
+    val m = Seq((1L, grayPng(2, 1, px), "image/png"))
+      .toDF("doc_id", "bytes", "mime")
+    val r = MultimodalOps.resizeImages(MultimodalOps.decodeImages(m), 4, 2).head()
+    assert(r.out_w == 4 && r.out_h == 2)
+    assert(r.pixels.toSeq == Seq(100f, 100f, 200f, 200f, 100f, 100f, 200f, 200f))
+  }
 }
