@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   *   - `localCheckpoint` between rounds keeps the lineage flat (n rounds
   *     would otherwise stack n projections over the original scan).
   *
-  * At real scale the standard production twist is batching the top-k
-  * non-conflicting pairs per round (k merges per corpus pass instead of
-  * one); the per-round shape is identical, so it is a driver-side change.
+  * At real scale the production variant is [[trainMergesBatched]]: the
+  * top-k token-disjoint pairs merge in ONE corpus pass (token-disjoint
+  * merges leave each other's pair counts invariant — destroying or
+  * creating an adjacency requires sharing a token — so their recorded
+  * counts match the sequential algorithm's). A 32k-merge vocabulary then
+  * costs ~32k/k corpus passes instead of 32k. [[trainMerges]] stays as the
+  * one-pair-per-round reference implementation the equality spec checks
+  * the batch against.
   */
 object BpeOps {
 
@@ -73,5 +78,65 @@ object BpeOps {
       round += 1
     }
     (merges.toList, cur.withColumnRenamed("__toks", "tokens"))
+  }
+
+  /** Batched merge induction: each round counts pairs ONCE, picks the top
+    * `batch` token-disjoint pairs by (count DESC, lexicographic), and
+    * applies them all in one projection — one corpus pass per round
+    * instead of per merge. A pair sharing a token with a higher-ranked
+    * chosen pair is deferred to a later round (its count would change
+    * under the earlier merge). Returns (ordered merge table, corpus with
+    * final `tokens`, rounds executed). With `batch = 1` the decisions are
+    * exactly [[trainMerges]]'s; with disjoint top pairs the merge table is
+    * identical at any batch size. */
+  def trainMergesBatched(docs: DataFrame, nMerges: Int, batch: Int,
+      textCol: String = "text"): (Seq[(String, String, Long)], DataFrame, Int) = {
+    require(nMerges >= 1 && batch >= 1)
+    var cur = docs
+      .withColumn("__toks", DedupOps.wordTokens(col(textCol)))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    var rounds = 0
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - merges.size)
+      // Over-fetch so conflict-skipped candidates don't starve the batch;
+      // driver-bounded (≤ 8·batch rows of two tokens + a count).
+      val top = cur
+        .filter(size(toksCol) >= 2)
+        .select(explode_outer(transform(
+          sequence(lit(1), size(toksCol) - 1),
+          i => struct(element_at(toksCol, i).as("l"),
+            element_at(toksCol, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(math.max(want * 8, 32)).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < top.length && chosen.size < want) {
+          val (l, r, n) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (!used(l) && !used(r)) { chosen += ((l, r, n)); used += l; used += r }
+          i += 1
+        }
+        merges ++= chosen
+        // Token-disjoint replacements cannot interact, so chaining them in
+        // one projection equals applying them corpus-pass-by-corpus-pass.
+        val replaced = chosen.foldLeft(concat_ws(" ", toksCol)) {
+          case (c, (l, r, _)) => regexp_replace(c,
+            "(?<=^| )" + java.util.regex.Pattern.quote(l + " " + r) + "(?=$| )",
+            java.util.regex.Matcher.quoteReplacement(l + "_" + r))
+        }
+        cur = cur
+          .withColumn("__toks", filter(split(replaced, " "), t => length(t) > 0))
+          .localCheckpoint()
+      }
+      rounds += 1
+    }
+    (merges.toList, cur.withColumnRenamed("__toks", "tokens"), rounds)
   }
 }

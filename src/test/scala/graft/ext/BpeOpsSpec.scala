@@ -52,4 +52,48 @@ class BpeOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head().getSeq[String](out.columns.indexOf("tokens"))
       == Seq("a$b_c*", "a$b_c*"))
   }
+
+  test("batched ≡ sequential when the top pairs are token-disjoint") {
+    // Four token-disjoint high-frequency pairs with distinct counts,
+    // separated by unique filler so a merge never creates a pair that
+    // outranks the remaining picks — the regime where batching is exact.
+    val docs = Seq(
+      (1L, "a b p1 a b p2 a b p3 a b p4 a b"),
+      (2L, "c d q1 c d q2 c d q3 c d"),
+      (3L, "e f r1 e f r2 e f"),
+      (4L, "g h s1 g h")
+    ).toDF("doc_id", "text")
+    val (seqMerges, seqOut) = BpeOps.trainMerges(docs, 4)
+    val (batMerges, batOut, rounds) = BpeOps.trainMergesBatched(docs, 4, batch = 4)
+    assert(batMerges == seqMerges)
+    assert(batMerges.map(m => (m._1, m._2)) ==
+      Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+    assert(batMerges.map(_._3) == Seq(5L, 4L, 3L, 2L))
+    val toks = (df: org.apache.spark.sql.DataFrame) => df.orderBy("doc_id")
+      .collect().map(_.getSeq[String](df.columns.indexOf("tokens"))).toSeq
+    assert(toks(batOut) == toks(seqOut))
+    // The whole vocabulary trained in ONE corpus pass instead of four:
+    assert(rounds == 1)
+  }
+
+  test("batched defers conflicting pairs to the next round") {
+    // (a,b) count 5 and (b,c) count 3 share token b: the round-1 batch may
+    // only take (a,b); (b,c) no longer exists after the merge (it became
+    // (a_b, c)), so round 2 must re-count rather than apply a stale pair.
+    val docs = Seq(
+      (1L, "a b c a b c a b c a b a b")
+    ).toDF("doc_id", "text")
+    val (merges, out, rounds) = BpeOps.trainMergesBatched(docs, 2, batch = 2)
+    assert(rounds == 2)
+    assert(merges.map(m => (m._1, m._2)) == Seq(("a", "b"), ("a_b", "c")))
+    assert(out.head().getSeq[String](out.columns.indexOf("tokens"))
+      == Seq("a_b_c", "a_b_c", "a_b_c", "a_b", "a_b"))
+  }
+
+  test("batch=1 matches trainMerges decisions exactly") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val (seqMerges, _) = BpeOps.trainMerges(docs, 3)
+    val (batMerges, _, rounds) = BpeOps.trainMergesBatched(docs, 3, batch = 1)
+    assert(batMerges == seqMerges && rounds == 3)
+  }
 }
