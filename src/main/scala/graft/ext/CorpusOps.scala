@@ -239,10 +239,19 @@ object CorpusOps {
       .select(col(idCol), col("split"),
         explode_outer(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok").isNotNull)
+    // Checkpointed because it is consumed twice (the N+V aggregate below
+    // and the per-token join) — vocabulary-bounded, never corpus-sized.
     val counts = toks.filter(col("split") === "train")
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val t = counts.agg(sum(col("df")).as("n"), count(lit(1)).as("v")).head()
-    val denom = (t.getLong(0) + t.getLong(1)).toDouble
+      .localCheckpoint()
+    // sum() over zero rows is NULL — coalesce, then fail an un-fittable
+    // (token-free) train split with a clear error instead of an NPE.
+    val t = counts.agg(coalesce(sum(col("df")), lit(0L)).as("n"),
+      count(lit(1)).as("v")).head()
+    val (n, v) = (t.getLong(0), t.getLong(1))
+    require(v > 0,
+      "unigramLogProb: the train split has no tokens — cannot fit a model")
+    val denom = (n + v).toDouble
     toks.filter(col("split") === "test")
       .join(counts, Seq("tok"), "left")
       .withColumn("unats", floor(

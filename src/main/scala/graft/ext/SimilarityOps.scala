@@ -269,7 +269,12 @@ object SimilarityOps {
     val assigned = corpus
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col("vec"), col("ce")))
+      // Round the assignment score to 4dp BEFORE the argmax, mirroring the
+      // rounding the pair threshold already applies: a near-tie between two
+      // centroids must pick the same cell on every engine (the repo's
+      // round-before-decision rule), not ride unrounded float noise.
+      .withColumn("cos",
+        floor(cosine(col("vec"), col("ce")) * 10000 + lit(0.5)) / 10000)
       .groupBy(col("vec_id"))
       // Ties (exact duplicate of a centroid row) break to the lowest cid
       // on both engines: order by (cos, -cid) descending.

@@ -2063,7 +2063,8 @@ object Queries {
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
       |s AS (
       |  SELECT u.vec_id, u.v, c.cid,
-      |         LIST_COSINE_SIMILARITY(u.v, c.cv) AS cos
+      |         FLOOR(LIST_COSINE_SIMILARITY(u.v, c.cv) * 10000 + 0.5) / 10000
+      |           AS cos
       |  FROM u, c),
       |a AS (
       |  SELECT vec_id, v, cid,

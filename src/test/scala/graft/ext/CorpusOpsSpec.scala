@@ -179,4 +179,16 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(l => math.floor(l * 1000000).toLong).sum
     assert(out.toSeq == Seq((11L, 3L, expected)))
   }
+
+  test("unigramLogProb: a token-free train split fails clearly, not with an NPE") {
+    val sql2 = spark
+    import sql2.implicits._
+    // Train-split docs (ids 1, 2) carry no tokens; the model is un-fittable
+    // and must say so instead of NPE-ing on a null SUM.
+    val docs = Seq((1L, ""), (2L, " "), (11L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.unigramLogProb(docs).collect()
+    }
+    assert(e.getMessage.contains("train split has no tokens"))
+  }
 }

@@ -50,4 +50,29 @@ class UpsertStreamSpec extends AnyFunSuite with SparkTestBase {
       .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
     assert(after.toSeq == untouched.toSeq)
   }
+
+  test("equal-orderCol changes resolve deterministically (replay-stable)") {
+    val dir = Files.createTempDirectory("upsert-tie").toString
+    Seq((1L, "a", "seed")).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(s"$dir/table")
+    // Two changes for k=1 with the SAME ts: the tie must break on the
+    // remaining columns (v desc), not on partition-iteration order — a
+    // replayed micro-batch re-running this decision must pick the same
+    // winner. Here 'y-wins' > 'x-loses' lexicographically.
+    Seq((1L, "a", "x-loses", 10L), (1L, "a", "y-wins", 10L))
+      .toDF("k", "part", "v", "ts")
+      .write.json(s"$dir/cdc")
+    val cdc = spark.readStream
+      .schema("k LONG, part STRING, v STRING, ts LONG")
+      .json(s"$dir/cdc")
+    val q = StreamOps
+      .upsertStream(cdc, s"$dir/table", "part", Seq("k", "part"), "ts")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val v = spark.read.parquet(s"$dir/table")
+      .filter(col("k") === 1L).select("v").head().getString(0)
+    assert(v == "y-wins")
+  }
 }
