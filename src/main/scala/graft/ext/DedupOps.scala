@@ -292,6 +292,60 @@ object DedupOps {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("id1"), col("id2"))
 
+  /** Duplicated-span EXCISION — the Lee et al. 2022 exact-substring-dedup
+    * output shape: any run of ≥ `minLen` tokens that occurs more than once
+    * in the corpus (across documents or repeated within one) is removed
+    * from every document holding it, and the document is emitted with the
+    * remaining tokens stitched back together. This is the operator for
+    * pipelines that KEEP documents but cut boilerplate passages, where
+    * [[winnowPairs]] only flags the document pairs.
+    *
+    * Determinism: all copies of a duplicated span are removed (Lee et
+    * al.'s keep-one-copy needs an occurrence order, which a distributed
+    * corpus doesn't have) — the decision depends only on corpus content.
+    *
+    * Scale shape: token windows are emitted per document (a `posexplode`
+    * projection), duplicated windows found by ONE `groupBy(gram)` exchange,
+    * matched back by a gram-keyed join (same key → AQE-reusable
+    * partitioning), and per-doc window starts collapse in a doc-keyed
+    * aggregate whose `collect_list` is bounded by the document's own token
+    * count. Nothing is quadratic; no suffix array is materialized. Exact
+    * gram strings shuffle here for oracle-exact semantics — a 100 TB
+    * deployment would shuffle a pair of independent 64-bit gram hashes
+    * instead (collision-safe in tandem) at minLen× lower shuffle width.
+    *
+    * Output: (idCol, n_toks, n_removed, clean), one row per input doc. */
+  def exciseDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 5): DataFrame = {
+    require(minLen >= 1)
+    val base = docs.select(col(idCol).as("__id"),
+      wordTokens(col(textCol)).as("__toks"))
+    val grams = base.filter(size(col("__toks")) >= minLen)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(1), size(col("__toks")) - (minLen - 1)),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(minLen))))))
+      .toDF("__id", "__pos0", "__gram")
+    val dupGrams = grams.groupBy(col("__gram"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .select(col("__gram"))
+    val starts = grams.join(dupGrams, Seq("__gram"))
+      .select(col("__id"), (col("__pos0") + 1).as("__start")) // 1-based
+    val flagged = starts.groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__start"))).as("__starts"))
+    base.join(flagged, Seq("__id"), "left")
+      // Token at 1-based position p is excised iff some duplicated window
+      // starting at s covers it: s <= p < s + minLen.
+      .withColumn("__kept",
+        when(col("__starts").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, i) =>
+            !exists(col("__starts"),
+              s => s <= i + 1 && i + 1 < s + lit(minLen)))))
+      .select(col("__id").as(idCol),
+        size(col("__toks")).as("n_toks"),
+        (size(col("__toks")) - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", col("__kept")).as("clean"))
+  }
+
   /** CROSS-corpus MinHash near-dup pairs — dedup one dataset AGAINST
     * another (the "is my training set contaminated with this benchmark /
     * that other crawl" shape, at document rather than n-gram
@@ -359,18 +413,30 @@ object DedupOps {
     * xxhash64-collision level, like every hash-dedup tier here). */
   def dedupIncrement(batch: DataFrame, corpus: DataFrame,
       textCol: String = "text", fpp: Double = 0.01,
-      expectedCorpus: Long = -1L): DataFrame = {
+      expectedCorpus: Long = -1L,
+      corpusHashCol: Option[String] = None): DataFrame = {
     val h = xxhash64(col(textCol))
-    val corpusH = corpus.select(h.as("__h"))
+    // NULL text never equals anything under the oracle's `c.text = b.text`
+    // semantics — such batch rows pass through unconditionally, and corpus
+    // NULLs stay out of the sketch (xxhash64(NULL) is the seed constant,
+    // which would otherwise alias every NULL row to one value and drop the
+    // batch's NULL rows against any NULL in the corpus).
+    val nullRows = batch.filter(col(textCol).isNull)
+    val liveBatch = batch.filter(col(textCol).isNotNull)
+    // A deployment that persists xxhash64(text) alongside the corpus skips
+    // re-hashing (and re-reading the text bytes) here entirely.
+    val corpusH = corpusHashCol match {
+      case Some(c) => corpus.filter(col(c).isNotNull).select(col(c).as("__h"))
+      case None => corpus.filter(col(textCol).isNotNull).select(h.as("__h"))
+    }
     // stat.bloomFilter NPEs on an empty input (null aggregation buffer) —
     // and with no corpus everything is new anyway.
-    if (corpusH.isEmpty) return batch
-    val expected = math.max(
-      if (expectedCorpus > 0) expectedCorpus else corpus.count(), 1L)
+    if (corpusH.isEmpty) return liveBatch.unionByName(nullRows)
+    val expected = math.max(bloomCapacity(corpus, expectedCorpus), 1L)
     val bf = corpusH.stat.bloomFilter("__h", expected, fpp)
     val bfBc = batch.sparkSession.sparkContext.broadcast(bf)
     val probe = udf((x: Long) => bfBc.value.mightContainLong(x))
-    val hashed = batch.withColumn("__h", h)
+    val hashed = liveBatch.withColumn("__h", h)
     val definitelyNew = hashed.filter(!probe(col("__h")))
     val candidates = hashed.filter(probe(col("__h")))
     val candHashes = candidates.select(col("__h")).distinct()
@@ -378,6 +444,16 @@ object DedupOps {
       .select(col("__h")).distinct()
     val verifiedNew =
       candidates.join(broadcast(confirmed), Seq("__h"), "left_anti")
-    definitelyNew.unionByName(verifiedNew).drop("__h")
+    definitelyNew.unionByName(verifiedNew).drop("__h").unionByName(nullRows)
   }
+
+  /** Bloom capacity without a dedicated count pass where one can be
+    * avoided: an explicit caller value wins; otherwise the optimizer's
+    * row-count statistic (free when the source carries it); a plain
+    * `count()` only as the last resort. Oversizing a Bloom only LOWERS
+    * its fpp, so a generous caller estimate is always safe. */
+  private def bloomCapacity(corpus: DataFrame, explicit: Long): Long =
+    if (explicit > 0) explicit
+    else corpus.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(corpus.count())
 }

@@ -175,6 +175,95 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(noisy.toSeq == Seq(11L, 13L))
   }
 
+  test("dedupIncrement: NULL text passes through (c.text = b.text semantics)") {
+    val sql2 = spark
+    import sql2.implicits._
+    // Both sides carry NULL text: SQL equality never matches NULL, so the
+    // batch's NULL rows must survive even though xxhash64(NULL) aliases
+    // them all to the seed constant.
+    val corpus = Seq((1L, Some("existing")), (2L, None))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, Some("existing")), (11L, None), (12L, Some("new")))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dedupIncrement(batch, corpus)
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(11L, 12L))
+  }
+
+  test("dedupIncrement: explicit capacity skips the corpus count pass") {
+    val sql2 = spark
+    import sql2.implicits._
+    // A parquet-backed corpus: the scan's stats carry size but NO row
+    // count, so the default capacity path is forced to a count() job while
+    // the explicit one is not. (A LocalRelation corpus knows its rowCount
+    // for free and would show no difference.)
+    val dir = java.nio.file.Files.createTempDirectory("dedupinc").toString
+    (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val batch = Seq((100L, "doc 7"), (101L, "fresh")).toDF("doc_id", "text")
+    def jobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; org.apache.spark.sql.graftbridge.Bridge.waitForListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val withCap = jobs {
+      assert(DedupOps.dedupIncrement(batch, corpus, expectedCorpus = 50L)
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(101L))
+    }
+    val withoutCap = jobs {
+      assert(DedupOps.dedupIncrement(batch, corpus)
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(101L))
+    }
+    assert(withCap < withoutCap,
+      s"expectedCorpus must drop the count pass ($withCap !< $withoutCap)")
+  }
+
+  test("exciseDuplicateSpans: shared, within-doc, and absent spans — hand-computed") {
+    val sql2 = spark
+    import sql2.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"),           // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t"),               // unique — untouched
+      (4L, "m n o p q m n o p q"),     // within-doc repeat — fully excised
+      (5L, "u v")                      // shorter than minLen — untouched
+    ).toDF("doc_id", "text")
+    val out = DedupOps.exciseDuplicateSpans(docs, minLen = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 7, 5, "f g"),
+      (2L, 8, 5, "x y z"),
+      (3L, 5, 0, "p q r s t"),
+      (4L, 10, 10, ""),
+      (5L, 2, 0, "u v")))
+  }
+
+  test("dedupIncrement: precomputed corpus hash column decides identically") {
+    val sql2 = spark
+    import sql2.implicits._
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val corpus = Seq((1L, "kept one"), (2L, "kept two"))
+      .toDF("doc_id", "text")
+      .withColumn("h", xxhash64(col("text")))
+      .select("doc_id", "h") // text column not even needed corpus-side
+    val batch = Seq((10L, "kept one"), (11L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dedupIncrement(batch, corpus,
+      expectedCorpus = 2L, corpusHashCol = Some("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(11L))
+  }
+
   test("winnowing detection guarantee holds on randomized corpora (property)") {
     val sql2 = spark
     import sql2.implicits._
