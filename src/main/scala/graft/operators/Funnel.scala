@@ -25,7 +25,26 @@ object Funnel {
     * needs (`user_id`, `ts` timestamp, `event_type`). */
   def steps(events: DataFrame, stepTypes: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame =
+    stepsImpl(events, stepTypes, None, userCol, tsCol, typeCol)
+
+  /** [[steps]] with a per-step MAX GAP — the standard product-analytics
+    * form ("clicked within 24h of the view"): step i counts only if it
+    * occurs strictly after AND within `maxGapUs` microseconds of step
+    * i−1's matched event. Greedy earliest-match still equals the
+    * recursive MIN-in-window oracle: t_i is always the MINIMUM eligible
+    * timestamp, never revised to let the funnel run longer. Gap compared
+    * in integer microseconds — engine-exact at exactly-gap pairs. */
+  def stepsWithin(events: DataFrame, stepTypes: Seq[String], maxGapUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    stepsImpl(events, stepTypes, Some(maxGapUs), userCol, tsCol, typeCol)
+  }
+
+  private def stepsImpl(events: DataFrame, stepTypes: Seq[String],
+      maxGapUs: Option[Long], userCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
     require(stepTypes.nonEmpty)
     val wanted = stepTypes.toArray
     events
@@ -40,7 +59,8 @@ object Funnel {
         var lastTs = Long.MinValue
         it.foreach { e =>
           if (step < wanted.length && e.event_type == wanted(step) &&
-              (step == 0 || e.ts_us > lastTs)) {
+              (step == 0 || (e.ts_us > lastTs &&
+                maxGapUs.forall(g => e.ts_us - lastTs <= g)))) {
             lastTs = e.ts_us
             step += 1
           }

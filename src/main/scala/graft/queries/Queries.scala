@@ -2352,6 +2352,39 @@ object Queries {
       |       LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Gap-bounded funnel ([[graft.operators.Funnel.stepsWithin]]): the q91
+    * funnel with each step required within 24h of the previous step's
+    * matched event — the standard product-analytics form. Gap compared in
+    * integer MICROSECONDS on both engines (exactly-gap pairs decide
+    * identically). */
+  private def q91b(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.stepsWithin(t(s, d, "events"),
+      Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
+
+  private val q91bSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND EPOCH_US(e.ts) - EPOCH_US(s1.t1) <= 86400000000
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND EPOCH_US(e.ts) - EPOCH_US(s2.t2) <= 86400000000
+      |       GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id,
+      |       CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+      |                 WHEN s2.user_id IS NOT NULL THEN 2
+      |                 WHEN s1.user_id IS NOT NULL THEN 1
+      |                 ELSE 0 END AS INTEGER) AS steps
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |       LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Weekly cohort retention — the classic growth-analytics matrix: users
     * cohorted by the week of their FIRST event, counted per
     * (cohort_week, weeks_since) of later activity. Two hash aggregates
@@ -2382,6 +2415,59 @@ object Queries {
       |       COUNT(DISTINCT e.user_id) AS n_users
       |FROM e JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Duplicated-span excision ([[graft.ext.DedupOps.exciseDuplicateSpans]],
+    * the Lee et al. 2022 exact-substring-dedup output shape): an 8-token
+    * passage planted onto every doc_id % 10 == 0 document — plus whatever
+    * 5-gram runs the corpus naturally repeats — is cut out of every holder,
+    * and documents come back with the remaining tokens stitched together.
+    * One gram-keyed exchange + one doc-keyed aggregate; never quadratic. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" omnia gallia est divisa in partes tres quas")))
+        .otherwise(col("text")).as("text"))
+    graft.ext.DedupOps.exciseDuplicateSpans(planted, minLen = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q93Sql =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 0
+      |              THEN text || ' omnia gallia est divisa in partes tres quas'
+      |              ELSE text END AS text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), s -> LEN(s) > 0)
+      |           AS toks
+      |  FROM src),
+      |g AS (
+      |  SELECT doc_id, gs.i AS pos,
+      |         ARRAY_TO_STRING(toks[gs.i:gs.i+4], ' ') AS gram
+      |  FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i) gs
+      |  WHERE LEN(toks) >= 5),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, c.i AS pos
+      |  FROM g JOIN d USING (gram),
+      |       LATERAL (SELECT UNNEST(GENERATE_SERIES(g.pos, g.pos + 4)) AS i) c),
+      |p AS (
+      |  SELECT doc_id, gs.i AS pos, toks[gs.i] AS tok
+      |  FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i) gs),
+      |k AS (
+      |  SELECT p.doc_id, COUNT(*) AS n_kept,
+      |         STRING_AGG(p.tok, ' ' ORDER BY p.pos) AS clean
+      |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+      |  WHERE cov.pos IS NULL
+      |  GROUP BY p.doc_id)
+      |SELECT t.doc_id,
+      |       CAST(LEN(t.toks) AS INTEGER) AS n_toks,
+      |       CAST(LEN(t.toks) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
+      |       COALESCE(k.clean, '') AS clean
+      |FROM t LEFT JOIN k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- export
 
@@ -2488,6 +2574,8 @@ object Queries {
     QueryDef("q89b_preferring_dialect", q89b, Some(q89Sql)),
     QueryDef("q90_unigram_logprob", q90, Some(q90Sql)),
     QueryDef("q91_funnel", q91, Some(q91Sql)),
+    QueryDef("q91b_funnel_gap", q91b, Some(q91bSql)),
     QueryDef("q92_retention", q92, Some(q92Sql)),
+    QueryDef("q93_span_excision", q93, Some(q93Sql)),
   )
 }

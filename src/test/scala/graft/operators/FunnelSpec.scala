@@ -55,4 +55,40 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(out == expected)
   }
+
+  test("stepsWithin: gap bound gates each step; boundary is inclusive") {
+    val gapUs = 10L * 1000000 // 10 s
+    val events = Seq(
+      // user 1: click exactly AT the gap boundary -> counts (<=), purchase
+      // 1 s later -> 3
+      (1L, ts(100), "view"), (1L, ts(110), "click"), (1L, ts(111), "purchase"),
+      // user 2: click one past the gap -> funnel stops at 1 even though a
+      // purchase follows
+      (2L, ts(100), "view"), (2L, ts(111), "click"), (2L, ts(112), "purchase"),
+      // user 3: gap measured from the MATCHED click, not the view: click
+      // at 105, purchase at 114 (9 s after click, 14 s after view) -> 3
+      (3L, ts(100), "view"), (3L, ts(105), "click"), (3L, ts(114), "purchase"),
+      // user 4: the earliest click is matched (greedy); purchase within
+      // gap of the LATER click only -> stops at 2
+      (4L, ts(100), "view"), (4L, ts(101), "click"), (4L, ts(109), "click"),
+      (4L, ts(115), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.stepsWithin(events, Seq("view", "click", "purchase"), gapUs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 2))
+  }
+
+  test("stepsWithin with a huge gap degenerates to steps") {
+    val rnd = new scala.util.Random(11)
+    val types = Array("view", "click", "purchase")
+    val events = (1L to 25L).flatMap { u =>
+      (1 to 12).map(_ => (u, ts(rnd.nextInt(1000).toLong), types(rnd.nextInt(3))))
+    }.toDF("user_id", "ts", "event_type")
+    val plain = Funnel.steps(events, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val gapped = Funnel.stepsWithin(events, Seq("view", "click", "purchase"),
+      maxGapUs = Long.MaxValue / 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(gapped == plain)
+  }
 }
