@@ -4,9 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Per-cell append statistics: how much landed where, and how well the
+  * FROZEN centroids still fit the new data (`meanAssignCos` sinking below
+  * the build-time assignment quality is the re-centering signal). */
+final case class IvfAppendStats(
+    appended: Long, cellsTouched: Int, meanAssignCos: Double)
+
 /** Persistable IVF index — the production shape of [[SimilarityOps.ivfKnn]]:
   * build once (k-means centroids + corpus laid out partitioned BY CELL),
-  * query many times touching only the probed cells' files.
+  * query many times touching only the probed cells' files, [[append]] new
+  * embeddings without a rebuild.
   *
   * The cell directory layout is the inverted file: a probe of `nProbe`
   * cells reads `nProbe/nCells` of the corpus (partition pruning — verified
@@ -27,6 +34,44 @@ object IvfIndex {
       .agg(max_by(struct(col("cell"), col("vec")), col("cos")).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"), col("best.vec").as("vec"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Incrementally append embeddings to a built index: each new vector is
+    * assigned to its nearest EXISTING centroid (centroids stay frozen — no
+    * re-clustering) and merged into the cell layout through the
+    * partition-scoped upsert, so only the cells that actually receive
+    * vectors are read and rewritten; every other cell's files stay
+    * byte-identical. An existing `vec_id` re-appended into the same cell
+    * updates in place; appending is for new/ unchanged-cell vectors — a
+    * vector whose embedding moved it to a DIFFERENT cell needs the rebuild
+    * (same constraint as any partition-keyed merge).
+    *
+    * Returns drift stats: when `meanAssignCos` sinks well below the
+    * build-time assignment quality, the frozen centroids no longer fit the
+    * distribution and a rebuild is due. Query recall over appended data
+    * matches a rebuild's up to centroid quality (spec-checked); at
+    * `nProbe = nCells` both are exhaustive and exactly equal. */
+  def append(spark: SparkSession, emb: DataFrame,
+      path: String): IvfAppendStats = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // Checkpointed: consumed by the stats aggregate AND the merge write;
+    // bounded by the appended batch, never the index.
+    val assigned = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("vec")), col("cos")).as("best"),
+        max(col("cos")).as("acos"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.vec").as("vec"), col("acos"))
+      .localCheckpoint(true)
+    val s = assigned.agg(count(lit(1)), countDistinct(col("cell")),
+      avg(col("acos"))).head()
+    if (s.getLong(0) == 0L) return IvfAppendStats(0L, 0, Double.NaN)
+    graft.sources.PartitionedMerge.upsert(spark, s"$path/cells", "cell",
+      Seq("vec_id", "cell"), assigned.drop("acos"))
+    IvfAppendStats(s.getLong(0), s.getLong(1).toInt, s.getDouble(2))
   }
 
   /** Top-k per query against a built index. Reads ONLY the probed cell

@@ -54,6 +54,75 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(r8 == 1.0, s"full probe should be exhaustive, got $r8")
   }
 
+  test("append: recall matches a rebuild; untouched cells stay byte-identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val extra = emb.filter($"vec_id" % 5 === 0)
+    val dirA = Files.createTempDirectory("ivfa").toString + "/idx"
+    IvfIndex.build(spark, base, dirA, nCells = 8, iters = 2)
+
+    val before = new java.io.File(s"$dirA/cells").listFiles()
+      .filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => (f.getName, f.length, f.lastModified)).toSet
+      }.toMap
+
+    val stats = IvfIndex.append(spark, extra, dirA)
+    assert(stats.appended == extra.count())
+    assert(stats.meanAssignCos >= -1.0 && stats.meanAssignCos <= 1.0)
+
+    // Nothing lost: the merged layout holds exactly base + extra rows.
+    val cells = spark.read.parquet(s"$dirA/cells")
+    assert(cells.count() == emb.count())
+    assert(cells.select("vec_id").distinct().count() == emb.count())
+
+    // Cells that received no appended vector keep byte-identical files.
+    val touchedCells = cells.join(extra.select("vec_id"), "vec_id")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(touchedCells.size == stats.cellsTouched)
+    before.foreach { case (dirName, st) =>
+      val cellId = dirName.stripPrefix("cell=").toInt
+      if (!touchedCells.contains(cellId)) {
+        val after = new java.io.File(s"$dirA/cells/$dirName").listFiles()
+          .filter(_.isFile).map(f => (f.getName, f.length, f.lastModified)).toSet
+        assert(after == st, s"untouched cell $cellId was rewritten")
+      }
+    }
+
+    // Exhaustive probe: appended index and a full rebuild agree EXACTLY
+    // with brute force (nothing about the merge loses or corrupts rows).
+    val queries = emb.filter($"vec_id" <= 3)
+    val exact = SimilarityOps.bruteForceKnn(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val appendedFull = IvfIndex.query(spark, dirA, queries, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(appendedFull == exact)
+
+    // Moderate probe: recall after append tracks recall after rebuild
+    // (different centroids — base-only vs full — so equality is not
+    // required, but the append must not crater recall).
+    val dirB = Files.createTempDirectory("ivfb").toString + "/idx"
+    IvfIndex.build(spark, emb, dirB, nCells = 8, iters = 2)
+    def recall(dir: String): Double = {
+      val got = IvfIndex.query(spark, dir, queries, k = 10, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val (ra, rb) = (recall(dirA), recall(dirB))
+    assert(ra >= rb - 0.25, s"append recall $ra craters vs rebuild $rb")
+  }
+
+  test("append: empty batch is a no-op") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivfe").toString + "/idx"
+    IvfIndex.build(spark, emb, dir, nCells = 4, iters = 1)
+    val n = spark.read.parquet(s"$dir/cells").count()
+    val stats = IvfIndex.append(spark, emb.filter($"vec_id" < 0), dir)
+    assert(stats == IvfAppendStats(0L, 0, Double.NaN) ||
+      (stats.appended == 0L && stats.cellsTouched == 0))
+    assert(spark.read.parquet(s"$dir/cells").count() == n)
+  }
+
   test("cells layout holds one directory per cell") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = Files.createTempDirectory("ivf2").toString + "/idx"
