@@ -305,12 +305,15 @@ object DedupOps {
     * corpus doesn't have) — the decision depends only on corpus content.
     *
     * Scale shape: token windows are emitted per document (a `posexplode`
-    * projection), duplicated windows found by ONE `groupBy(gram)` exchange,
-    * matched back by a gram-keyed join (same key → AQE-reusable
-    * partitioning), and per-doc window starts collapse in a doc-keyed
-    * aggregate whose `collect_list` is bounded by the document's own token
-    * count. Nothing is quadratic; no suffix array is materialized. Exact
-    * gram strings shuffle here for oracle-exact semantics — a 100 TB
+    * projection) and each occurrence learns its gram's corpus frequency
+    * from a COUNT window over the gram key — ONE exchange, no second
+    * corpus pass and no join back (the naive groupBy+join spelling
+    * re-derives the whole explode). Per-doc window starts then collapse in
+    * a doc-keyed aggregate whose `collect_list` is bounded by the
+    * document's own token count. Nothing is quadratic; no suffix array is
+    * materialized. A corpus-boilerplate gram makes one fat (spillable)
+    * window partition — the same skew any occurrence-exact plan carries.
+    * Exact gram strings shuffle here for oracle-exact semantics — a 100 TB
     * deployment would shuffle a pair of independent 64-bit gram hashes
     * instead (collision-safe in tandem) at minLen× lower shuffle width.
     *
@@ -325,21 +328,28 @@ object DedupOps {
         sequence(lit(1), size(col("__toks")) - (minLen - 1)),
         i => concat_ws(" ", slice(col("__toks"), i, lit(minLen))))))
       .toDF("__id", "__pos0", "__gram")
-    val dupGrams = grams.groupBy(col("__gram"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .select(col("__gram"))
-    val starts = grams.join(dupGrams, Seq("__gram"))
+    val starts = grams
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))))
+      .filter(col("__n") > 1)
       .select(col("__id"), (col("__pos0") + 1).as("__start")) // 1-based
     val flagged = starts.groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__start"))).as("__starts"))
     base.join(flagged, Seq("__id"), "left")
       // Token at 1-based position p is excised iff some duplicated window
-      // starting at s covers it: s <= p < s + minLen.
+      // [s, s+minLen) covers it. Expanding the starts into covered
+      // positions and hash-diffing (`array_except`) is O(toks + starts)
+      // per doc, vs the O(toks × starts) of an exists() probe per token.
+      // Windows never overrun the doc (s + minLen - 1 <= n_toks by
+      // construction), so no clamp is needed.
       .withColumn("__kept",
         when(col("__starts").isNull, col("__toks"))
-          .otherwise(filter(col("__toks"), (_, i) =>
-            !exists(col("__starts"),
-              s => s <= i + 1 && i + 1 < s + lit(minLen)))))
+          .otherwise(transform(
+            array_except(
+              sequence(lit(1), size(col("__toks"))),
+              flatten(transform(col("__starts"),
+                s => sequence(s, s + lit(minLen - 1))))),
+            p => element_at(col("__toks"), p))))
       .select(col("__id").as(idCol),
         size(col("__toks")).as("n_toks"),
         (size(col("__toks")) - size(col("__kept"))).as("n_removed"),
