@@ -139,4 +139,22 @@ object BpeOps {
     }
     (merges.toList, cur.withColumnRenamed("__toks", "tokens"), rounds)
   }
+
+  /** ENCODE with a trained merge table: apply the merges to a fresh corpus
+    * in training order — the tokenizer's inference step. All merges chain
+    * inside ONE projection (no shuffle, no driver round-trips; the merge
+    * table is plan metadata, not data), so encoding is a pure scan-speed
+    * map at any corpus size. Same greedy left-to-right semantics as
+    * training: encoding the training corpus reproduces `trainMerges`'
+    * final `tokens` column exactly (spec-checked). */
+  def applyMerges(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val joined = concat_ws(" ", DedupOps.wordTokens(col(textCol)))
+    val replaced = merges.foldLeft(joined) { case (c, (l, r)) =>
+      regexp_replace(c,
+        "(?<=^| )" + java.util.regex.Pattern.quote(l + " " + r) + "(?=$| )",
+        java.util.regex.Matcher.quoteReplacement(l + "_" + r))
+    }
+    docs.withColumn("tokens", filter(split(replaced, " "), t => length(t) > 0))
+  }
 }

@@ -90,6 +90,20 @@ class BpeOpsSpec extends AnyFunSuite with SparkTestBase {
       == Seq("a_b_c", "a_b_c", "a_b_c", "a_b", "a_b"))
   }
 
+  test("applyMerges encodes the training corpus to the training result") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val (merges, trained) = BpeOps.trainMerges(docs, 3)
+    val encoded = BpeOps.applyMerges(docs, merges.map(m => (m._1, m._2)))
+    val toks = (df: org.apache.spark.sql.DataFrame) => df.orderBy("doc_id")
+      .collect().map(_.getSeq[String](df.columns.indexOf("tokens"))).toSeq
+    assert(toks(encoded) == toks(trained))
+    // Fresh text encodes with the same chained merges (a_b then a_b_c):
+    val fresh = Seq((9L, "a b c a b x")).toDF("doc_id", "text")
+    val out = BpeOps.applyMerges(fresh, merges.map(m => (m._1, m._2)))
+    assert(out.head().getSeq[String](out.columns.indexOf("tokens"))
+      == Seq("a_b_c", "a_b", "x"))
+  }
+
   test("batch=1 matches trainMerges decisions exactly") {
     val docs = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val (seqMerges, _) = BpeOps.trainMerges(docs, 3)
