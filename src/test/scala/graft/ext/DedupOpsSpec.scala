@@ -248,6 +248,41 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
       (5L, 2, 0, "u v")))
   }
 
+  test("exciseDuplicateSpans matches a driver reference on random corpora (property)") {
+    val sql2 = spark
+    import sql2.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e") // tiny vocab forces repeats
+    val minLen = 3
+    (1 to 3).foreach { trial =>
+      val docs = (1L to 20L).map(i => (i,
+        (1 to (3 + rnd.nextInt(22)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector }.toMap
+      val gramCounts = scala.collection.mutable.Map.empty[String, Int]
+        .withDefaultValue(0)
+      toks.values.foreach(_.sliding(minLen).filter(_.size == minLen)
+        .foreach(g => gramCounts(g.mkString(" ")) += 1))
+      val expected = toks.toSeq.sortBy(_._1).map { case (id, ts) =>
+        val starts =
+          if (ts.size >= minLen)
+            (0 to ts.size - minLen).filter(s =>
+              gramCounts(ts.slice(s, s + minLen).mkString(" ")) > 1)
+          else Seq.empty[Int]
+        val covered = starts.flatMap(s => s until s + minLen).toSet
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        (id, ts.size, ts.size - kept.size, kept.mkString(" "))
+      }
+      val out = DedupOps
+        .exciseDuplicateSpans(docs.toDF("doc_id", "text"), minLen = minLen)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSeq
+      assert(out == expected, s"trial $trial diverged from the reference")
+    }
+  }
+
   test("dedupIncrement: precomputed corpus hash column decides identically") {
     val sql2 = spark
     import sql2.implicits._
