@@ -323,20 +323,30 @@ object DedupOps {
     require(minLen >= 1)
     val base = docs.select(col(idCol).as("__id"),
       wordTokens(col(textCol)).as("__toks"))
-    val grams = base.filter(size(col("__toks")) >= minLen)
-      .select(col("__id"), posexplode(transform(
-        sequence(lit(1), size(col("__toks")) - (minLen - 1)),
-        i => concat_ws(" ", slice(col("__toks"), i, lit(minLen))))))
-      .toDF("__id", "__pos0", "__gram")
-    val starts = grams
+    val starts = gramOccurrences(base, minLen)
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))))
       .filter(col("__n") > 1)
       .select(col("__id"), (col("__pos0") + 1).as("__start")) // 1-based
+    exciseByStarts(base, starts, idCol, minLen)
+  }
+
+  /** One row per `minLen`-token window: (__id, __pos0 0-based, __gram). */
+  private def gramOccurrences(base: DataFrame, minLen: Int): DataFrame =
+    base.filter(size(col("__toks")) >= minLen)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(1), size(col("__toks")) - (minLen - 1)),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(minLen))))))
+      .toDF("__id", "__pos0", "__gram")
+
+  /** Shared rebuild: drop every token covered by a flagged window start
+    * and stitch the rest back. `starts` carries (__id, __start 1-based). */
+  private def exciseByStarts(base: DataFrame, starts: DataFrame,
+      idCol: String, minLen: Int): DataFrame = {
     val flagged = starts.groupBy(col("__id"))
       .agg(sort_array(collect_list(col("__start"))).as("__starts"))
     base.join(flagged, Seq("__id"), "left")
-      // Token at 1-based position p is excised iff some duplicated window
+      // Token at 1-based position p is excised iff some flagged window
       // [s, s+minLen) covers it. Expanding the starts into covered
       // positions and hash-diffing (`array_except`) is O(toks + starts)
       // per doc, vs the O(toks × starts) of an exists() probe per token.
@@ -354,6 +364,36 @@ object DedupOps {
         size(col("__toks")).as("n_toks"),
         (size(col("__toks")) - size(col("__kept"))).as("n_removed"),
         concat_ws(" ", col("__kept")).as("clean"))
+  }
+
+  /** Span-level DECONTAMINATION — [[exciseDuplicateSpans]]' cross-corpus
+    * sibling: every run of ≥ `minLen` tokens that appears ANYWHERE in
+    * `reference` (a benchmark / eval set) is cut out of every corpus
+    * document, and the document survives with the remaining tokens — the
+    * curation move when dropping whole contaminated documents
+    * (q66's contamination screen) would cost too much good data.
+    *
+    * Scale shape: the reference side collapses to DISTINCT grams
+    * (benchmark-sized, orders of magnitude under the corpus) before a
+    * gram-keyed join against the corpus windows — Catalyst broadcasts it
+    * when small; nothing is ever quadratic. The corpus is scanned twice
+    * (windows + rebuild), like the contamination screens.
+    *
+    * Output: (idCol, n_toks, n_removed, clean), one row per corpus doc. */
+  def exciseContaminatedSpans(docs: DataFrame, reference: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      refTextCol: String = "text", minLen: Int = 5): DataFrame = {
+    require(minLen >= 1)
+    val base = docs.select(col(idCol).as("__id"),
+      wordTokens(col(textCol)).as("__toks"))
+    val refBase = reference.select(lit(0L).as("__id"),
+      wordTokens(col(refTextCol)).as("__toks"))
+    val refGrams = gramOccurrences(refBase, minLen)
+      .select(col("__gram")).distinct()
+    val starts = gramOccurrences(base, minLen)
+      .join(refGrams, Seq("__gram"))
+      .select(col("__id"), (col("__pos0") + 1).as("__start"))
+    exciseByStarts(base, starts, idCol, minLen)
   }
 
   /** CROSS-corpus MinHash near-dup pairs — dedup one dataset AGAINST

@@ -2469,6 +2469,55 @@ object Queries {
       |FROM t LEFT JOIN k USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Span-level decontamination ([[graft.ext.DedupOps
+    * .exciseContaminatedSpans]]): every ≥5-token run appearing anywhere in
+    * the benchmark slice (doc_id % 17 == 3) is cut from every corpus
+    * document — the keep-the-document curation alternative to q66's
+    * drop-the-document contamination screen. The benchmark side collapses
+    * to distinct grams before the join; benchmark docs inside the corpus
+    * excise themselves completely (a built-in full-coverage check). */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.ext.DedupOps.exciseContaminatedSpans(
+      docs, docs.filter(col("doc_id") % 17 === 3), minLen = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q94Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), s -> LEN(s) > 0)
+      |           AS toks
+      |  FROM documents),
+      |rg AS (
+      |  SELECT DISTINCT ARRAY_TO_STRING(toks[gs.i:gs.i+4], ' ') AS gram
+      |  FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i) gs
+      |  WHERE doc_id % 17 = 3 AND LEN(toks) >= 5),
+      |g AS (
+      |  SELECT doc_id, gs.i AS pos,
+      |         ARRAY_TO_STRING(toks[gs.i:gs.i+4], ' ') AS gram
+      |  FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks) - 4)) AS i) gs
+      |  WHERE LEN(toks) >= 5),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, c.i AS pos
+      |  FROM g JOIN rg USING (gram),
+      |       LATERAL (SELECT UNNEST(GENERATE_SERIES(g.pos, g.pos + 4)) AS i) c),
+      |p AS (
+      |  SELECT doc_id, gs.i AS pos, toks[gs.i] AS tok
+      |  FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i) gs),
+      |k AS (
+      |  SELECT p.doc_id, COUNT(*) AS n_kept,
+      |         STRING_AGG(p.tok, ' ' ORDER BY p.pos) AS clean
+      |  FROM p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.pos = cov.pos
+      |  WHERE cov.pos IS NULL
+      |  GROUP BY p.doc_id)
+      |SELECT t.doc_id,
+      |       CAST(LEN(t.toks) AS INTEGER) AS n_toks,
+      |       CAST(LEN(t.toks) - COALESCE(k.n_kept, 0) AS INTEGER) AS n_removed,
+      |       COALESCE(k.clean, '') AS clean
+      |FROM t LEFT JOIN k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2577,5 +2626,6 @@ object Queries {
     QueryDef("q91b_funnel_gap", q91b, Some(q91bSql)),
     QueryDef("q92_retention", q92, Some(q92Sql)),
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
+    QueryDef("q94_span_decontaminate", q94, Some(q94Sql)),
   )
 }

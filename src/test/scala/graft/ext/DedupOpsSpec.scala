@@ -248,6 +248,26 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
       (5L, 2, 0, "u v")))
   }
 
+  test("exciseContaminatedSpans: benchmark runs cut, unrelated text intact") {
+    val sql2 = spark
+    import sql2.implicits._
+    val corpus = Seq(
+      (1L, "intro words the exact benchmark question appears here end"),
+      (2L, "totally unrelated content with no overlap at all"),
+      (3L, "the exact benchmark question appears")  // the full ref 5-gram, alone
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, "the exact benchmark question appears")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.exciseContaminatedSpans(corpus, reference, minLen = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 9, 5, "intro words here end"),
+      (2L, 8, 0, "totally unrelated content with no overlap at all"),
+      (3L, 5, 5, "")))
+  }
+
   test("exciseDuplicateSpans matches a driver reference on random corpora (property)") {
     val sql2 = spark
     import sql2.implicits._
