@@ -261,4 +261,49 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_toks"), sum(col("unats")).as("sum_unats"))
       .orderBy(col(idCol))
   }
+
+  /** Bigram-LM log-prob quality score — [[unigramLogProb]] one model order
+    * up: Laplace-smoothed `P(w | prev) = (c(prev,w) + 1) / (c(prev) + V)`
+    * fit on the train split, scoring every test document's bigrams with
+    * the same engine-exact digest (per-bigram log-prob floored to integer
+    * MICRO-nats before an order-independent sum).
+    *
+    * Shapes: THREE corpus passes total — train bigram counts (one hash
+    * aggregate, checkpointed; the context counts `c(prev)` derive from it
+    * by a second vocabulary-bounded aggregate, not another corpus pass),
+    * the train vocabulary size (1-row aggregate), and the test-side
+    * bigram explode joined against the counts on (prev, tok) and (prev).
+    * Docs with fewer than 2 test tokens produce no row. */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = SplitOps.assignSplit(docs, idCol)
+      .select(col(idCol), col("split"), TextOps.tokens(col(textCol)).as("toks"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("prev"),
+          element_at(col("toks"), i + 1).as("tok")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+    val bc = bigrams(base.filter(col("split") === "train"))
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // consumed twice: the (prev,tok) join and cu below
+    val cu = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cu"))
+    val vRow = base.filter(col("split") === "train")
+      .select(explode_outer(col("toks")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .agg(count_distinct(col("tok"))).head()
+    val v = vRow.getLong(0)
+    require(v > 0,
+      "bigramLogProb: the train split has no tokens — cannot fit a model")
+    bigrams(base.filter(col("split") === "test"))
+      .join(bc, Seq("prev", "tok"), "left")
+      .join(cu, Seq("prev"), "left")
+      .withColumn("unats", floor(log(
+        (coalesce(col("cb"), lit(0L)) + 1).cast("double")
+          / (coalesce(col("cu"), lit(0L)) + v)) * 1000000).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unats")).as("sum_unats"))
+      .orderBy(col(idCol))
+  }
 }

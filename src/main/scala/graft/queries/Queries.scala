@@ -2518,6 +2518,43 @@ object Queries {
       |FROM t LEFT JOIN k USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Bigram-LM log-prob quality score ([[graft.ext.CorpusOps
+    * .bigramLogProb]]): q90's unigram perplexity proxy one model order up
+    * — Laplace-smoothed P(w|prev) fit on the train split scores test-doc
+    * bigrams, per-bigram log-probs floored to integer micro-nats before
+    * the order-independent sum. */
+  private def q95(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.bigramLogProb(t(s, d, "documents"))
+
+  private val q95Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+      |              THEN 'train'
+      |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+      |              THEN 'val' ELSE 'test' END AS split,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     x -> LEN(x) > 0) AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, split, toks[gs.i] AS prev, toks[gs.i + 1] AS tok
+      |  FROM d, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i) gs
+      |  WHERE LEN(toks) >= 2),
+      |bc AS (SELECT prev, tok, COUNT(*) AS cb FROM bg WHERE split = 'train'
+      |       GROUP BY prev, tok),
+      |uc AS (SELECT prev, COUNT(*) AS cu FROM bg WHERE split = 'train'
+      |       GROUP BY prev),
+      |v AS (SELECT COUNT(DISTINCT tok) AS vsize
+      |      FROM (SELECT UNNEST(toks) AS tok FROM d WHERE split = 'train')),
+      |test AS (SELECT doc_id, prev, tok FROM bg WHERE split = 'test')
+      |SELECT test.doc_id, COUNT(*) AS n_bigrams,
+      |       CAST(SUM(CAST(FLOOR(LN(
+      |             CAST(COALESCE(bc.cb, 0) + 1 AS DOUBLE)
+      |             / (COALESCE(uc.cu, 0) + (SELECT vsize FROM v)))
+      |             * 1000000) AS BIGINT)) AS BIGINT) AS sum_unats
+      |FROM test LEFT JOIN bc USING (prev, tok) LEFT JOIN uc USING (prev)
+      |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2627,5 +2664,6 @@ object Queries {
     QueryDef("q92_retention", q92, Some(q92Sql)),
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
     QueryDef("q94_span_decontaminate", q94, Some(q94Sql)),
+    QueryDef("q95_bigram_logprob", q95, Some(q95Sql)),
   )
 }

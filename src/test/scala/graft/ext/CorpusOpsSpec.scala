@@ -180,6 +180,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((11L, 3L, expected)))
   }
 
+  test("bigramLogProb: hand-computed Laplace-smoothed bigram micro-nats") {
+    val sql2 = spark
+    import sql2.implicits._
+    // ids 1, 2 -> train; 11 -> test (same Fibonacci-hash buckets as the
+    // unigram test). Train bigrams: (a,a) (a,b) | (a,c); contexts:
+    // c(a) = 3; V = {a,b,c} = 3.
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"),
+      (11L, "a b z"),
+      (22L, "ignored val words")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // test bigrams of "a b z": (a,b) cb=1 cu=3 -> ln(2/6); (b,z) cb=0,
+    // b unseen as context (cu=0) -> ln(1/3).
+    val expected = Seq(math.log(2.0 / 6), math.log(1.0 / 3))
+      .map(l => math.floor(l * 1000000).toLong).sum
+    assert(out.toSeq == Seq((11L, 2L, expected)))
+  }
+
   test("unigramLogProb: a token-free train split fails clearly, not with an NPE") {
     val sql2 = spark
     import sql2.implicits._
