@@ -34,15 +34,25 @@ final case class DecodedImage(
     channels: Int,
     pixels: Array[Float])
 
+/** A really-decoded audio payload: format metadata + channel-0 samples
+  * normalized to [-1, 1]. */
+final case class DecodedAudio(
+    doc_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    samples: Array[Float])
+
 /** Multimodal-column plumbing: binary columns with typed metadata, decode
   * as `mapPartitions` (one codec init per partition, iterator-to-iterator
   * streaming, no driver involvement), typed output schema.
   *
-  * [[decodeImages]]/[[resizeImages]] are the REAL codec path — PNG/JPEG/
-  * BMP/GIF via `javax.imageio` (JDK-built-in, works headless). The
+  * [[decodeImages]]/[[resizeImages]] and [[decodeWavs]] are the REAL codec
+  * paths — PNG/JPEG/BMP/GIF via `javax.imageio` and WAV/PCM via
+  * `javax.sound.sampled` (both JDK-built-in, work headless). The
   * byte-histogram [[decodeFeatures]] and square-ish [[resizePooled]] stay
   * as the deterministic no-codec test doubles for payloads that are not
-  * images at all. */
+  * media at all. */
 object MultimodalOps {
 
   /** Project a text table into the media shape: payload as `binary` +
@@ -97,6 +107,57 @@ object MultimodalOps {
         } catch { case _: java.io.IOException => None }
       }
     }(Encoders.product[DecodedImage])
+  }
+
+  /** REAL audio decode: WAV/PCM through `javax.sound.sampled` in the same
+    * per-partition harness. Supports the PCM cases WAV actually carries
+    * (8-bit unsigned, 16-bit signed, either endianness); compressed or
+    * exotic encodings — like undecodable bytes — are dropped, quarantine
+    * by anti-joining `doc_id`. Channel 0's samples come back normalized
+    * to [-1, 1]; a 16-bit round-trip is bit-exact. One row per payload —
+    * chunk long recordings upstream ([[sampleFrames]] is the slicing
+    * shape) so a row's samples stay executor-memory-bounded. */
+  def decodeWavs(media: DataFrame): Dataset[DecodedAudio] = {
+    val typed = media.as(Encoders.product[MediaRow])
+    typed.mapPartitions { rows =>
+      rows.flatMap { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.bytes))
+          val f = in.getFormat
+          val enc = f.getEncoding
+          val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16) ||
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+              f.getSampleSizeInBits == 8)
+          if (!ok) None
+          else {
+            val bytes = in.readAllBytes()
+            val ch = f.getChannels
+            val bps = f.getSampleSizeInBits / 8
+            val frameBytes = bps * ch
+            val n = bytes.length / frameBytes
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              val o = i * frameBytes // channel 0 = first sample in frame
+              out(i) =
+                if (bps == 1) ((bytes(o) & 0xff) - 128) / 128f
+                else {
+                  val (lo, hi) = if (f.isBigEndian) (o + 1, o) else (o, o + 1)
+                  ((bytes(hi) << 8) | (bytes(lo) & 0xff)).toShort / 32768f
+                }
+              i += 1
+            }
+            Some(DecodedAudio(m.doc_id, f.getSampleRate.toInt, ch,
+              f.getSampleSizeInBits, out))
+          }
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
+        }
+      }
+    }(Encoders.product[DecodedAudio])
   }
 
   /** Average-pool a decoded image's REAL pixel grid into `outW`×`outH` —

@@ -130,6 +130,42 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestBase {
       (80 + 90 + 120 + 130) / 4f, (100 + 110 + 140 + 150) / 4f))
   }
 
+  /** Encode 16-bit signed mono PCM samples as real WAV bytes. */
+  private def wav16(rate: Float, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeWavs: a generated 16-bit WAV round-trips samples bit-exactly") {
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 100)
+    val m = Seq((5L, wav16(8000f, samples), "audio/wav"))
+      .toDF("doc_id", "bytes", "mime")
+    val d = MultimodalOps.decodeWavs(m).head()
+    assert(d.doc_id == 5L && d.sample_rate == 8000 && d.channels == 1
+      && d.bits == 16)
+    assert(d.samples.toSeq == samples.map(_ / 32768f).toSeq)
+  }
+
+  test("decodeWavs: non-audio payloads are dropped, not failed") {
+    val m = Seq(
+      (1L, wav16(16000f, Array[Short](1, 2, 3)), "audio/wav"),
+      (2L, "definitely not a riff container".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "bytes", "mime")
+    val out = MultimodalOps.decodeWavs(m).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    assert(out.head.sample_rate == 16000 && out.head.samples.length == 3)
+  }
+
   test("resizeImages: non-square upscale keeps real source values") {
     val px = Array(100, 200) // 2x1
     val m = Seq((1L, grayPng(2, 1, px), "image/png"))
