@@ -2555,6 +2555,33 @@ object Queries {
       |FROM test LEFT JOIN bc USING (prev, tok) LEFT JOIN uc USING (prev)
       |GROUP BY test.doc_id ORDER BY test.doc_id""".stripMargin
 
+  /** Token-budget mixture sampling ([[graft.ext.SamplingOps
+    * .sampleToTokenBudget]]): per source, keep the hash-ordered document
+    * prefix whose cumulative tokens stay ≤ 800 — the "take N tokens per
+    * source" primitive of training-mixture construction. The running sum
+    * is the two-phase bounded-memory construction (range partitions +
+    * broadcast carry-ins), never a one-reducer-per-source window. */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    graft.ext.SamplingOps.sampleToTokenBudget(
+      t(s, d, "documents"), budget = 800L)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"))
+      .orderBy(col("doc_id"))
+
+  private val q96Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                              x -> LEN(x) > 0)) AS INTEGER) AS n_toks,
+      |         ((doc_id * 2654435761) % 4294967296) AS ord
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_toks,
+      |         SUM(n_toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |                           ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_toks, CAST(cum AS BIGINT) AS cum_toks
+      |FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2665,5 +2692,6 @@ object Queries {
     QueryDef("q93_span_excision", q93, Some(q93Sql)),
     QueryDef("q94_span_decontaminate", q94, Some(q94Sql)),
     QueryDef("q95_bigram_logprob", q95, Some(q95Sql)),
+    QueryDef("q96_token_budget", q96, Some(q96Sql)),
   )
 }

@@ -97,4 +97,47 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped == Map("big" -> 8L, "small" -> 4L))
   }
+
+  test("sampleToTokenBudget matches a driver reference; partitioning-invariant") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 120L).map { i =>
+      (i, s"src${i % 3}", (1 to (1 + rnd.nextInt(9))).map(_ => "tok").mkString(" "))
+    }
+    val budget = 60L
+    // driver reference: per source, order by (fib-hash, id), cumulative
+    // token prefix within budget
+    def fib(id: Long) = java.lang.Long.remainderUnsigned(
+      id * 2654435761L % 4294967296L + 4294967296L, 4294967296L)
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (fib(r._1), r._1)).flatMap { r =>
+        val n = r._3.split(" ").count(_.nonEmpty)
+        cum += n
+        if (cum <= budget) Some((r._1, n, cum)) else None
+      }
+    }.toSeq.sortBy(_._1)
+    Seq(1, 7).foreach { nPart => // decisions must not depend on layout
+      val df = rows.toDF("doc_id", "source", "text").repartition(nPart)
+      val out = SamplingOps.sampleToTokenBudget(df, budget)
+        .select("doc_id", "n_toks", "cum_toks").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(out == expected, s"with input partitions = $nPart")
+    }
+  }
+
+  test("sampleToTokenBudget: null source groups together; zero budget keeps nothing") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (1L, Option.empty[String], "a b"),
+      (2L, Option.empty[String], "c d e"),
+      (3L, Some("s"), "f")
+    ).toDF("doc_id", "source", "text")
+    val kept = SamplingOps.sampleToTokenBudget(df, 5L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+    assert(SamplingOps.sampleToTokenBudget(df, 0L).count() == 0L)
+  }
 }
