@@ -193,6 +193,55 @@ class SqlCompatPartitionedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-column partitioning: UPDATE scoped, MERGE needs every column pinned") {
+    val loc = Files.createTempDirectory("pmc").toString + "/t"
+    spark.sql(s"""CREATE TABLE pmc (id BIGINT, v STRING, day INT, region STRING)
+      USING parquet PARTITIONED BY (day, region) LOCATION '$loc'""")
+    spark.sql("CREATE TABLE pmc_src (id BIGINT, v STRING, day INT, region STRING) USING parquet")
+    try {
+      spark.sql("""INSERT INTO pmc VALUES
+        (1, 'a', 0, 'e'), (2, 'b', 0, 'w'), (3, 'c', 1, 'e'), (4, 'd', 1, 'w')""")
+      val others = Seq("day=0/region=e", "day=0/region=w", "day=1/region=w")
+      val before = others.map(p => fileState(s"$loc/$p"))
+      val w = QueryWrapper(spark)
+
+      // UPDATE touching one (day, region) leaf: the other three leaves
+      // keep byte-identical files.
+      val (ok, res) = w.query("UPDATE pmc SET v = 'X' WHERE day = 1 AND region = 'e'")
+      assert(ok && res.rowsAffected.contains(1L))
+      assert(others.map(p => fileState(s"$loc/$p")) == before)
+      assert(spark.table("pmc").filter($"id" === 3).head().getString(1) == "X")
+
+      // MERGE pinning BOTH partition columns: scoped (day=0 untouched).
+      spark.sql("INSERT INTO pmc_src VALUES (4, 'd2', 1, 'w'), (9, 'n', 1, 'e')")
+      val b0e = fileState(s"$loc/day=0/region=e")
+      val b0w = fileState(s"$loc/day=0/region=w")
+      val (ok2, res2) = w.query(
+        """MERGE INTO pmc t USING pmc_src s
+           ON t.id = s.id AND t.day = s.day AND t.region = s.region
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (id, v, day, region)
+             VALUES (s.id, s.v, s.day, s.region)""")
+      assert(ok2 && res2.rowsAffected.contains(2L))
+      assert(fileState(s"$loc/day=0/region=e") == b0e)
+      assert(fileState(s"$loc/day=0/region=w") == b0w)
+
+      // MERGE pinning only day (region unpinned): full path, still correct.
+      spark.sql("TRUNCATE TABLE pmc_src")
+      spark.sql("INSERT INTO pmc_src VALUES (1, 'a2', 0, 'e')")
+      val (ok3, res3) = w.query(
+        """MERGE INTO pmc t USING pmc_src s ON t.id = s.id AND t.day = s.day
+           WHEN MATCHED THEN UPDATE SET v = s.v""")
+      assert(ok3 && res3.rowsAffected.contains(1L))
+      val rows = spark.table("pmc").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a2"), (2L, "b"), (3L, "X"), (4L, "d2"), (9L, "n")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pmc")
+      spark.sql("DROP TABLE IF EXISTS pmc_src")
+    }
+  }
+
   test("the pruned read of a catalog table carries PartitionFilters") {
     withPartTable("pplan") { _ =>
       val touched = spark.table("pplan").filter($"day" === 1)
