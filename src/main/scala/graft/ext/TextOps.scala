@@ -275,4 +275,46 @@ object TextOps {
           lit(1.0) - size(array_distinct(col("__bg"))).cast("double") /
             size(col("__bg"))).otherwise(lit(0.0))).as("dup_bigram_ratio"))
   }
+
+  /** Compression-ratio quality signal: `deflate(text).length / raw.length`
+    * — the classic cheap junk detector (boilerplate and repetition
+    * compress far below natural prose; random noise compresses above it).
+    * One `Deflater` per PARTITION, reset per row — the mapPartitions
+    * per-partition-init harness, because zlib is a JVM library, not a
+    * Catalyst expression. Deterministic for a fixed JDK; no cross-engine
+    * oracle by design (spec pins the repetitive ≪ prose < noise ordering
+    * instead). Ratio is 4dp-rounded; empty docs score 0. */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val in = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("n_compressed", IntegerType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    in.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](8192)
+      rows.map { r =>
+        val raw =
+          if (r.isNullAt(1)) Array.empty[Byte]
+          else r.getString(1).getBytes("UTF-8")
+        var compressed = 0
+        if (raw.nonEmpty) {
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+        }
+        val ratio =
+          if (raw.isEmpty) 0.0
+          else math.floor(compressed.toDouble / raw.length * 10000 + 0.5) / 10000
+        Row(r.getLong(0), raw.length, compressed, ratio)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -2582,6 +2582,15 @@ object Queries {
       |SELECT doc_id, source, n_toks, CAST(cum AS BIGINT) AS cum_toks
       |FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin
 
+  /** Compression-ratio quality screen ([[graft.ext.TextOps
+    * .compressionRatio]]): deflate-ratio per document — the classic cheap
+    * junk detector (repetition compresses ≪ prose < noise). No DuckDB
+    * oracle by design (zlib bytes are JDK-specific); the ordering contract
+    * and determinism are pinned in TextOpsSpec. */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.compressionRatio(t(s, d, "documents"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2693,5 +2702,6 @@ object Queries {
     QueryDef("q94_span_decontaminate", q94, Some(q94Sql)),
     QueryDef("q95_bigram_logprob", q95, Some(q95Sql)),
     QueryDef("q96_token_budget", q96, Some(q96Sql)),
+    QueryDef("q97_compression_quality", q97, None),
   )
 }
