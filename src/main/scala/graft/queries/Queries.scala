@@ -2591,6 +2591,29 @@ object Queries {
     graft.ext.TextOps.compressionRatio(t(s, d, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Stratified top-k selection ([[graft.ext.ShardOps.withGroupRank]]):
+    * the 5 largest documents per source by (n_chars DESC, doc_id) — exact
+    * per-group ranks from the bounded-memory two-phase construction
+    * (range partitions + group-resetting local counters + broadcast
+    * carry-ins), never a one-reducer-per-group window. */
+  private def q98(s: SparkSession, d: String): DataFrame =
+    graft.ext.ShardOps.withGroupRank(
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "source", Seq(col("n_chars").desc, col("doc_id").asc))
+      .filter(col("__grn") <= 5)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("__grn").cast("int").as("rk"))
+      .orderBy(col("doc_id"))
+
+  private val q98Sql =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2703,5 +2726,6 @@ object Queries {
     QueryDef("q95_bigram_logprob", q95, Some(q95Sql)),
     QueryDef("q96_token_budget", q96, Some(q96Sql)),
     QueryDef("q97_compression_quality", q97, None),
+    QueryDef("q98_stratified_topk", q98, Some(q98Sql)),
   )
 }

@@ -52,6 +52,48 @@ class ShardOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("withGroupRank equals per-group row_number; partitioning-invariant") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new Random(19)
+    val rows = (1L to 1500L).map(i =>
+      (i, s"g${rnd.nextInt(5)}", rnd.nextInt(12).toLong)) // many ties
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy { case (id, _, sz) => (-sz, id) }
+        .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1L) }
+    }.toMap
+    Seq(1, 13).foreach { nPart =>
+      val df = rows.toDF("id", "grp", "sz").repartition(nPart)
+      val got = ShardOps
+        .withGroupRank(df, "grp", Seq(col("sz").desc, col("id").asc))
+        .select("id", "__grn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"with $nPart input partitions")
+    }
+  }
+
+  test("withGroupRank: one full-data range shuffle, offsets window is summary-only") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sql = spark
+    import sql.implicits._
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}", i % 9)).toDF("id", "grp", "sz")
+    val out = ShardOps.withGroupRank(df, "grp", Seq(col("sz").desc, col("id").asc))
+    val rangeShuffles = out.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e.canonicalized
+    }
+    assert(rangeShuffles.nonEmpty && rangeShuffles.distinct.size == 1)
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+    // The only window runs over the per-(partition, group) summary.
+    val opt = out.queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]+)".r
+      .findAllMatchIn(opt).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(s => assert(s.startsWith("__grp#"), opt))
+  }
+
   test("one full-data shuffle: the offsets branch reuses the range exchange") {
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
