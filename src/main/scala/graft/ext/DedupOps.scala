@@ -313,19 +313,28 @@ object DedupOps {
     * document's own token count. Nothing is quadratic; no suffix array is
     * materialized. A corpus-boilerplate gram makes one fat (spillable)
     * window partition — the same skew any occurrence-exact plan carries.
-    * Exact gram strings shuffle here for oracle-exact semantics — a 100 TB
-    * deployment would shuffle a pair of independent 64-bit gram hashes
-    * instead (collision-safe in tandem) at minLen× lower shuffle width.
+    *
+    * `hashedGrams = false` (default) shuffles exact gram strings —
+    * oracle-exact semantics. `hashedGrams = true` is the 100 TB shuffle
+    * shape: each occurrence ships only a PAIR of independent 64-bit gram
+    * hashes (16 bytes, vs minLen tokens of text), and duplication is
+    * decided on the tandem key. A false excision needs two distinct grams
+    * to collide on BOTH hashes simultaneously — ~G²/2^129 over G distinct
+    * grams, never expected at any real corpus size (the spec asserts the
+    * two modes decide identically on its corpora).
     *
     * Output: (idCol, n_toks, n_removed, clean), one row per input doc. */
   def exciseDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minLen: Int = 5): DataFrame = {
+      textCol: String = "text", minLen: Int = 5,
+      hashedGrams: Boolean = false): DataFrame = {
     require(minLen >= 1)
     val base = docs.select(col(idCol).as("__id"),
       wordTokens(col(textCol)).as("__toks"))
-    val starts = gramOccurrences(base, minLen)
+    val keyedOcc = gramKeys(gramOccurrences(base, minLen), hashedGrams)
+    val starts = keyedOcc
       .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__gram"))))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(gramKeyCols(hashedGrams): _*)))
       .filter(col("__n") > 1)
       .select(col("__id"), (col("__pos0") + 1).as("__start")) // 1-based
     exciseByStarts(base, starts, idCol, minLen)
@@ -338,6 +347,21 @@ object DedupOps {
         sequence(lit(1), size(col("__toks")) - (minLen - 1)),
         i => concat_ws(" ", slice(col("__toks"), i, lit(minLen))))))
       .toDF("__id", "__pos0", "__gram")
+
+  /** Swap the gram text for its tandem 64-bit hash pair when `hashed` —
+    * the occurrence rows then carry 16 bytes of key instead of the gram. */
+  private def gramKeys(occ: DataFrame, hashed: Boolean): DataFrame =
+    if (!hashed) occ
+    else occ
+      .withColumn("__h1", xxhash64(col("__gram")))
+      .withColumn("__h2", xxhash64(lit(42L), col("__gram")))
+      .drop("__gram")
+
+  private def gramKeyNames(hashed: Boolean): Seq[String] =
+    if (hashed) Seq("__h1", "__h2") else Seq("__gram")
+
+  private def gramKeyCols(hashed: Boolean): Seq[Column] =
+    gramKeyNames(hashed).map(col)
 
   /** Shared rebuild: drop every token covered by a flagged window start
     * and stitch the rest back. `starts` carries (__id, __start 1-based). */
@@ -377,21 +401,25 @@ object DedupOps {
     * (benchmark-sized, orders of magnitude under the corpus) before a
     * gram-keyed join against the corpus windows — Catalyst broadcasts it
     * when small; nothing is ever quadratic. The corpus is scanned twice
-    * (windows + rebuild), like the contamination screens.
+    * (windows + rebuild), like the contamination screens. `hashedGrams`
+    * joins on the tandem 64-bit hash pair instead of gram text — the
+    * same 100 TB shuffle/broadcast-width trade as
+    * [[exciseDuplicateSpans]], with the same vanishing collision odds.
     *
     * Output: (idCol, n_toks, n_removed, clean), one row per corpus doc. */
   def exciseContaminatedSpans(docs: DataFrame, reference: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      refTextCol: String = "text", minLen: Int = 5): DataFrame = {
+      refTextCol: String = "text", minLen: Int = 5,
+      hashedGrams: Boolean = false): DataFrame = {
     require(minLen >= 1)
     val base = docs.select(col(idCol).as("__id"),
       wordTokens(col(textCol)).as("__toks"))
     val refBase = reference.select(lit(0L).as("__id"),
       wordTokens(col(refTextCol)).as("__toks"))
-    val refGrams = gramOccurrences(refBase, minLen)
-      .select(col("__gram")).distinct()
-    val starts = gramOccurrences(base, minLen)
-      .join(refGrams, Seq("__gram"))
+    val refGrams = gramKeys(gramOccurrences(refBase, minLen), hashedGrams)
+      .select(gramKeyCols(hashedGrams): _*).distinct()
+    val starts = gramKeys(gramOccurrences(base, minLen), hashedGrams)
+      .join(refGrams, gramKeyNames(hashedGrams))
       .select(col("__id"), (col("__pos0") + 1).as("__start"))
     exciseByStarts(base, starts, idCol, minLen)
   }

@@ -268,6 +268,28 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
       (3L, 5, 5, "")))
   }
 
+  test("hashedGrams mode decides identically to exact grams (both excisers)") {
+    val sql2 = spark
+    import sql2.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "x y a b c d e z"),
+      (3L, "p q r s t"), (4L, "m n o p q m n o p q"), (5L, "u v")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(rows(DedupOps.exciseDuplicateSpans(docs, minLen = 5, hashedGrams = true))
+      == rows(DedupOps.exciseDuplicateSpans(docs, minLen = 5)))
+    val reference = Seq((100L, "the exact benchmark question appears"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words the exact benchmark question appears here end"),
+      (2L, "totally unrelated content with no overlap at all")
+    ).toDF("doc_id", "text")
+    assert(rows(DedupOps.exciseContaminatedSpans(corpus, reference,
+        minLen = 5, hashedGrams = true))
+      == rows(DedupOps.exciseContaminatedSpans(corpus, reference, minLen = 5)))
+  }
+
   test("exciseDuplicateSpans matches a driver reference on random corpora (property)") {
     val sql2 = spark
     import sql2.implicits._
