@@ -18,6 +18,12 @@ object DedupOps {
   def wordTokens(c: Column): Column =
     filter(split(lower(c), " "), t => length(t) > 0)
 
+  /** [[wordTokens]] with NULL text reading as ZERO tokens — for operators
+    * whose outputs (counts, rebuilt text) must stay well-defined on NULL
+    * rows instead of inheriting size(NULL) = -1. */
+  private def nullSafeTokens(c: Column): Column =
+    coalesce(wordTokens(c), expr("CAST(array() AS ARRAY<STRING>)"))
+
   /** Distinct word n-shingles. n=1 → the distinct token set (bag-of-words
     * Jaccard, the right granularity for small-vocab corpora); n≥2 → sliding
     * windows joined with a space. */
@@ -329,7 +335,7 @@ object DedupOps {
       hashedGrams: Boolean = false): DataFrame = {
     require(minLen >= 1)
     val base = docs.select(col(idCol).as("__id"),
-      wordTokens(col(textCol)).as("__toks"))
+      nullSafeTokens(col(textCol)).as("__toks"))
     val keyedOcc = gramKeys(gramOccurrences(base, minLen), hashedGrams)
     val starts = keyedOcc
       .withColumn("__n", count(lit(1)).over(
@@ -413,9 +419,9 @@ object DedupOps {
       hashedGrams: Boolean = false): DataFrame = {
     require(minLen >= 1)
     val base = docs.select(col(idCol).as("__id"),
-      wordTokens(col(textCol)).as("__toks"))
+      nullSafeTokens(col(textCol)).as("__toks"))
     val refBase = reference.select(lit(0L).as("__id"),
-      wordTokens(col(refTextCol)).as("__toks"))
+      nullSafeTokens(col(refTextCol)).as("__toks"))
     val refGrams = gramKeys(gramOccurrences(refBase, minLen), hashedGrams)
       .select(gramKeyCols(hashedGrams): _*).distinct()
     val starts = gramKeys(gramOccurrences(base, minLen), hashedGrams)

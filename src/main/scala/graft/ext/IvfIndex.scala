@@ -26,15 +26,29 @@ object IvfIndex {
       nCells: Int = 16, iters: Int = 2): Unit = {
     val centroids = SimilarityOps.kmeansCentroids(emb, nCells, iters)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val vecs = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("vec")), col("cos")).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.vec").as("vec"))
+    assignToCentroids(emb, centroids).drop("acos")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
+
+  /** Nearest-centroid assignment shared by [[build]] and [[append]]: the
+    * SAME expression in both places, with the score rounded to 4dp before
+    * the argmax and near-ties broken to the LOWEST cell (the repo's
+    * round-before-decision rule) — so re-assigning an unchanged embedding
+    * always reproduces its original cell. */
+  private def assignToCentroids(emb: DataFrame,
+      centroids: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        SimilarityOps.toDoubleArray(col("embedding")).as("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", floor(
+        SimilarityOps.cosine(col("vec"), col("centroid")) * 10000
+          + lit(0.5)) / 10000)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("vec")),
+          struct(col("cos"), -col("cell"))).as("best"),
+        max(col("cos")).as("acos"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.vec").as("vec"), col("acos"))
 
   /** Incrementally append embeddings to a built index: each new vector is
     * assigned to its nearest EXISTING centroid (centroids stay frozen — no
@@ -56,19 +70,23 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$path/centroids")
     // Checkpointed: consumed by the stats aggregate AND the merge write;
     // bounded by the appended batch, never the index.
-    val assigned = emb.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("vec")), col("cos")).as("best"),
-        max(col("cos")).as("acos"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        col("best.vec").as("vec"), col("acos"))
-      .localCheckpoint(true)
+    val assigned = assignToCentroids(emb, centroids).localCheckpoint(true)
     val s = assigned.agg(count(lit(1)), countDistinct(col("cell")),
       avg(col("acos"))).head()
     if (s.getLong(0) == 0L) return IvfAppendStats(0L, 0, Double.NaN)
+    // A re-appended vec_id whose embedding moved it to a DIFFERENT cell
+    // would leave the old posting in place (the merge keys on
+    // (vec_id, cell)) — a silent duplicate in every query. Detect on the
+    // column-pruned (vec_id, cell) index scan and refuse loudly: such
+    // drift is the documented rebuild trigger.
+    val moved = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("cell").as("__oldcell"))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .filter(col("cell") =!= col("__oldcell")).limit(1).count()
+    require(moved == 0L,
+      "IvfIndex.append: a re-appended vec_id assigns to a different cell " +
+        "than its resident posting — embedding drift across cells needs a " +
+        "rebuild, not an append")
     graft.sources.PartitionedMerge.upsert(spark, s"$path/cells", "cell",
       Seq("vec_id", "cell"), assigned.drop("acos"))
     IvfAppendStats(s.getLong(0), s.getLong(1).toInt, s.getDouble(2))

@@ -30,7 +30,7 @@ object LshIndex {
   private def withBuckets(df: DataFrame, planes: Int, tables: Int,
       idAs: String, vecAs: String): DataFrame =
     df.select(col("vec_id").as(idAs),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as(vecAs),
+      SimilarityOps.toDoubleArray(col("embedding")).as(vecAs),
       posexplode_outer(array((0 until tables).map(t =>
         SimilarityOps.lshBucket(col("embedding"), planes, t * planes)): _*))
         .as(Seq("tbl", "bucket")))

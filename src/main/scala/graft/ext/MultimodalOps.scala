@@ -78,6 +78,7 @@ object MultimodalOps {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { m =>
         try {
+          if (m.bytes == null) throw new java.io.IOException("null payload")
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.bytes))
           if (img == null) None
@@ -104,7 +105,12 @@ object MultimodalOps {
             }
             Some(DecodedImage(m.doc_id, w, h, bands, px))
           }
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          // javax.imageio throws RuntimeExceptions (CMMException, index
+          // errors) on malformed files, not just IOException — a single
+          // corrupt payload must drop its row, never the job.
+          case scala.util.control.NonFatal(_) => None
+        }
       }
     }(Encoders.product[DecodedImage])
   }
@@ -122,6 +128,7 @@ object MultimodalOps {
     typed.mapPartitions { rows =>
       rows.flatMap { m =>
         try {
+          if (m.bytes == null) throw new java.io.IOException("null payload")
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.bytes))
           val f = in.getFormat
@@ -153,8 +160,10 @@ object MultimodalOps {
               f.getSampleSizeInBits, out))
           }
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => None
-          case _: java.io.IOException => None
+          // Same contract as decodeImages: any per-payload decode failure
+          // (unsupported container, truncation, runtime parser errors)
+          // drops the row, never the job.
+          case scala.util.control.NonFatal(_) => None
         }
       }
     }(Encoders.product[DecodedAudio])

@@ -47,31 +47,9 @@ object ShardOps {
     * would insert a SECOND full-data hash exchange under the window
     * (measured in the q72 plan). One range shuffle total (asserted in
     * ShardOpsSpec). */
-  def withGlobalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.LongType
-    val parts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val outSchema = sorted.schema.add("__lrn", LongType, nullable = false)
-    val locallyRanked = sorted.mapPartitions { it =>
-      var i = 0L
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
-    }(Encoders.row(outSchema))
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // #partitions rows: the unpartitioned window below is driver-tiny.
-    val offsets = locallyRanked.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .drop("__c")
-    locallyRanked
-      .join(broadcast(offsets), "__pid")
-      .withColumn("__rn", col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off")
-  }
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame =
+    withGroupPrefix(df.withColumn("__gall", lit(true)), "__gall", sortCols,
+      valueCol = None, outCol = "__rn").drop("__gall")
 
   /** 1-based rank WITHIN `groupCol` by `sortCols`, bounded memory — the
     * per-group sibling of [[withGlobalRank]] and the machinery behind
@@ -103,35 +81,40 @@ object ShardOps {
     import org.apache.spark.sql.types.LongType
     val parts = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    val keyed = df.withColumn("__grp",
-      coalesce(col(groupCol).cast("string"), lit("\u0000")))
-    val keys = col("__grp") +: sortCols
+    // The group key is (isNull, stringified value): no sentinel string can
+    // collide with a real group value, and join/group keys stay non-NULL.
+    val keyed = df
+      .withColumn("__gnull", col(groupCol).isNull)
+      .withColumn("__grp", coalesce(col(groupCol).cast("string"), lit("")))
+    val keys = Seq(col("__gnull"), col("__grp")) ++ sortCols
     val sorted = keyed
       .repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__pid", spark_partition_id())
+    val nullIdx = sorted.schema.fieldIndex("__gnull")
     val grpIdx = sorted.schema.fieldIndex("__grp")
     val vIdx = valueCol.map(sorted.schema.fieldIndex)
     val outSchema = sorted.schema.add("__lcum", LongType, nullable = false)
     val local = sorted.mapPartitions { it =>
-      var g: String = null
+      var g: (Boolean, String) = null
       var cum = 0L
       it.map { r =>
-        val s = r.getString(grpIdx)
-        if (g == null || s != g) { g = s; cum = 0L }
+        val k = (r.getBoolean(nullIdx), r.getString(grpIdx))
+        if (g == null || k != g) { g = k; cum = 0L }
         cum += vIdx.map(i => r.getAs[Number](i).longValue).getOrElse(1L)
         Row.fromSeq(r.toSeq :+ cum)
       }
     }(Encoders.row(outSchema))
-    val wOff = Window.partitionBy(col("__grp")).orderBy(col("__pid"))
+    val wOff = Window.partitionBy(col("__gnull"), col("__grp"))
+      .orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__pid"), col("__grp"))
+    val offsets = local.groupBy(col("__pid"), col("__gnull"), col("__grp"))
       .agg(valueCol.map(c => sum(col(c))).getOrElse(count(lit(1))).as("__c"))
       .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
       .drop("__c")
-    local.join(broadcast(offsets), Seq("__pid", "__grp"))
+    local.join(broadcast(offsets), Seq("__pid", "__gnull", "__grp"))
       .withColumn(outCol, col("__off") + col("__lcum"))
-      .drop("__grp", "__pid", "__lcum", "__off")
+      .drop("__gnull", "__grp", "__pid", "__lcum", "__off")
   }
 
   /** Assigns every row a shard in [0, nShards) balanced by `sizeCol`,

@@ -27,7 +27,7 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  private def toDoubleArray(c: Column): Column =
+  private[ext] def toDoubleArray(c: Column): Column =
     transform(c, x => x.cast("double"))
 
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,

@@ -297,6 +297,11 @@ object TextOps {
       StructField("ratio", DoubleType, nullable = false)))
     in.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(6)
+      // zlib state is native memory — release it when the task ends
+      // rather than waiting on finalization (long-lived executors run
+      // many tasks).
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](8192)
       rows.map { r =>
         val raw =

@@ -196,16 +196,22 @@ object StreamOps {
   def upsertStream(cdc: DataFrame, dir: String, partCol: String,
       keyCols: Seq[String], orderCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // Tie-break equal-orderCol changes on every remaining column (a fixed
-    // name-sorted order) so a REPLAYED micro-batch — failure recovery under
-    // AvailableNow — picks the same winner as the first attempt. Two
-    // changes that tie on ALL columns are byte-identical, so either pick
-    // writes the same row; anything short of this would let row_number
-    // resolve the tie by partition-iteration order, which replay does not
-    // preserve.
-    val tieBreak = cdc.columns
-      .filterNot(c => keyCols.contains(c) || c == orderCol)
-      .sorted.map(c => col(c).desc)
+    // Tie-break equal-orderCol changes on every remaining ORDERABLE column
+    // (a fixed name-sorted order) so a REPLAYED micro-batch — failure
+    // recovery under AvailableNow — picks the same winner as the first
+    // attempt. Two changes that tie on ALL orderable columns are
+    // near-certainly byte-identical, so either pick writes the same row;
+    // anything short of this would let row_number resolve the tie by
+    // partition-iteration order, which replay does not preserve. Map-typed
+    // columns are excluded — Spark rejects MapType in a sort order, and a
+    // tie-break must not narrow the supported CDC schemas.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(dt)
+    val tieBreak = cdc.schema.fields
+      .filter(f => !keyCols.contains(f.name) && f.name != orderCol &&
+        orderable(f.dataType))
+      .map(_.name).sorted.map(c => col(c).desc)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(orderCol).desc +: tieBreak.toSeq): _*)
     cdc.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

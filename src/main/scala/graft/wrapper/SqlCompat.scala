@@ -133,17 +133,20 @@ object SqlCompat {
       // prunes when WHERE covers the partition column; either way the WRITE
       // only ever rewrites partitions that contain a matched row.
       val touched = df.filter(cond).select(pcols.map(col): _*)
-        .distinct().collect().toSeq
+        .distinct().limit(MaxTouchedPartitions + 1).collect().toSeq
       if (touched.isEmpty) return 0L // nothing matched → nothing written
-      val pruned = df.filter(touchedPredicate(pcols, touched))
-      val counts = pruned.agg(
-        count(lit(1)), count(when(cond, lit(1)))).head()
-      val ok = partitionScopedOverwrite(spark, u.table, pcols, touched,
-        applyAssignments(pruned, u, cond), expectedRows = counts.getLong(0),
-        mustCoverParts = Some(touched))
-      if (ok) return counts.getLong(1)
-      // Defensive only — an UPDATE preserves every pruned row, so the
-      // checks cannot fail unless the table changed under us.
+      if (touched.size <= MaxTouchedPartitions) {
+        val pruned = df.filter(touchedPredicate(pcols, touched))
+        val counts = pruned.agg(
+          count(lit(1)), count(when(cond, lit(1)))).head()
+        val ok = partitionScopedOverwrite(spark, u.table, pcols, touched,
+          applyAssignments(pruned, u, cond),
+          expectedRows = counts.getLong(0),
+          mustCoverParts = Some(touched))
+        if (ok) return counts.getLong(1)
+        // Defensive only — an UPDATE preserves every pruned row, so the
+        // checks cannot fail unless the table changed under us.
+      }
     }
     // One scan for both counts: total (staging validation) + matched.
     val counts = df.agg(
@@ -227,6 +230,12 @@ object SqlCompat {
     scala.util.Try(
       org.apache.spark.sql.graftbridge.Bridge.partitionColumnNames(spark, table))
       .getOrElse(Nil)
+
+  /** Above this many touched partitions the statement effectively IS a
+    * full-table rewrite, and the OR-of-ANDs pruning predicate (one
+    * disjunct per partition tuple) would bloat plan analysis for no IO
+    * win — the full path takes over. */
+  private val MaxTouchedPartitions = 1000
 
   /** OR-of-ANDs equality predicate over the touched partition-value tuples
     * — the shape Spark's scan planning turns into `PartitionFilters`, so
@@ -324,17 +333,19 @@ object SqlCompat {
     val pcols = partitionColsOf(spark, d.table)
     if (pcols.nonEmpty) {
       val touched = df.filter(cond).select(pcols.map(col): _*)
-        .distinct().collect().toSeq
+        .distinct().limit(MaxTouchedPartitions + 1).collect().toSeq
       if (touched.isEmpty) return 0L // nothing matched → nothing written
-      val pruned = df.filter(touchedPredicate(pcols, touched))
-      val counts = pruned.agg(
-        count(lit(1)), count(when(cond, lit(1)))).head()
-      val (total, affected) = (counts.getLong(0), counts.getLong(1))
-      val remaining = pruned.filter(coalesce(!cond, lit(true)))
-      val ok = partitionScopedOverwrite(spark, d.table, pcols, touched,
-        remaining, expectedRows = total - affected,
-        mustCoverParts = Some(touched))
-      if (ok) return affected
+      if (touched.size <= MaxTouchedPartitions) {
+        val pruned = df.filter(touchedPredicate(pcols, touched))
+        val counts = pruned.agg(
+          count(lit(1)), count(when(cond, lit(1)))).head()
+        val (total, affected) = (counts.getLong(0), counts.getLong(1))
+        val remaining = pruned.filter(coalesce(!cond, lit(true)))
+        val ok = partitionScopedOverwrite(spark, d.table, pcols, touched,
+          remaining, expectedRows = total - affected,
+          mustCoverParts = Some(touched))
+        if (ok) return affected
+      }
     }
     val counts = df.agg(
       count(lit(1)), count(when(cond, lit(1)))).head()
@@ -1088,10 +1099,15 @@ object SqlCompat {
                    else spark.table(m.source))
     val touched = prune.map { case (pcols, srcExprs) =>
       (pcols, srcBase.alias(m.sourceAlias)
-        .select(srcExprs.map(expr): _*).distinct().collect().toSeq)
+        .select(srcExprs.map(expr): _*).distinct()
+        .limit(MaxTouchedPartitions + 1).collect().toSeq)
     }
     touched match { // empty source ⇒ no matches, no inserts ⇒ no-op
       case Some((_, t)) if t.isEmpty => return 0L
+      // More touched partitions than the pruning predicate should carry:
+      // this MERGE is a near-full rewrite — run it as one.
+      case Some((_, t)) if t.size > MaxTouchedPartitions =>
+        return runMergeImpl(spark, m, None)
       case _ => ()
     }
     val tgtBase = touched match {

@@ -112,6 +112,33 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(ra >= rb - 0.25, s"append recall $ra craters vs rebuild $rb")
   }
 
+  test("append refuses a re-appended vec_id that moved cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory("ivfm").toString + "/idx"
+    IvfIndex.build(spark, emb, dir, nCells = 8, iters = 2)
+    // Re-append vec_id 0 with ANOTHER row's embedding: if it assigns to a
+    // different cell, the old posting would silently survive as a
+    // duplicate — append must refuse loudly instead.
+    val dim = emb.select("embedding").head().getSeq[Any](0).size
+    val cells = spark.read.parquet(s"$dir/cells")
+    val cellOf = (id: Long) => cells.filter($"vec_id" === id)
+      .select("cell").head().getInt(0)
+    // find a donor row living in a different cell than vec_id 0
+    val donor = cells.filter($"cell" =!= cellOf(0))
+      .select("vec_id").head().getLong(0)
+    val moved = emb.filter($"vec_id" === donor)
+      .select(org.apache.spark.sql.functions.lit(0L).as("vec_id"),
+        $"embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, moved, dir)
+    }
+    assert(e.getMessage.contains("rebuild"))
+    assert(dim > 0)
+    // the refusal happened BEFORE any write: still exactly one posting
+    assert(spark.read.parquet(s"$dir/cells")
+      .filter($"vec_id" === 0L).count() == 1)
+  }
+
   test("append: empty batch is a no-op") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = Files.createTempDirectory("ivfe").toString + "/idx"

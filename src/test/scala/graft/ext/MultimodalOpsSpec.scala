@@ -108,14 +108,16 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(d.pixels.length == 40 && d.pixels.forall(v => v >= 0f && v <= 255f))
   }
 
-  test("decodeImages: undecodable payloads are dropped, not failed") {
+  test("decodeImages: undecodable and NULL payloads are dropped, not failed") {
     val m = Seq(
       (1L, grayPng(2, 2, Array(1, 2, 3, 4)), "image/png"),
       (2L, "this is not an image".getBytes("UTF-8"), "text/plain"),
-      (3L, Array.empty[Byte], "application/octet-stream"))
+      (3L, Array.empty[Byte], "application/octet-stream"),
+      (4L, null.asInstanceOf[Array[Byte]], "image/png"))
       .toDF("doc_id", "bytes", "mime")
     val ids = MultimodalOps.decodeImages(m).collect().map(_.doc_id).toSeq
     assert(ids == Seq(1L))
+    assert(MultimodalOps.decodeWavs(m).collect().isEmpty) // none is audio
   }
 
   test("resizeImages: hand-computed average pooling of a real PNG") {

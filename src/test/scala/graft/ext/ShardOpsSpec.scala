@@ -91,7 +91,7 @@ class ShardOpsSpec extends AnyFunSuite with SparkTestBase {
     val specs = "windowspecdefinition\\(([^,]+)".r
       .findAllMatchIn(opt).map(_.group(1)).toSeq
     assert(specs.nonEmpty)
-    specs.foreach(s => assert(s.startsWith("__grp#"), opt))
+    specs.foreach(s => assert(s.startsWith("__gnull#"), opt))
   }
 
   test("one full-data shuffle: the offsets branch reuses the range exchange") {
@@ -111,12 +111,12 @@ class ShardOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rangeShuffles.nonEmpty && rangeShuffles.distinct.size == 1)
     out.collect()
     assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
-    // The only window is the offsets prefix-sum, ordered by __pid over the
-    // driver-tiny cell table.
+    // The only window is the offsets prefix-sum over the driver-tiny
+    // per-(partition, group) summary.
     val opt = out.queryExecution.optimizedPlan.toString
     val specs = "windowspecdefinition\\(([^,]+)".r
       .findAllMatchIn(opt).map(_.group(1)).toSeq
     assert(specs.nonEmpty)
-    specs.foreach(s => assert(s.startsWith("__pid#"), opt))
+    specs.foreach(s => assert(s.startsWith("__gnull#"), opt))
   }
 }
