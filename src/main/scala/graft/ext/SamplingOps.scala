@@ -141,4 +141,53 @@ object SamplingOps {
       .filter(col("cum_toks") <= budget)
       .drop("__ord")
   }
+
+  /** Deterministic EPOCH shuffle + fixed-size batch assignment — the
+    * "reshuffle the corpus every epoch" primitive of a training loader,
+    * without `rand()`: order is the Fibonacci hash of `id + epoch`, so
+    * epoch N's permutation is a pure function of (ids, epoch) —
+    * reproducible across runs, engines, and partitionings, and a resumed
+    * job re-derives the exact batch schedule it crashed in.
+    *
+    * Scale shape: the hash is a projection; the 1-based global position
+    * comes from [[ShardOps.withGlobalRank]] (ONE range shuffle,
+    * bounded-memory two-phase prefix — never a single-reducer window).
+    * Output: input columns + `ord_idx` (1-based epoch position),
+    * `batch_id`, `pos_in_batch` (both 0-based). */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      batchSize: Long): DataFrame = {
+    require(epoch >= 0 && batchSize >= 1)
+    val keyed = df.withColumn("__ord",
+      pmod((col(idCol).cast("long") + epoch) * lit(SplitOps.Knuth),
+        lit(SplitOps.Mod)))
+    ShardOps.withGlobalRank(keyed, Seq(col("__ord"), col(idCol)))
+      .withColumn("ord_idx", col("__rn"))
+      // `div`, not `/` (which is DOUBLE division in Spark SQL): batch ids
+      // must stay integral.
+      .withColumn("batch_id", expr(s"(__rn - 1) div $batchSize"))
+      .withColumn("pos_in_batch", (col("__rn") - 1) % batchSize)
+      .drop("__ord", "__rn")
+  }
+
+  /** Per-group QUANTILE floor filter: drop the bottom `pct`% of each
+    * group under `sortCols` — "cut the worst-quality fifth of every
+    * source" as one deterministic relational op. The threshold count is
+    * integer arithmetic (`n·pct / 100` truncated), so the kept set is
+    * engine-exact — no float percentile boundary to disagree over.
+    *
+    * Scale shape: ranks come from [[ShardOps.withGroupRank]] (one range
+    * shuffle, bounded memory); group sizes are a #groups-row aggregate
+    * broadcast back. No reducer holds a whole group. */
+  def dropBottomPct(df: DataFrame, groupCol: String, pct: Int,
+      sortCols: Seq[Column]): DataFrame = {
+    require(pct >= 0 && pct <= 100)
+    val counts = df.groupBy(col(groupCol).as("__gc"))
+      .agg(count(lit(1)).as("__n"))
+    ShardOps.withGroupRank(df, groupCol, sortCols)
+      .join(broadcast(counts), col(groupCol) <=> col("__gc"))
+      // `div`, not `/`: Spark's `/` is always DOUBLE division — the
+      // threshold must stay integral to be engine-exact.
+      .filter(col("__grn") > expr(s"__n * $pct div 100"))
+      .drop("__grn", "__gc", "__n")
+  }
 }

@@ -313,4 +313,49 @@ object SimilarityOps {
         col("dup_of"))
       .orderBy(col("vec_id"))
   }
+
+  /** The ±1 sign matrix behind [[randomProject]]: `sign(j, i)` is +1 iff
+    * the first hex nibble of `md5("<seed>_<j>_<i>")` is < '8' — a
+    * deterministic, engine-independent derivation any SQL dialect with
+    * `md5()` reproduces verbatim (DuckDB does, in the q100 oracle). */
+  private[ext] def projectionSigns(seed: String, outDim: Int,
+      inDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      md.reset()
+      val h = md.digest(s"${seed}_${j}_${i}".getBytes("UTF-8"))
+      // first hex char < '8'  ⇔  top nibble of byte 0 is 0–7
+      if (((h(0) >> 4) & 0xf) < 8) 1.0d else -1.0d
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction: project each
+    * embedding onto `outDim` random ±1 directions (Achlioptas 2003 —
+    * sign matrices preserve pairwise distances like Gaussians do, with
+    * integer-friendly arithmetic). 64→8 dims cuts ANN scan IO 8× while
+    * approximately preserving cosine geometry; compose with
+    * [[quantizeInt8]] for another 4×.
+    *
+    * The matrix is not stored anywhere — it is a pure function of
+    * (seed, dims) via md5 ([[projectionSigns]]), so any engine, any run,
+    * and any later append derives bit-identical projections. Scale shape:
+    * the signs ship as ONE broadcast literal (outDim·inDim doubles); the
+    * projection is a per-row whole-stage-codegen fold over the embedding
+    * — no shuffle, no join, scan speed. Output: `idCol` +
+    * `proj` array<double>, each coordinate 4dp-rounded (the repo's
+    * round-before-compare rule). */
+  def randomProject(emb: DataFrame, outDim: Int, inDim: Int,
+      seed: String = "rp", idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && inDim >= 1)
+    val signs = projectionSigns(seed, outDim, inDim)
+    val vec = toDoubleArray(col(embCol))
+    val proj = array((0 until outDim).map { j =>
+      val row = array(signs(j).map(lit): _*)
+      val s = aggregate(zip_with(vec, row, (x, sg) => x * sg),
+        lit(0.0d), (acc, x) => acc + x)
+      floor(s * 10000 + lit(0.5)) / 10000
+    }: _*)
+    emb.select(col(idCol), proj.as("proj"))
+  }
 }

@@ -20,8 +20,8 @@ object SplitOps {
 
   /** 2^32 · (golden-ratio conjugate) — the classic multiplicative-hash
     * constant; coprime to 2^32, spreads sequential ids uniformly. */
-  private val Knuth = 2654435761L
-  private val Mod = 4294967296L // 2^32
+  private[ext] val Knuth = 2654435761L
+  private[ext] val Mod = 4294967296L // 2^32
 
   /** Uniform 0–99 bucket from a non-negative integer id. */
   def bucket(id: Column): Column =

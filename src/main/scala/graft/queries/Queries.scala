@@ -2614,6 +2614,88 @@ object Queries {
       |SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk
       |FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin
 
+  /** Deterministic epoch shuffle + batch assignment ([[graft.ext
+    * .SamplingOps.epochShuffle]]): epoch 2's training order and 64-doc
+    * batch schedule as a pure function of (doc_id, epoch) — `rand()`-free,
+    * so a resumed run re-derives the exact schedule. Global positions via
+    * the bounded-memory two-phase rank (one range shuffle), never a
+    * single-reducer window. */
+  private def q99(s: SparkSession, d: String): DataFrame =
+    graft.ext.SamplingOps.epochShuffle(
+      t(s, d, "documents").select(col("doc_id")),
+      "doc_id", epoch = 2, batchSize = 64L)
+      .select(col("doc_id"), col("ord_idx"), col("batch_id"),
+        col("pos_in_batch"))
+      .orderBy(col("doc_id"))
+
+  private val q99Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         ((doc_id + 2) * 2654435761) % 4294967296 AS ord
+      |  FROM documents),
+      |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ord, doc_id) AS rn
+      |      FROM t)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS ord_idx,
+      |       CAST((rn - 1) // 64 AS BIGINT) AS batch_id,
+      |       CAST((rn - 1) % 64 AS BIGINT) AS pos_in_batch
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Johnson–Lindenstrauss random projection ([[graft.ext.SimilarityOps
+    * .randomProject]]): 64-dim embeddings onto 8 md5-derived ±1
+    * directions — the scan-IO reducer in front of ANN. The oracle derives
+    * the SAME sign matrix from md5 in SQL, so the projection is checked
+    * value-for-value, not just shape. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val p = graft.ext.SimilarityOps.randomProject(
+      t(s, d, "embeddings"), outDim = 8, inDim = 64)
+    p.select(col("vec_id") +:
+        (0 until 8).map(j => element_at(col("proj"), j + 1).as(s"p$j")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q100Sql =
+    """WITH dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
+      |ks AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS j),
+      |s AS (SELECT j, i,
+      |        CASE WHEN SUBSTR(MD5('rp_' || j || '_' || i), 1, 1) < '8'
+      |             THEN 1.0 ELSE -1.0 END AS sgn FROM ks, dims),
+      |e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+      |      FROM embeddings, dims),
+      |p AS (SELECT vec_id, j, FLOOR(SUM(x * sgn) * 10000 + 0.5) / 10000 AS v
+      |      FROM e JOIN s USING (i) GROUP BY vec_id, j)
+      |SELECT vec_id,
+      |  MAX(CASE WHEN j = 0 THEN v END) AS p0,
+      |  MAX(CASE WHEN j = 1 THEN v END) AS p1,
+      |  MAX(CASE WHEN j = 2 THEN v END) AS p2,
+      |  MAX(CASE WHEN j = 3 THEN v END) AS p3,
+      |  MAX(CASE WHEN j = 4 THEN v END) AS p4,
+      |  MAX(CASE WHEN j = 5 THEN v END) AS p5,
+      |  MAX(CASE WHEN j = 6 THEN v END) AS p6,
+      |  MAX(CASE WHEN j = 7 THEN v END) AS p7
+      |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Per-source quantile floor filter ([[graft.ext.SamplingOps
+    * .dropBottomPct]]): drop each source's bottom 20% by
+    * (n_chars, doc_id) — the "cut the worst fraction per domain"
+    * curation primitive, with an integer threshold so the kept set is
+    * engine-exact. */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    graft.ext.SamplingOps.dropBottomPct(
+      t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "source", 20, Seq(col("n_chars").asc, col("doc_id").asc))
+      .orderBy(col("doc_id"))
+
+  private val q102Sql =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rk,
+      |         COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars FROM r
+      |WHERE rk > (cnt * 20) // 100 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2727,5 +2809,8 @@ object Queries {
     QueryDef("q96_token_budget", q96, Some(q96Sql)),
     QueryDef("q97_compression_quality", q97, None),
     QueryDef("q98_stratified_topk", q98, Some(q98Sql)),
+    QueryDef("q99_epoch_shuffle", q99, Some(q99Sql)),
+    QueryDef("q100_random_projection", q100, Some(q100Sql)),
+    QueryDef("q102_quantile_filter", q102, Some(q102Sql)),
   )
 }

@@ -140,4 +140,64 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.toSeq == Seq(1L, 2L, 3L))
     assert(SamplingOps.sampleToTokenBudget(df, 0L).count() == 0L)
   }
+
+  test("epochShuffle matches a driver reference; partitioning-invariant") {
+    val sql = spark
+    import sql.implicits._
+    val ids = 0L until 200L
+    def fib(id: Long, e: Long) = ((id + e) * 2654435761L) % 4294967296L
+    def expected(e: Int) = ids.sortBy(i => (fib(i, e), i)).zipWithIndex
+      .map { case (id, k) => (id, k + 1L, k / 64L, k % 64L) }
+      .sortBy(_._1)
+    Seq(1, 7).foreach { nPart =>
+      val df = ids.toDF("doc_id").repartition(nPart)
+      val out = SamplingOps.epochShuffle(df, "doc_id", 3, 64L)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq == expected(3), s"with input partitions = $nPart")
+    }
+  }
+
+  test("epochShuffle: epochs permute; batches are full-size except the tail") {
+    val sql = spark
+    import sql.implicits._
+    val df = (0L until 150L).toDF("doc_id")
+    val e0 = SamplingOps.epochShuffle(df, "doc_id", 0, 32L)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val e1 = SamplingOps.epochShuffle(df, "doc_id", 1, 32L)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    // both are permutations of 1..150, and different ones
+    assert(e0.sorted.toSeq == (1L to 150L) && e1.sorted.toSeq == (1L to 150L))
+    assert(!e0.sameElements(e1))
+    val sizes = SamplingOps.epochShuffle(df, "doc_id", 0, 32L)
+      .groupBy("batch_id").count().orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((0L, 32L), (1L, 32L), (2L, 32L), (3L, 32L),
+      (4L, 22L)))
+  }
+
+  test("dropBottomPct: exact per-group cut; null group; 0 and 100 pct edges") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, Some("a"), 20), (3L, Some("a"), 30),
+      (4L, Some("a"), 40), (5L, Some("a"), 50),
+      (6L, Some("b"), 5), (7L, Some("b"), 15),
+      (8L, None, 1), (9L, None, 2)
+    ).toDF("id", "grp", "q")
+    // 20% of 5 = 1 dropped from a; 20% of 2 = 0 dropped from b/null
+    val kept = SamplingOps.dropBottomPct(df, "grp", 20,
+      Seq(col("q").asc, col("id").asc))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // 50%: a drops 2, b drops 1, null drops 1
+    val kept50 = SamplingOps.dropBottomPct(df, "grp", 50,
+      Seq(col("q").asc, col("id").asc))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept50.toSeq == Seq(3L, 4L, 5L, 7L, 9L))
+    assert(SamplingOps.dropBottomPct(df, "grp", 0,
+      Seq(col("q").asc)).count() == 9L)
+    assert(SamplingOps.dropBottomPct(df, "grp", 100,
+      Seq(col("q").asc)).count() == 0L)
+  }
 }

@@ -111,4 +111,58 @@ class SimilarityOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
     assert(out.toSeq == Seq((10L, 1, -1L), (11L, 0, 10L), (12L, 0, 10L)))
   }
+
+  test("randomProject matches a driver-side reference; deterministic") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val signs = SimilarityOps.projectionSigns("rp", 4, 16)
+    def ref(v: Array[Float]): Seq[Double] = (0 until 4).map { j =>
+      val s = v.indices.foldLeft(0.0d)((acc, i) =>
+        acc + v(i).toDouble * signs(j)(i))
+      math.floor(s * 10000 + 0.5) / 10000
+    }
+    val out = SimilarityOps.randomProject(df, 4, 16)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    rows.foreach { case (id, v) =>
+      assert(out(id.toInt)._2 == ref(v), s"vec $id")
+    }
+    // signs are ±1 and reproducible
+    assert(signs.flatten.forall(s => s == 1.0d || s == -1.0d))
+    assert(SimilarityOps.projectionSigns("rp", 4, 16).map(_.toSeq).toSeq
+      == signs.map(_.toSeq).toSeq)
+  }
+
+  test("randomProject approximately preserves cosine geometry (JL)") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3 well-separated clusters in 64d; projection to 16d must keep
+    // within-cluster cosines above cross-cluster ones on average.
+    val base = Array.fill(3)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 30).map { k =>
+      val c = k % 3
+      (k.toLong, c, base(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.map { case (id, _, v) => (id, v) }.toDF("vec_id", "embedding")
+    val proj = SimilarityOps.randomProject(df, 16, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCluster = rows.groupBy(_._2)
+    val within = for {
+      (_, rs) <- byCluster.toSeq; a <- rs; b <- rs if a._1 < b._1
+    } yield cos(proj(a._1), proj(b._1))
+    val across = for {
+      a <- rows; b <- rows if a._1 < b._1 && a._2 != b._2
+    } yield cos(proj(a._1), proj(b._1))
+    assert(within.sum / within.size > across.sum / across.size + 0.3,
+      s"within ${within.sum / within.size} vs across ${across.sum / across.size}")
+  }
 }
