@@ -2674,6 +2674,19 @@ object Queries {
       |  MAX(CASE WHEN j = 7 THEN v END) AS p7
       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization ANN ([[graft.ext.PqOps]]): train per-subspace
+    * codebooks, compress the corpus to 32 one-byte codes (32× less scan
+    * IO than float32 — the PQ scale path), then ADC top-10 for 5 query
+    * vectors. No DuckDB oracle by design (k-means codebooks aren't
+    * SQL-expressible); exactness of encode/ADC against a driver reference
+    * and recall@10 ≥ 0.5 vs the exact scan are pinned in PqOpsSpec. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cb = graft.ext.PqOps.trainCodebooks(emb, m = 32, k = 32, iters = 3)
+    val enc = graft.ext.PqOps.encode(emb, cb)
+    graft.ext.PqOps.searchAdc(enc, cb, emb.filter(col("vec_id") <= 4), k = 10)
+  }
+
   /** Per-source quantile floor filter ([[graft.ext.SamplingOps
     * .dropBottomPct]]): drop each source's bottom 20% by
     * (n_chars, doc_id) — the "cut the worst fraction per domain"
@@ -2811,6 +2824,7 @@ object Queries {
     QueryDef("q98_stratified_topk", q98, Some(q98Sql)),
     QueryDef("q99_epoch_shuffle", q99, Some(q99Sql)),
     QueryDef("q100_random_projection", q100, Some(q100Sql)),
+    QueryDef("q101_ann_pq", q101, None),
     QueryDef("q102_quantile_filter", q102, Some(q102Sql)),
   )
 }
