@@ -122,6 +122,19 @@ object PqOps {
     * distance array is bound through the single-element-transform "let"
     * so it is computed once, not once per reference (the quantizeInt8
     * lesson). */
+  /** The `m×k` ADC lookup table for one query-side vector: exact squared
+    * sub-distances to every code of every subspace — shared by
+    * [[searchAdc]] and [[IvfPq.query]] (there over the RESIDUAL vector). */
+  private[ext] def lutExpr(vec: Column, m: Int, subDim: Int,
+      cents: Array[Array[Array[Double]]]): Column =
+    zip_with(subVectors(vec, m, subDim), cbLiteral(cents),
+      (sv, cbs) => transform(cbs, c => l2sq(sv, c)))
+
+  /** ADC score for one encoded row against a query's LUT: `m` lookups. */
+  private[ext] def adcScore(lut: Column, codes: Column): Column =
+    aggregate(zip_with(lut, codes, (l, c) => element_at(l, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+
   private def nearestCodes(vec: Column, m: Int, subDim: Int,
       cents: Array[Array[Array[Double]]]): Column =
     zip_with(subVectors(vec, m, subDim), cbLiteral(cents),
@@ -134,7 +147,7 @@ object PqOps {
 
   /** Driver-side dense codebook image: `(m, subDim, cents(sub)(code))`.
     * Tiny by construction (`m·k·subDim` doubles). */
-  private def collectCodebooks(codebooks: DataFrame)
+  private[ext] def collectCodebooks(codebooks: DataFrame)
       : (Int, Int, Array[Array[Array[Double]]]) = {
     val rows = codebooks.select(col("sub"), col("code"), col("centroid"))
       .collect()
@@ -157,11 +170,11 @@ object PqOps {
     * reference (the quantizeInt8 lesson). Output: (`idCol`,
     * codes: array<int>). */
   def encode(emb: DataFrame, codebooks: DataFrame,
-      idCol: String = "vec_id"): DataFrame = {
+      idCols: Seq[String] = Seq("vec_id")): DataFrame = {
     val (m, subDim, cents) = collectCodebooks(codebooks)
     val vec = SimilarityOps.toDoubleArray(col("embedding"))
-    emb.select(col(idCol),
-      nearestCodes(vec, m, subDim, cents).as("codes"))
+    emb.select(idCols.map(col) :+
+      nearestCodes(vec, m, subDim, cents).as("codes"): _*)
   }
 
   /** ADC top-k over a PQ-encoded corpus for a (small, broadcast) query
@@ -178,15 +191,11 @@ object PqOps {
       k: Int = 10, salts: Int = 32): DataFrame = {
     val (m, subDim, cents) = collectCodebooks(codebooks)
     val qvec = SimilarityOps.toDoubleArray(col("embedding"))
-    val lut = zip_with(subVectors(qvec, m, subDim), cbLiteral(cents),
-      (sv, cbs) => transform(cbs, c => l2sq(sv, c)))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      lut.as("lut")))
+      lutExpr(qvec, m, subDim, cents).as("lut")))
     val scored = encoded
       .join(q, col("vec_id") =!= col("query_id")) // skip self-match
-      .withColumn("adist", aggregate(
-        zip_with(col("lut"), col("codes"), (l, c) => element_at(l, c + 1)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("adist", adcScore(col("lut"), col("codes")))
       .select(col("query_id"), col("vec_id"), col("adist"))
     val salted = scored.withColumn("salt", pmod(col("vec_id"), lit(salts)))
     val w1 = Window.partitionBy(col("query_id"), col("salt"))

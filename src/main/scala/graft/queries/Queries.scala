@@ -2687,6 +2687,37 @@ object Queries {
     graft.ext.PqOps.searchAdc(enc, cb, emb.filter(col("vec_id") <= 4), k = 10)
   }
 
+  /** IVF-PQ ANN ([[graft.ext.IvfPq]]): the composed production layout —
+    * coarse cells route the probe to `nProbe/nCells` of the corpus
+    * (partition pruning), PQ residual codes cut the probed IO another
+    * 16× and score via per-(query, cell) ADC LUTs. Index built once per
+    * dataset (same cache discipline as q41). No DuckDB oracle by design;
+    * determinism, pruning, and recall floors are pinned in IvfPqSpec. */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    graft.ext.IvfPq.query(s, ivfPqIndexDir(s, d),
+      t(s, d, "embeddings").filter(col("vec_id") <= 4), k = 10, nProbe = 8)
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexDir(s: SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fingerprint = fs.listStatus(src)
+      .map(st => st.getLen ^ st.getModificationTime)
+      .foldLeft(d.hashCode.toLong)(_ ^ _)
+    ivfPqCache.computeIfAbsent(s"$d#$fingerprint", _ => {
+      val dir = System.getProperty("java.io.tmpdir") +
+        s"/graft_ivfpq_v1_${java.lang.Long.toHexString(fingerprint)}"
+      // Same-filesystem marker check as q41 (r3 ADVICE).
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/cells/_SUCCESS")
+      val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!mfs.exists(marker))
+        graft.ext.IvfPq.build(s, t(s, d, "embeddings"), dir,
+          nCells = 16, m = 32, k = 32, iters = 2)
+      dir
+    })
+  }
+
   /** Per-source quantile floor filter ([[graft.ext.SamplingOps
     * .dropBottomPct]]): drop each source's bottom 20% by
     * (n_chars, doc_id) — the "cut the worst fraction per domain"
@@ -2826,5 +2857,6 @@ object Queries {
     QueryDef("q100_random_projection", q100, Some(q100Sql)),
     QueryDef("q101_ann_pq", q101, None),
     QueryDef("q102_quantile_filter", q102, Some(q102Sql)),
+    QueryDef("q103_ann_ivfpq", q103, None),
   )
 }
