@@ -306,4 +306,80 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("unats")).as("sum_unats"))
       .orderBy(col(idCol))
   }
+
+  /** BM25 lexical retrieval (Robertson–Spärck Jones; the Okapi weighting):
+    * top-`topK` documents per query for a SMALL literal query set — the
+    * "find the docs most relevant to these terms" primitive behind
+    * retrieval-based curation (e.g. pulling seed-topic documents out of a
+    * crawl).
+    *
+    * Shape at 100 TB (the inverted-index shape without materializing an
+    * index):
+    *   - ONE corpus tokenize pass; the query-term `isin` filter prunes the
+    *     token stream BEFORE the tf shuffle, so the per-(doc, term)
+    *     aggregate only ever sees postings for the query vocabulary — the
+    *     whole scoring pipeline is sized by candidate docs, not the corpus;
+    *   - document length (dl) is a second corpus-pass aggregate (it needs
+    *     ALL tokens); N and Σdl ride along as 1-row broadcast aggregates —
+    *     no driver-side count();
+    *   - df comes from the already-filtered tf aggregate (df of a term
+    *     only depends on docs containing it), so no full-vocabulary
+    *     aggregate exists anywhere;
+    *   - query terms and df broadcast into the scoring join; the only
+    *     corpus-sized shuffles are the two token aggregates;
+    *   - per-query top-k is a window over candidate docs only.
+    *
+    * Determinism: each per-term contribution is floored to integer
+    * MICRO-NATS before the sum (order-independent digest, the q90 rule),
+    * and the ranking orders by (floored score DESC, doc id ASC). The
+    * arithmetic is written with the same association as the DuckDB oracle
+    * so both engines run identical IEEE op sequences.
+    *
+    * Output: (query_id, rk, `idCol`, score_un) ordered by (query_id, rk). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = broadcast(
+      queries.flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+        .toDF("query_id", "tok"))
+    val termSet = queries.flatMap(_._2).distinct
+    val toks = docs.select(col(idCol),
+        explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(toks.agg(count(lit(1)).as("sumdl")))
+    val tf = toks.filter(col("tok").isin(termSet: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      // Consumed twice (df below + the scoring join); candidate-sized,
+      // never corpus-sized.
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Mirrors the oracle exactly:
+    //   LN(1 + (nd - df + 0.5) / (df + 0.5))
+    //   * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / (sumdl / nd)))
+    val idf = log(lit(1.0) +
+      (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("sumdl").cast("double") / col("nd")
+    val norm = lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl
+    val contrib = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * norm)
+    val scored = tf
+      .join(qterms, "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("un", floor(contrib * 1000000).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("un")).as("score_un"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_un").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col(idCol), col("score_un"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

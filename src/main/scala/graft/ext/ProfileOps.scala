@@ -42,4 +42,101 @@ object ProfileOps {
         "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
       .orderBy(col("column_name"))
   }
+
+  /** Per-group robust center/spread: LOWER MEDIAN and MEDIAN ABSOLUTE
+    * DEVIATION of an integral column — the outlier-resistant profile stats
+    * (a contaminated source's mean length explodes; its MAD barely moves).
+    *
+    * Exactness contract: "median" here is the lower median — the value at
+    * 1-based rank `(n + 1) div 2` under (`valCol`, `tieCol`) ordering — an
+    * INTEGER-ARITHMETIC definition both engines replicate bit-exactly
+    * (interpolating medians average two doubles and can diverge; DuckDB
+    * `MEDIAN(int)` interpolates, so the oracle spells ROW_NUMBER too).
+    *
+    * Shape at 100 TB: two passes, each = one range shuffle. Ranks come
+    * from [[ShardOps.withGroupRank]] (bounded-memory two-phase group rank —
+    * never a single-reducer `Window.partitionBy(group)`), group counts are
+    * a driver-tiny broadcast, and the per-group medians broadcast back
+    * into the deviation pass. NULL group values profile together (the
+    * null-safe `<=>` join, matching withGroupRank's NULL handling).
+    *
+    * Output: (`groupCol`, med, mad) ordered by the group. */
+  def groupedMad(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("__gc"))
+      .agg(count(lit(1)).as("__n"))
+    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame =
+      ShardOps.withGroupRank(in, groupCol, Seq(col(v), col(tieCol)))
+        .join(broadcast(counts), col(groupCol) <=> col("__gc"))
+        .filter(col("__grn") === expr("(__n + 1) div 2"))
+        .select(col(groupCol), col(v).as(out))
+    val base = df.select(col(groupCol), col(valCol), col(tieCol))
+    val med = lowerMedian(base, valCol, "med")
+    val dev = base
+      .join(broadcast(med.withColumnRenamed(groupCol, "__gm")),
+        col(groupCol) <=> col("__gm"))
+      .withColumn("__adev", abs(col(valCol) - col("med")))
+      .select(col(groupCol), col("med"), col("__adev"), col(tieCol))
+    lowerMedian(dev, "__adev", "mad")
+      .join(broadcast(med.withColumnRenamed(groupCol, "__gm")),
+        col(groupCol) <=> col("__gm"))
+      .select(col(groupCol), col("med"), col("mad"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Per-group WEIGHTED lower median: the value at which the running
+    * weight (in (`valCol`, `tieCol`) order) first reaches
+    * `(Σw + 1) div 2` — integer arithmetic end to end, so engine-exact
+    * (an unweighted call with w≡1 degenerates to [[groupedMad]]'s lower
+    * median). The canonical curation use: "median document length where
+    * each doc counts by its tokens" — a long doc moves the center as much
+    * as its token mass, not once.
+    *
+    * The crossing row is unique: running weight is strictly above
+    * `cum − w` for w > 0, and zero-weight rows can never satisfy
+    * `cum − w < thr ≤ cum`. Weights must be non-negative integers;
+    * groups with Σw = 0 drop out (no crossing exists).
+    *
+    * Shape at 100 TB: ONE range shuffle ([[ShardOps.withGroupPrefix]]
+    * with the weight as the summed value), a #groups-row broadcast of
+    * total weights, then a pure filter — no per-group reducer, no second
+    * pass. Output: (`groupCol`, wmed) ordered by the group. */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String, tieCol: String): DataFrame = {
+    val tot = df.groupBy(col(groupCol).as("__gc"))
+      .agg(sum(col(weightCol)).as("__tw"))
+    ShardOps.withGroupPrefix(df, groupCol,
+        Seq(col(valCol), col(tieCol)), Some(weightCol), "__cw")
+      .join(broadcast(tot), col(groupCol) <=> col("__gc"))
+      .filter(col("__cw") >= expr("(__tw + 1) div 2") &&
+        col("__cw") - col(weightCol) < expr("(__tw + 1) div 2"))
+      .select(col(groupCol), col(valCol).as("wmed"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Robust outlier flags via the modified z-score (Iglewicz–Hoaglin):
+    * flag x when `0.6745 · |x − med| / mad > zTenths/10` — spelled as the
+    * cross-multiplied INTEGER comparison
+    * `67450 · |x − med| > zTenths · 10000 · mad`, so the decision
+    * boundary is engine-exact, never a float threshold. `zTenths` is the
+    * cutoff in tenths (35 = the classic 3.5). mad = 0 groups (over half
+    * the mass at the median) flag every x ≠ med, the standard convention.
+    *
+    * Shape: [[groupedMad]]'s two rank passes, then the #groups-row
+    * (med, mad) table broadcasts into a pure projection — the flag scan
+    * adds no shuffle. Output: the outlier rows (`groupCol`, `idCol`,
+    * `valCol`, med, mad) ordered by (`groupCol`, `idCol`). */
+  def robustOutliers(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, zTenths: Int = 35): DataFrame = {
+    require(zTenths > 0)
+    val stats = groupedMad(df, groupCol, valCol, idCol)
+    df.select(col(groupCol), col(idCol), col(valCol))
+      .join(broadcast(stats.withColumnRenamed(groupCol, "__gm")),
+        col(groupCol) <=> col("__gm"))
+      .filter(lit(67450L) * abs(col(valCol) - col("med")) >
+        lit(zTenths * 10000L) * col("mad"))
+      .select(col(groupCol), col(idCol), col(valCol), col("med"),
+        col("mad"))
+      .orderBy(col(groupCol), col(idCol))
+  }
 }

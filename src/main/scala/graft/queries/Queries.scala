@@ -2740,6 +2740,163 @@ object Queries {
       |SELECT doc_id, source, n_chars FROM r
       |WHERE rk > (cnt * 20) // 100 ORDER BY doc_id""".stripMargin
 
+  /** BM25 lexical retrieval ([[graft.ext.CorpusOps.bm25TopK]]): top-5 docs
+    * per literal query — the inverted-index shape without an index (the
+    * query-term filter prunes the token stream before the tf shuffle, so
+    * scoring is candidate-sized). Per-term contributions floored to
+    * micro-nats before the sum; both engines run the identically
+    * associated IEEE expression (the oracle casts every decimal literal
+    * to DOUBLE — DuckDB would otherwise run DECIMAL arithmetic). */
+  private val q104Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("hash", "join"),
+    2L -> Seq("window", "merge", "stream"),
+    3L -> Seq("vector", "scan", "slow"))
+
+  private def q104(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.bm25TopK(t(s, d, "documents"), q104Queries)
+
+  private val q104Sql =
+    """WITH q AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, tok FROM (VALUES
+      |    (1, 'hash'), (1, 'join'),
+      |    (2, 'window'), (2, 'merge'), (2, 'stream'),
+      |    (3, 'vector'), (3, 'scan'), (3, 'slow')) AS v(query_id, tok)),
+      |tk AS (
+      |  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                                    x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+      |              (SELECT COUNT(*) FROM tk) AS sumdl),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+      |       WHERE tok IN ('hash', 'join', 'window', 'merge', 'stream',
+      |                     'vector', 'scan', 'slow')
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         CAST(SUM(CAST(FLOOR(
+      |             LN(1 + (st.nd - dfq.df + 0.5::DOUBLE)
+      |                    / (dfq.df + 0.5::DOUBLE))
+      |             * (tf.tf * (1.2::DOUBLE + 1))
+      |             / (tf.tf + 1.2::DOUBLE
+      |                * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl
+      |                   / (CAST(st.sumdl AS DOUBLE) / st.nd)))
+      |             * 1000000) AS BIGINT)) AS BIGINT) AS score_un
+      |  FROM tf JOIN q USING (tok) JOIN dfq USING (tok)
+      |       JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY q.query_id, tf.doc_id)
+      |SELECT query_id,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |                               ORDER BY score_un DESC, doc_id)
+      |            AS INTEGER) AS rk,
+      |       doc_id, score_un
+      |FROM sc QUALIFY rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** Edit-distance-1 fuzzy self-join ([[graft.ext.FuzzyOps.selfJoinEd1]]):
+    * FastSS deletion-neighborhood candidates + native levenshtein verify —
+    * entity resolution over names that share a constant prefix (where
+    * positional chunk signatures would go cartesian). The oracle is the
+    * full quadratic join, so the no-false-negative property of the
+    * deletion neighborhood is oracle-checked, not asserted. */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    graft.ext.FuzzyOps.selfJoinEd1(t(s, d, "customer"),
+      "c_custkey", "c_name")
+
+  private val q105Sql =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       CAST(LEVENSHTEIN(a.c_name, b.c_name) AS INTEGER) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** Per-source robust profile ([[graft.ext.ProfileOps.groupedMad]]):
+    * lower median + median absolute deviation of n_chars — both defined
+    * at integer rank `(n+1) div 2` so the stats are engine-exact (DuckDB
+    * MEDIAN interpolates; the oracle spells ROW_NUMBER like the Spark
+    * side). Ranks from the bounded-memory two-phase group rank. */
+  private def q106(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.groupedMad(
+      t(s, d, "documents"), "source", "n_chars", "doc_id")
+
+  private val q106Sql =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents),
+      |med AS (SELECT source, n_chars AS med FROM r WHERE rn = (cnt + 1) // 2),
+      |a AS (SELECT d.source, med.med, ABS(d.n_chars - med.med) AS adev,
+      |             d.doc_id
+      |      FROM documents d JOIN med USING (source)),
+      |r2 AS (
+      |  SELECT source, med, adev,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY adev, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM a)
+      |SELECT source, med, adev AS mad FROM r2
+      |WHERE rn = (cnt + 1) // 2 ORDER BY source""".stripMargin
+
+  /** Token-weighted per-source median document length
+    * ([[graft.ext.ProfileOps.weightedMedian]]): the value where the
+    * running token mass first reaches `(Σw + 1) div 2` — a long doc
+    * moves the center by its token count, not once. One range shuffle,
+    * then a pure crossing-row filter; integer end-to-end. */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.weightedMedian(
+      t(s, d, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"),
+        coalesce(size(graft.ext.TextOps.tokens(col("text"))), lit(0))
+          .as("w")),
+      "source", "n_chars", "w", "doc_id")
+
+  private val q107Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |         COALESCE(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                                  x -> LEN(x) > 0)), 0) AS w
+      |  FROM documents),
+      |c AS (SELECT source, SUM(w) AS tw FROM d GROUP BY source),
+      |r AS (SELECT source, n_chars, w,
+      |             SUM(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS cw
+      |      FROM d)
+      |SELECT r.source, r.n_chars AS wmed FROM r JOIN c USING (source)
+      |WHERE cw >= (tw + 1) // 2 AND cw - w < (tw + 1) // 2
+      |ORDER BY r.source""".stripMargin
+
+  /** Modified-z-score outlier flags ([[graft.ext.ProfileOps
+    * .robustOutliers]]) at cutoff 2.0 over per-source (med, mad) —
+    * the cross-multiplied integer boundary, no float threshold. */
+  private def q108(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.robustOutliers(
+      t(s, d, "documents"), "source", "n_chars", "doc_id", zTenths = 20)
+
+  private val q108Sql =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents),
+      |med AS (SELECT source, n_chars AS med FROM r WHERE rn = (cnt + 1) // 2),
+      |a AS (SELECT d.source, med.med, ABS(d.n_chars - med.med) AS adev,
+      |             d.doc_id
+      |      FROM documents d JOIN med USING (source)),
+      |r2 AS (
+      |  SELECT source, med, adev,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY adev, doc_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM a),
+      |s AS (SELECT source, med, adev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+      |SELECT d.source, d.doc_id, d.n_chars, s.med, s.mad
+      |FROM documents d JOIN s USING (source)
+      |WHERE 67450 * ABS(d.n_chars - s.med) > 200000 * s.mad
+      |ORDER BY d.source, d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -2858,5 +3015,10 @@ object Queries {
     QueryDef("q101_ann_pq", q101, None),
     QueryDef("q102_quantile_filter", q102, Some(q102Sql)),
     QueryDef("q103_ann_ivfpq", q103, None),
+    QueryDef("q104_bm25_topk", q104, Some(q104Sql)),
+    QueryDef("q105_fuzzy_join_ed1", q105, Some(q105Sql)),
+    QueryDef("q106_grouped_mad", q106, Some(q106Sql)),
+    QueryDef("q107_weighted_median", q107, Some(q107Sql)),
+    QueryDef("q108_robust_outliers", q108, Some(q108Sql)),
   )
 }

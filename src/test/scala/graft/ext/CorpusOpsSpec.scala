@@ -211,4 +211,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("train split has no tokens"))
   }
+
+  test("bm25TopK: hand-computed Okapi scores, ranks, micro-nat floors") {
+    val sql = spark
+    import sql.implicits._
+    // docs: 1 "a b a" (dl 3), 2 "b c" (dl 2), 3 "c c c" (dl 3)
+    // nd=3, sumdl=8; df: a→1, b→2, c→2
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 8.0 / 3
+    def un(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+      val norm = 1.0 - b + b * dl / avgdl
+      math.floor(idf * (tf * (k1 + 1)) / (tf + k1 * norm) * 1000000).toLong
+    }
+    val out = CorpusOps.bm25TopK(docs,
+        Seq(1L -> Seq("a"), 2L -> Seq("b", "c")), topK = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val exp = Map( // per-(query, doc) summed floored contributions
+      (1L, 1L) -> un(2, 1, 3),
+      (2L, 1L) -> un(1, 2, 3),
+      (2L, 2L) -> (un(1, 2, 2) + un(1, 2, 2)), // b and c, both tf=1 dl=2
+      (2L, 3L) -> un(3, 2, 3))
+    // q1: only doc 1 matches. q2: doc 2 (two terms, short doc) outranks
+    // docs 3 and 1; topK=2 keeps docs 2 and 3.
+    assert(exp((2L, 2L)) > exp((2L, 3L)) && exp((2L, 3L)) > exp((2L, 1L)))
+    assert(out == Seq(
+      (1L, 1, 1L, exp((1L, 1L))),
+      (2L, 1, 2L, exp((2L, 2L))),
+      (2L, 2, 3L, exp((2L, 3L)))))
+  }
 }

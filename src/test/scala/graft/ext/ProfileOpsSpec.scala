@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
@@ -48,5 +49,70 @@ class ProfileOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(approx.collect().head.getLong(3) == 10L)
     assert(approx.queryExecution.optimizedPlan.toString
       .contains("approx_count_distinct"))
+  }
+
+  test("groupedMad: lower medians, even/odd groups, NULL group kept") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      ("g1", 1L, 1L), ("g1", 3L, 2L), ("g1", 7L, 3L), ("g1", 20L, 4L),
+      ("g2", 5L, 5L), ("g2", 5L, 6L), ("g2", 9L, 7L),
+      (null.asInstanceOf[String], 10L, 8L), (null, 2L, 9L)
+    ).toDF("src", "v", "id")
+    val out = ProfileOps.groupedMad(df, "src", "v", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // g1 (n=4, rank 2): med 3; |v-3| = [2,0,4,17] → sorted rank 2 → 2.
+    // g2 (n=3, rank 2): med 5; |v-5| = [0,0,4] → rank 2 → 0.
+    // null group (n=2, rank 1): med 2; |v-2| = [8,0] → rank 1 → 0.
+    assert(out.toSet == Set(("g1", 3L, 2L), ("g2", 5L, 0L), (null, 2L, 0L)))
+  }
+
+  test("weightedMedian: crossing row, w≡1 degenerates, zero-weight rows") {
+    val sql = spark
+    import sql.implicits._
+    // g1: (v=1,w=1),(v=2,w=4),(v=9,w=2): tw=7, thr=4 → cum 1,5,7 → v=2.
+    // g2: (v=3,w=0),(v=5,w=2): tw=2, thr=1 → the w=0 row can't cross → 5.
+    val df = Seq(
+      ("g1", 1L, 1, 1L), ("g1", 2L, 4, 2L), ("g1", 9L, 2, 3L),
+      ("g2", 3L, 0, 4L), ("g2", 5L, 2, 5L)
+    ).toDF("src", "v", "w", "id")
+    val out = ProfileOps.weightedMedian(df, "src", "v", "w", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("g1", 2L), ("g2", 5L)))
+    // w ≡ 1 equals the unweighted lower median (groupedMad's med):
+    val uw = df.withColumn("one", lit(1))
+    val viaW = ProfileOps.weightedMedian(uw, "src", "v", "one", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaMad = ProfileOps.groupedMad(df, "src", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaW == viaMad)
+  }
+
+  test("robustOutliers: integer boundary, mad=0 flags any x ≠ med") {
+    val sql = spark
+    import sql.implicits._
+    // g1: med 10, mad 2 (values 8,10,13 → adev 2,0,3 → rank 2 = 2).
+    // cutoff 3.5: flag iff 67450·|x−10| > 350000·2 ⟺ |x−10| > 10.37…
+    val df = Seq(
+      ("g1", 8L, 1L), ("g1", 10L, 2L), ("g1", 13L, 3L), ("g1", 21L, 4L),
+      ("g2", 7L, 5L), ("g2", 7L, 6L), ("g2", 99L, 7L)
+    ).toDF("src", "v", "id")
+    // g1: 21 → |11| > 10.37 flags; 13 does not. g2: med 7, mad 0 → 99 ≠ 7
+    // flags (the mad=0 convention); the med rows never flag.
+    val out = ProfileOps.robustOutliers(df, "src", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("g1", 4L, 21L), ("g2", 7L, 99L)))
+    // boundary is strict: at exactly z = 3.5 (|x−med|·67450 == 350000·mad,
+    // e.g. mad 2·6745=13490 … use v = med + 10.37… impossible on ints) —
+    // tighten cutoff so an exact integer boundary exists: zTenths=50,
+    // mad=2 → flag iff |x−10|·67450 > 1000000 ⟺ |x−10| > 14.82…;
+    // v=24 (|14|) must NOT flag, v=25 (|15|) must.
+    val df2 = Seq(
+      ("g1", 8L, 1L), ("g1", 10L, 2L), ("g1", 13L, 3L), ("g1", 24L, 4L),
+      ("g3", 8L, 5L), ("g3", 10L, 6L), ("g3", 13L, 7L), ("g3", 25L, 8L)
+    ).toDF("src", "v", "id")
+    val out2 = ProfileOps.robustOutliers(df2, "src", "v", "id", zTenths = 50)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(out2 == Seq(("g3", 25L)))
   }
 }
