@@ -40,7 +40,8 @@ object IvfPq {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // (vec_id, cell, residual-as-embedding): checkpointed because BOTH
     // codebook training and encode consume it.
-    val resid = assignResiduals(emb, centroids).localCheckpoint()
+    val resid = assignResiduals(emb, centroids).drop("acos")
+      .localCheckpoint()
     val cb = PqOps.trainCodebooks(resid, m, k, iters)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     PqOps.encode(resid, cb, Seq("vec_id", "cell"))
@@ -60,10 +61,51 @@ object IvfPq {
           + lit(0.5)) / 10000)
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cell"), col("vec"), col("centroid")),
-        struct(col("cos"), -col("cell"))).as("best"))
+          struct(col("cos"), -col("cell"))).as("best"),
+        max(col("cos")).as("acos"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         zip_with(col("best.vec"), col("best.centroid"),
-          (x, c) => x - c).as("embedding"))
+          (x, c) => x - c).as("embedding"),
+        col("acos"))
+
+  /** Incrementally append embeddings to a built IVF-PQ index: new vectors
+    * assign to their nearest EXISTING cell and their residuals encode
+    * against the FROZEN codebooks — no re-clustering, no re-training —
+    * then merge into the cell layout through the partition-scoped upsert,
+    * so only receiving cells are read/rewritten; every other cell's files
+    * stay byte-identical ([[IvfIndex.append]]'s contract, composed with
+    * PQ). Frozen-everything makes the append bit-deterministic: the same
+    * batch always encodes to the same codes.
+    *
+    * Same drift rules as the IVF parent: a re-appended `vec_id` that now
+    * assigns to a DIFFERENT cell is refused loudly (the keyed merge would
+    * otherwise leave its old posting in place — a silent duplicate), and
+    * a sinking `meanAssignCos` in the returned stats is the signal that
+    * the frozen centroids — and with them the residual codebooks — no
+    * longer fit the data and a rebuild is due. */
+  def append(spark: SparkSession, emb: DataFrame,
+      path: String): IvfAppendStats = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    // Checkpointed: consumed by the stats aggregate, the drift check, and
+    // the encode — bounded by the appended batch, never the index.
+    val assigned = assignResiduals(emb, centroids).localCheckpoint(true)
+    val s = assigned.agg(count(lit(1)), countDistinct(col("cell")),
+      avg(col("acos"))).head()
+    if (s.getLong(0) == 0L) return IvfAppendStats(0L, 0, Double.NaN)
+    val moved = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("cell").as("__oldcell"))
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .filter(col("cell") =!= col("__oldcell")).limit(1).count()
+    require(moved == 0L,
+      "IvfPq.append: a re-appended vec_id assigns to a different cell " +
+        "than its resident posting — embedding drift across cells needs " +
+        "a rebuild, not an append")
+    graft.sources.PartitionedMerge.upsert(spark, s"$path/cells", "cell",
+      Seq("vec_id", "cell"),
+      PqOps.encode(assigned.drop("acos"), cb, Seq("vec_id", "cell")))
+    IvfAppendStats(s.getLong(0), s.getLong(1).toInt, s.getDouble(2))
+  }
 
   /** Top-k per query. Reads ONLY the probed cells' partitions; each
     * probed (query, cell) pair carries its own residual LUT (the query's

@@ -139,4 +139,34 @@ object ProfileOps {
         col("mad"))
       .orderBy(col(groupCol), col(idCol))
   }
+
+  /** Per-group Pearson correlation of two INTEGRAL columns, engine-exact:
+    * the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) aggregate as
+    * BIGINTs — exact, order-independent — and only the FINAL expression
+    * `num / (sqrt(varx) · sqrt(vary))` runs in floating point, identically
+    * associated on both engines, then floors to 6dp. (Spark's own `corr`
+    * and DuckDB's aggregate doubles in stream order — not reproducible
+    * across partitionings, let alone engines.) The two variances stay as
+    * SEPARATE sqrt factors: their BIGINT product could overflow where each
+    * factor (≤ n·Σv², ~1e13 at 5k rows of 3-digit values) is exact in
+    * both BIGINT and double.
+    *
+    * Shape: ONE hash aggregate (map-side partial) + a #groups-row
+    * projection. Zero-variance groups yield NULL (0/0), the SQL
+    * convention. Output: (`groupCol`, n, corr_r) ordered by the group. */
+  def groupedCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val (x, y) = (col(xCol).cast("long"), col(yCol).cast("long"))
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.withColumn("corr_r",
+        when(vx === 0 || vy === 0, lit(null).cast("double"))
+          .otherwise(floor(num / (sqrt(vx) * sqrt(vy)) * 1000000) / 1000000))
+      .select(col(groupCol), col("n"), col("corr_r"))
+      .orderBy(col(groupCol))
+  }
 }

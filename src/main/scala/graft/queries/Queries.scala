@@ -2897,6 +2897,40 @@ object Queries {
       |WHERE 67450 * ABS(d.n_chars - s.med) > 200000 * s.mad
       |ORDER BY d.source, d.doc_id""".stripMargin
 
+  /** Per-source Pearson correlation of doc length vs token count
+    * ([[graft.ext.ProfileOps.groupedCorr]]): BIGINT sufficient statistics
+    * (exact, order-independent) + one identically-associated final double
+    * expression, floored 6dp — unlike native `corr`, reproducible across
+    * partitionings AND engines. */
+  private def q109(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.groupedCorr(
+      t(s, d, "documents").select(col("source"), col("n_chars").as("x"),
+        coalesce(size(graft.ext.TextOps.tokens(col("text"))), lit(0))
+          .as("y")),
+      "source", "x", "y")
+
+  private val q109Sql =
+    """WITH d AS (
+      |  SELECT source, n_chars AS x,
+      |         CAST(COALESCE(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                                       t -> LEN(t) > 0)), 0)
+      |              AS BIGINT) AS y
+      |  FROM documents),
+      |a AS (SELECT source, COUNT(*) AS n,
+      |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |             CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |             CAST(SUM(y * y) AS BIGINT) AS syy
+      |      FROM d GROUP BY source)
+      |SELECT source, n,
+      |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+      |            THEN NULL
+      |            ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+      |                       * 1000000) / 1000000 END AS corr_r
+      |FROM a ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3020,5 +3054,6 @@ object Queries {
     QueryDef("q106_grouped_mad", q106, Some(q106Sql)),
     QueryDef("q107_weighted_median", q107, Some(q107Sql)),
     QueryDef("q108_robust_outliers", q108, Some(q108Sql)),
+    QueryDef("q109_grouped_corr", q109, Some(q109Sql)),
   )
 }

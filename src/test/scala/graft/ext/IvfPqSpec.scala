@@ -99,4 +99,75 @@ class IvfPqSpec extends AnyFunSuite with SparkTestBase {
     assert(rIvfPq >= rPlain,
       s"residual IVF-PQ recall $rIvfPq below plain PQ $rPlain")
   }
+
+  test("append: frozen-codebook encode, untouched cells byte-identical") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val extra = emb.filter($"vec_id" % 5 === 0)
+    val dir = Files.createTempDirectory("ivfpq6").toString + "/idx"
+    IvfPq.build(spark, base, dir, nCells = 8, m = 16, k = 16, iters = 2)
+
+    val before = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.isFile)
+          .map(f => (f.getName, f.length, f.lastModified)).toSet
+      }.toMap
+
+    val stats = IvfPq.append(spark, extra, dir)
+    assert(stats.appended == extra.count())
+    assert(stats.meanAssignCos >= -1.0 && stats.meanAssignCos <= 1.0)
+
+    // Nothing lost, nothing duplicated.
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == 500L)
+    assert(cells.select("vec_id").distinct().count() == 500L)
+
+    // Cells that received no appended vector keep byte-identical files.
+    val touched = cells.join(extra.select("vec_id"), "vec_id")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.size == stats.cellsTouched)
+    before.foreach { case (dirName, st) =>
+      if (!touched.contains(dirName.stripPrefix("cell=").toInt)) {
+        val after = new java.io.File(s"$dir/cells/$dirName").listFiles()
+          .filter(_.isFile).map(f => (f.getName, f.length, f.lastModified))
+          .toSet
+        assert(after == st, s"untouched $dirName was rewritten")
+      }
+    }
+
+    // Frozen everything ⇒ re-appending the same batch is a no-op on
+    // content: codes stay bit-identical.
+    val codes1 = cells.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq
+    IvfPq.append(spark, extra, dir)
+    val codes2 = spark.read.parquet(s"$dir/cells").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq
+    assert(codes1 == codes2)
+
+    // Appended index keeps a sane recall floor at full probe, and does
+    // not crater vs a from-scratch rebuild on the full corpus (different
+    // centroids/codebooks, so equality is not required).
+    val dirB = Files.createTempDirectory("ivfpq7").toString + "/idx"
+    IvfPq.build(spark, emb, dirB, nCells = 8, m = 16, k = 16, iters = 2)
+    val (ra, rb) = (queryRecall(dir, nProbe = 8), queryRecall(dirB, nProbe = 8))
+    assert(ra >= 0.3, s"post-append full-probe recall@10 $ra")
+    assert(ra >= rb - 0.25, s"append recall $ra craters vs rebuild $rb")
+  }
+
+  test("append refuses a re-appended vec_id that moved cells") {
+    val dir = Files.createTempDirectory("ivfpq8").toString + "/idx"
+    IvfPq.build(spark, emb, dir, nCells = 8, m = 16, k = 16, iters = 2)
+    // Give vec 0 the embedding of a vector that lives in a DIFFERENT
+    // cell — the frozen assignment then moves it, which must be refused.
+    val cellsDf = spark.read.parquet(s"$dir/cells")
+    val cellOf = cellsDf.filter($"vec_id".isin(0L to 20L map Long.box: _*))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val donor = (1L to 20L).find(i => cellOf(i) != cellOf(0L)).get
+    val moved = emb.filter($"vec_id" === donor)
+      .withColumn("vec_id", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.append(spark, moved, dir)
+    }
+    assert(e.getMessage.contains("rebuild, not an append"))
+  }
 }

@@ -115,4 +115,33 @@ class ProfileOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
     assert(out2 == Seq(("g3", 25L)))
   }
+
+  test("groupedCorr: exact integer stats, 6dp floor, zero-variance NULL") {
+    val sql = spark
+    import sql.implicits._
+    val p = Seq((1L, 10L), (2L, 20L), (3L, 30L)) // r = 1 (up to sqrt ulp)
+    val m = Seq((1L, 5L), (2L, 3L), (3L, 4L))    // mixed
+    val df = (p.map { case (x, y) => ("p", x, y) } ++
+      m.map { case (x, y) => ("m", x, y) } ++
+      Seq(("z", 4L, 1L), ("z", 4L, 2L))).toDF("src", "x", "y")
+    def exp(xs: Seq[(Long, Long)]): Double = {
+      val n = xs.size.toLong
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map(t => t._1 * t._2).sum
+      val sxx = xs.map(t => t._1 * t._1).sum
+      val syy = xs.map(t => t._2 * t._2).sum
+      math.floor((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)) * 1000000) / 1000000
+    }
+    val out = ProfileOps.groupedCorr(df, "src", "x", "y").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(out == Seq(("m", 3L, exp(m)), ("p", 3L, exp(p)), ("z", 2L, null)))
+    // hand value: num=−3, vx=vy=6; sqrt(6)·sqrt(6) = 6−ulp, so the ratio
+    // lands JUST below −0.5 and the 6dp floor takes −0.500001 — on both
+    // engines identically, which is exactly why the floor happens on the
+    // shared expression, not on a per-engine "corr" builtin.
+    assert(exp(m) == -0.500001)
+  }
 }
