@@ -85,4 +85,42 @@ object FuzzyOps {
       .select(col("a_id").as("a_key"), col("b_id").as("b_key"), col("dist"))
       .orderBy(col("a_key"), col("b_key"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo 1995): candidate
+    * pairs whose GLOBAL ranks under `sortCol` are within `w` of each
+    * other — the classic entity-resolution blocking scheme (sort on a
+    * discriminating key; true matches land near each other; only a
+    * sliding window of pairs is ever compared). Complementary to
+    * [[selfJoinEd1]]: deletion neighborhoods are exact for distance ≤ 1;
+    * sorted-neighborhood trades recall for ANY match predicate the
+    * caller applies to the candidates.
+    *
+    * Shape at 100 TB: ranks from [[ShardOps.withGlobalRank]] (ONE range
+    * shuffle, bounded-memory two-phase prefix — no single-reducer
+    * window), then blocks of `w` consecutive ranks equi-join: the lower
+    * row of a pair emits its block and the next (a rank-gap ≤ w pair
+    * sits in the same or adjacent block — two DISJOINT cases, so each
+    * pair joins exactly once, no `distinct`), the upper row emits only
+    * its own. Every block holds exactly `w` rows, so join output is
+    * bounded by `2w` candidates per row — never quadratic, never skewed.
+    *
+    * Output: (a_id, b_id, a_val, b_val, gap) with `0 < gap ≤ w`,
+    * `gap = rank(b) − rank(a)`, unordered (callers filter + order). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortCol: String, w: Int): DataFrame = {
+    require(w >= 1, "window must be at least 1")
+    val ranked = ShardOps.withGlobalRank(
+        df.select(col(idCol).as("id"), col(sortCol).as("v")),
+        Seq(col("v"), col("id")))
+      .withColumn("blk", expr(s"(__rn - 1) div $w"))
+    val lower = ranked.select(col("id").as("a_id"), col("v").as("a_val"),
+      col("__rn").as("a_rn"),
+      explode(array(col("blk"), col("blk") + 1)).as("jb"))
+    val upper = ranked.select(col("id").as("b_id"), col("v").as("b_val"),
+      col("__rn").as("b_rn"), col("blk").as("jb"))
+    lower.join(upper, "jb")
+      .filter((col("b_rn") - col("a_rn")).between(1, w))
+      .select(col("a_id"), col("b_id"), col("a_val"), col("b_val"),
+        (col("b_rn") - col("a_rn")).as("gap"))
+  }
 }

@@ -2931,6 +2931,85 @@ object Queries {
       |                       * 1000000) / 1000000 END AS corr_r
       |FROM a ORDER BY source""".stripMargin
 
+  /** Interval overlap self-join ([[graft.operators.IntervalJoin]]): each
+    * event spans `[ts, ts + value minutes]`; pairs of overlapping spans
+    * per user via the bucketized equi-join (6 h buckets — ≥ the longest
+    * ~8 h interval keeps the explode ≤ 3 rows/interval). All boundaries
+    * in integer MICROS (the repo's time-comparison rule). */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val iv = t(s, d, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts"))
+        + floor(col("value") * 60).cast("long") * lit(1000000L)).as("e"))
+    graft.operators.IntervalJoin.overlapSelfJoin(
+      iv, "user_id", "event_id", "s", "e", bucketMicros = 21600000000L)
+  }
+
+  private val q110Sql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, EPOCH_US(ts) AS s,
+      |         EPOCH_US(ts) + CAST(FLOOR(value * 60) AS BIGINT) * 1000000
+      |           AS e
+      |  FROM events)
+      |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |       LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+      |FROM iv a JOIN iv b ON a.user_id = b.user_id
+      |  AND a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+      |ORDER BY a.user_id, a_id, b_id""".stripMargin
+
+  /** Sorted-neighborhood blocking + match predicate ([[graft.ext.FuzzyOps
+    * .sortedNeighborhoodPairs]]): rank customers by name, compare only
+    * pairs within a 5-rank window, keep levenshtein ≤ 1 — the classic ER
+    * blocking scheme; the oracle encodes the SAME windowed semantics, so
+    * blocking recall is part of the checked contract, not hidden. */
+  private def q111(s: SparkSession, d: String): DataFrame =
+    graft.ext.FuzzyOps.sortedNeighborhoodPairs(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", w = 5)
+      .withColumn("dist", levenshtein(col("a_val"), col("b_val")))
+      .filter(col("dist") <= 1)
+      .select(col("a_id").as("a_key"), col("b_id").as("b_key"),
+        col("gap"), col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+
+  private val q111Sql =
+    """WITH r AS (
+      |  SELECT c_custkey, c_name,
+      |         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer)
+      |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       b.rn - a.rn AS gap,
+      |       CAST(LEVENSHTEIN(a.c_name, b.c_name) AS INTEGER) AS dist
+      |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+      |  AND LEVENSHTEIN(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** Model-score quality filter ([[graft.ext.InferenceOps]]): the batched
+    * per-partition-init inference harness scoring every doc, keeping
+    * those under the threshold. The bundled scorer is the deterministic
+    * no-model stand-in — but its md5-nibble score is reproduced verbatim
+    * in DuckDB, so the whole path (batching, zip-back, filter) is
+    * hash-compared cross-engine, not just spec-asserted. */
+  private def q112(s: SparkSession, d: String): DataFrame =
+    graft.ext.InferenceOps.modelFilter(t(s, d, "documents"),
+      new graft.ext.InferenceOps.Md5Scorer, tau = 524288L)
+
+  private val q112Sql =
+    """WITH h AS (
+      |  SELECT doc_id, MD5('m_' || doc_id || ':' || text) AS hx
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST((STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 65536
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) * 4096
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 3, 1)) - 1) * 256
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 4, 1)) - 1) * 16
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 5, 1)) - 1)
+      |      AS BIGINT) AS score_u
+      |  FROM h)
+      |SELECT doc_id, score_u FROM s WHERE score_u < 524288
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3055,5 +3134,8 @@ object Queries {
     QueryDef("q107_weighted_median", q107, Some(q107Sql)),
     QueryDef("q108_robust_outliers", q108, Some(q108Sql)),
     QueryDef("q109_grouped_corr", q109, Some(q109Sql)),
+    QueryDef("q110_interval_join", q110, Some(q110Sql)),
+    QueryDef("q111_sorted_neighborhood", q111, Some(q111Sql)),
+    QueryDef("q112_model_filter", q112, Some(q112Sql)),
   )
 }

@@ -61,6 +61,25 @@ class FuzzyOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.nonEmpty && fast == brute)
   }
 
+  test("sortedNeighborhoodPairs: exactly the gap ≤ w pairs, once each") {
+    val sql = spark
+    import sql.implicits._
+    // sort by v: ranks 1..8; ids shuffled so id order ≠ rank order.
+    val df = Seq((5L, "e"), (1L, "a"), (8L, "h"), (3L, "c"), (2L, "b"),
+      (7L, "g"), (4L, "d"), (6L, "f")).toDF("id", "v")
+    val w = 3
+    val got = FuzzyOps.sortedNeighborhoodPairs(df, "id", "v", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // v is alphabetical and ids follow it, so rank(id) = id here.
+    val exp = (for {
+      a <- 1L to 8L; b <- a + 1 to math.min(a + w, 8L)
+    } yield (a, b, b - a)).toSet
+    assert(got == exp)
+    // exactly once each (the two block-token cases are disjoint):
+    val n = FuzzyOps.sortedNeighborhoodPairs(df, "id", "v", w).count()
+    assert(n == exp.size)
+  }
+
   test("degenerate-bucket guard drops capped keys; plan has no cartesian") {
     val sql = spark
     import sql.implicits._
