@@ -63,6 +63,35 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q105/q110/q111 pair generation never plans a nested loop") {
+    Seq("q105_fuzzy_join_ed1", "q110_interval_join",
+        "q111_sorted_neighborhood").foreach { q =>
+      val plan = run(q).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
+  test("q104 BM25: broadcast query/stat sides; the only nested loops are " +
+      "the 1-row scalar-stat crosses") {
+    val df = run("q104_bm25_topk")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // The N/Σdl scalar aggregates ride 1-row IdentityBroadcast crosses —
+    // the scalar-subquery shape, bounded at two:
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"$bnlj nested loops:\n$plan")
+  }
+
+  test("q112 model filter: the scoring pass is exchange-free") {
+    // The plan's only Exchange is the final presentation ORDER BY — the
+    // MapPartitions scoring itself never shuffles.
+    val plan = run("q112_model_filter").queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length <= 1, plan)
+    assert(plan.contains("MapPartitions"), plan)
+  }
+
   test("filters reach the scan and projections prune the read schema") {
     // q02: the equality+range conjunction must be PushedFilters at the
     // parquet scan, not a post-scan Filter only.
