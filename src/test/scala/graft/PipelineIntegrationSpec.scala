@@ -58,6 +58,28 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkTestBase {
     assert(nCurated <= nDeduped && nCurated > 0)
     w.log("INFO", "near-dup removal", Some(nCurated))
 
+    // 5b. Classifier quality filter (r8): the batched-inference harness
+    //     with the deterministic stand-in scorer — in deployment the
+    //     fastText-style model swaps in behind the same BatchScorer.
+    val modelKept = graft.ext.InferenceOps.modelFilter(
+      curated, new graft.ext.InferenceOps.Md5Scorer, tau = 900000L)
+    val withModel = curated.join(modelKept.select("doc_id"), "doc_id")
+    val nModel = withModel.count()
+    assert(nModel > 0 && nModel <= nCurated)
+    w.log("INFO", "model filter", Some(nModel))
+
+    // 5c. Per-source robust outlier drop (r8): anti-join the
+    //     modified-z-score flags — contaminated length outliers leave
+    //     without moving any source's median.
+    val outliers = graft.ext.ProfileOps.robustOutliers(
+      withModel, "source", "n_chars", "doc_id", zTenths = 20)
+    val robust = withModel.join(outliers.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    val nRobust = robust.count()
+    assert(nRobust == nModel - outliers.count() && nRobust > 0)
+    w.log("INFO", "robust outlier drop", Some(nRobust))
+    val curatedFinal = robust
+
     // 6. Token statistics over the curated set.
     val stats = graft.ext.TextOps.tokenCounts(curated)
       .agg(sum(col("ws_tokens")).as("total_tokens")).head()
@@ -85,6 +107,21 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkTestBase {
       .groupBy("shard").count().collect().map(_.getLong(1))
     assert(shardSizes.length == 4 && shardSizes.max - shardSizes.min <= 1)
     w.log("INFO", "train shards", Some(shardSizes.sum))
+
+    // 8c. Sequence packing (r8): fixed token budgets per pack inside
+    //     size-balanced shards — every doc exactly once, no pack over
+    //     budget unless one doc alone exceeds it.
+    val packed = graft.ext.PackOps.packGreedy(
+      graft.ext.TextOps.tokenCounts(curatedFinal)
+        .select(col("doc_id"), col("ws_tokens")),
+      nShards = 4, tokenCol = "ws_tokens", idCol = "doc_id",
+      maxTokens = 512)
+    assert(packed.count() == nRobust) // every curated doc packed once
+    val overBudget = packed.groupBy("shard", "pack")
+      .agg(sum(col("tokens")).as("pt"), count(lit(1)).as("n"))
+      .filter(col("pt") > 512 && col("n") > 1).count()
+    assert(overBudget == 0, "a multi-doc pack exceeded its budget")
+    w.log("INFO", "packed", Some(packed.count()))
 
     // 8b. Epoch upsampling (r7): equalize the language mix of the train
     //     set — copies bounded, copy_idx materialized, no corpus shuffle.
