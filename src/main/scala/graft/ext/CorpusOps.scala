@@ -382,4 +382,118 @@ object CorpusOps {
       .select(col("query_id"), col("rk"), col(idCol), col("score_un"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** EXACT heavy hitters — every token whose global count·k > N (the
+    * frequency-share-above-1/k set) — in two corpus passes with NO
+    * full-vocabulary shuffle, the shape that survives a 100 TB corpus whose
+    * distinct-token set itself is shuffle-hostile:
+    *
+    *   pass 1: one `mapPartitions` runs a Misra–Gries(k) summary per
+    *     partition (≤ k−1 counters with the streaming decrement-all
+    *     eviction — no Catalyst aggregate expresses that eviction, hence
+    *     the harness) and emits the partition's surviving candidate tokens
+    *     plus one null-token sentinel row carrying the partition's token
+    *     total. By the mergeable-summaries bound (Agarwal et al. 2012,
+    *     "Mergeable summaries"), a token with global count > N/k must
+    *     exceed N_p/k in at least one partition, so the UNION of
+    *     per-partition candidates is a provable superset of every true
+    *     heavy hitter. The summary is ≤ nPartitions·(k−1) rows —
+    *     localCheckpointed, never corpus-sized.
+    *   pass 2: exact counts of the candidate tokens only — the broadcast
+    *     candidate semi-join prunes the count shuffle to the candidate set
+    *     regardless of vocabulary size — then the exact filter cnt·k > N.
+    *
+    * Because the FINAL filter uses exact counts, the result is
+    * deterministic and partitioning-independent; the MG stage only decides
+    * the superset. Output: (tok, cnt) with exact counts, token-ordered. */
+  def heavyHitters(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"heavy-hitter k must be >= 2, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      explode(TextOps.tokens(coalesce(col(textCol), lit("")))).as("tok"))
+    val summary = toks.as[String].mapPartitions { it =>
+      // LinkedHashMap: deterministic iteration order for the decrement
+      // sweep (the superset is allowed to vary, but determinism per
+      // partitioning keeps reruns bit-identical).
+      val counters = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var total = 0L
+      while (it.hasNext) {
+        val t = it.next(); total += 1
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k - 1 => counters.update(t, 1L)
+          case None =>
+            for (key <- counters.keys.toArray) {
+              val c = counters(key)
+              if (c == 1) counters.remove(key) else counters.update(key, c - 1)
+            }
+        }
+      }
+      Iterator.single((null: String, total)) ++
+        counters.iterator.map { case (t, c) => (t, c) }
+    }.toDF("tok", "cnt").localCheckpoint() // bounded: nPartitions·k rows
+    val totalN = summary.filter(col("tok").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0) // 1-row collect
+    val cands = summary.filter(col("tok").isNotNull).select("tok").distinct()
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(k) > lit(totalN))
+      .orderBy(col("tok"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): fit the
+    * train-split Laplace unigram LM (same model as [[unigramLogProb]]),
+    * score EVERY document in integer micro-nats, then cut each language
+    * into `nBuckets` equal-frequency buckets by per-token mean log-prob —
+    * bucket 0 = head (highest mean log-prob = lowest perplexity), the
+    * slice CCNet keeps outright.
+    *
+    * Engine-exactness: per-token log-probs floor to integer micro-nats
+    * before the order-independent sum; the per-doc mean is ONE IEEE
+    * double division of two exactly-representable integers, floored —
+    * identical on every engine; bucket = (rank−1)·nBuckets div n, all
+    * integral. Ties order by doc id.
+    *
+    * Scale shapes: the per-language rank is the bounded-memory two-phase
+    * group-rank construction (range shuffle + broadcast carry-ins), never
+    * a one-reducer-per-language window; language counts ride back as a
+    * broadcast. Token-free docs carry no LM evidence and get no row. */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val toks = SplitOps.assignSplit(docs, idCol)
+      .select(col(idCol), col(langCol), col("split"),
+        explode_outer(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val counts = toks.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .localCheckpoint() // vocabulary-bounded, consumed twice
+    val t = counts.agg(coalesce(sum(col("df")), lit(0L)).as("n"),
+      count(lit(1)).as("v")).head()
+    require(t.getLong(1) > 0,
+      "perplexityBuckets: the train split has no tokens — cannot fit a model")
+    val denom = (t.getLong(0) + t.getLong(1)).toDouble
+    val scored = toks
+      .join(counts, Seq("tok"), "left")
+      .withColumn("unats", floor(
+        log((coalesce(col("df"), lit(0L)) + 1).cast("double") / denom)
+          * 1000000).cast("long"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("unats")).as("sum_unats"))
+      .withColumn("mean_unats",
+        floor(col("sum_unats").cast("double") / col("n_toks")).cast("long"))
+    val nPerLang = scored.groupBy(col(langCol).as("__gc"))
+      .agg(count(lit(1)).as("__n"))
+    ShardOps.withGroupRank(scored, langCol,
+        Seq(col("mean_unats").desc, col(idCol).asc))
+      .join(broadcast(nPerLang), col(langCol) <=> col("__gc"))
+      // `div`, not `/`: the bucket boundary must stay integral.
+      .withColumn("bucket",
+        expr(s"cast((__grn - 1) * $nBuckets div __n as int)"))
+      .drop("__grn", "__gc", "__n")
+      .orderBy(col(idCol))
+  }
 }

@@ -57,6 +57,45 @@ object TextOps {
       .drop("raw_ratio")
   }
 
+  /** Gopher-style rule-bundle curation filter (Rae et al. 2021, appendix
+    * A1.1), restricted to the rules expressible without line structure:
+    * word-count bounds, mean-word-length in [3, 10], symbol-to-word ratio
+    * (`#` and `...`) below 0.1, ≥80% of words containing a letter, and ≥2
+    * distinct English stopwords present. Every threshold is a CROSS-
+    * MULTIPLIED INTEGER comparison (3·n ≤ Σlen, 10·n_sym < n, 5·n_alpha ≥
+    * 4·n) — no float ratio to disagree over, so the flags hash-compare
+    * against any engine. One pure projection: filtering 100 TB is a scan.
+    * Output: per-doc feature counts, one 0/1 flag per rule, and the ANDed
+    * `keep` flag. */
+  def gopherFlags(df: DataFrame, textCol: String = "text",
+      minTokens: Int = 20, maxTokens: Int = 100000): DataFrame = {
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = tokens(txt)
+    df.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        // Σ token lengths = chars of the de-spaced lowered text (tokens()
+        // drops empty splits, so runs of spaces contribute nothing).
+        length(regexp_replace(lower(txt), " ", "")).as("sum_len"),
+        (regexp_count(txt, lit("#")) + regexp_count(txt, lit("\\.\\.\\.")))
+          .as("n_sym"),
+        size(filter(toks, t => t.rlike("[a-z]"))).as("n_alpha"),
+        size(array_intersect(toks, stopArray("en"))).as("n_stop"))
+      .withColumn("r_wc",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .cast("int"))
+      .withColumn("r_mwl",
+        (col("sum_len") >= col("n_tokens") * 3 &&
+          col("sum_len") <= col("n_tokens") * 10).cast("int"))
+      .withColumn("r_sym", (col("n_sym") * 10 < col("n_tokens")).cast("int"))
+      .withColumn("r_alpha",
+        (col("n_alpha") * 5 >= col("n_tokens") * 4).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("keep",
+        (col("r_wc") === 1 && col("r_mwl") === 1 && col("r_sym") === 1 &&
+          col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
+  }
+
   /** Whitespace vs BPE-ish token counts. The BPE-ish regex is the standard
     * letters-run | digits-run | single-symbol split — a cheap, deterministic
     * proxy for subword token counts. */

@@ -3040,6 +3040,102 @@ object Queries {
       |SELECT doc_id, score_u FROM s WHERE score_u < 524288
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- q113 gopher rule bundle
+
+  private def q113(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextOps.gopherFlags(t(s, d, "documents")).orderBy(col("doc_id"))
+
+  private val q113Sql = {
+    val stops = graft.ext.TextOps.stopwords("en").map("'" + _ + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         LIST_FILTER(STRING_SPLIT(LOWER(COALESCE(text, '')), ' '), x -> LEN(x) > 0) AS toks,
+       |         LEN(REPLACE(LOWER(COALESCE(text, '')), ' ', '')) AS sum_len,
+       |         LEN(REGEXP_EXTRACT_ALL(COALESCE(text, ''), '#'))
+       |           + LEN(REGEXP_EXTRACT_ALL(COALESCE(text, ''), '\\.\\.\\.')) AS n_sym
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |         CAST(LEN(toks) AS INTEGER) AS n_tokens,
+       |         CAST(sum_len AS INTEGER) AS sum_len,
+       |         CAST(n_sym AS INTEGER) AS n_sym,
+       |         CAST(LEN(LIST_FILTER(toks, x -> REGEXP_MATCHES(x, '[a-z]'))) AS INTEGER) AS n_alpha,
+       |         CAST(LEN(LIST_INTERSECT(toks, $stops)) AS INTEGER) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_tokens, sum_len, n_sym, n_alpha, n_stop,
+       |       CAST(CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS INTEGER) AS r_wc,
+       |       CAST(CASE WHEN sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10 THEN 1 ELSE 0 END AS INTEGER) AS r_mwl,
+       |       CAST(CASE WHEN n_sym * 10 < n_tokens THEN 1 ELSE 0 END AS INTEGER) AS r_sym,
+       |       CAST(CASE WHEN n_alpha * 5 >= n_tokens * 4 THEN 1 ELSE 0 END AS INTEGER) AS r_alpha,
+       |       CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS r_stop,
+       |       CAST(CASE WHEN n_tokens BETWEEN 20 AND 100000
+       |                  AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+       |                  AND n_sym * 10 < n_tokens
+       |                  AND n_alpha * 5 >= n_tokens * 4
+       |                  AND n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ q114 heavy hitters
+
+  private def q114(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.heavyHitters(t(s, d, "documents"), k = 32)
+
+  private val q114Sql =
+    """WITH toks AS (
+      |  SELECT UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(COALESCE(text, '')), ' '), x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |tot AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT tok, COUNT(*) AS cnt
+      |FROM toks, tot
+      |GROUP BY tok, tot.n
+      |HAVING COUNT(*) * 32 > tot.n
+      |ORDER BY tok""".stripMargin
+
+  // --------------------------------------------- q115 perplexity buckets
+
+  private def q115(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.perplexityBuckets(t(s, d, "documents"), nBuckets = 3)
+
+  private val q115Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+      |              THEN 'train'
+      |              WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95
+      |              THEN 'val' ELSE 'test' END AS split,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     x -> LEN(x) > 0) AS toks
+      |  FROM documents),
+      |t AS (SELECT doc_id, lang, split, UNNEST(toks) AS tok FROM d),
+      |counts AS (
+      |  SELECT tok, COUNT(*) AS df FROM t WHERE split = 'train'
+      |  GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(df) + COUNT(*) AS BIGINT) AS denom
+      |        FROM counts),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, COUNT(*) AS n_toks,
+      |         CAST(SUM(CAST(FLOOR(LN(
+      |                CAST(COALESCE(counts.df, 0) + 1 AS DOUBLE)
+      |                / (SELECT denom FROM tot)) * 1000000) AS BIGINT))
+      |              AS BIGINT) AS sum_unats
+      |  FROM t LEFT JOIN counts USING (tok)
+      |  GROUP BY t.doc_id, t.lang),
+      |m AS (
+      |  SELECT *, CAST(FLOOR(CAST(sum_unats AS DOUBLE) / n_toks) AS BIGINT)
+      |              AS mean_unats
+      |  FROM scored),
+      |r AS (
+      |  SELECT *,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |                            ORDER BY mean_unats DESC, doc_id ASC) AS rk,
+      |         COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM m)
+      |SELECT doc_id, lang, n_toks, sum_unats, mean_unats,
+      |       CAST((rk - 1) * 3 // n AS INTEGER) AS bucket
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3167,5 +3263,8 @@ object Queries {
     QueryDef("q110_interval_join", q110, Some(q110Sql)),
     QueryDef("q111_sorted_neighborhood", q111, Some(q111Sql)),
     QueryDef("q112_model_filter", q112, Some(q112Sql)),
+    QueryDef("q113_gopher_rules", q113, Some(q113Sql)),
+    QueryDef("q114_heavy_hitters", q114, Some(q114Sql)),
+    QueryDef("q115_ccnet_buckets", q115, Some(q115Sql)),
   )
 }

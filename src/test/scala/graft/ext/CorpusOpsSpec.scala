@@ -243,4 +243,82 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, 1, 2L, exp((2L, 2L))),
       (2L, 2, 3L, exp((2L, 3L)))))
   }
+
+  test("heavyHitters: equals the exact brute-force set on every partitioning") {
+    val sql = spark
+    import sql.implicits._
+    // vocabulary (200 rare words) >> k (8): the Misra–Gries eviction path
+    // runs for real, and the final exact filter must erase whatever the
+    // candidate superset looked like per partitioning.
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 120).map { i =>
+      val heavy = Seq.fill(6)(if (rnd.nextBoolean()) "alpha" else "beta")
+      val mid = Seq.fill(2)("gamma")
+      val rare = Seq.fill(4)(s"rare${rnd.nextInt(200)}")
+      (i.toLong, rnd.shuffle(heavy ++ mid ++ rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exploded = docs.select(
+      org.apache.spark.sql.functions.explode(
+        TextOps.tokens(col("text"))).as("tok"))
+    val n = exploded.count()
+    val brute = exploded.groupBy("tok").count()
+      .where(col("count") * 8 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(brute.contains("alpha") && brute.contains("beta") &&
+      !brute.keys.exists(_.startsWith("rare")))
+    for (parts <- Seq(1, 3, 8)) {
+      val got = CorpusOps.heavyHitters(docs.repartition(parts), k = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == brute, s"parts=$parts: $got vs $brute")
+    }
+  }
+
+  test("heavyHitters: planted majority token always survives; empty corpus yields empty") {
+    val sql = spark
+    import sql.implicits._
+    // one token holds >50% of mass → with k=2 it is the only possible
+    // survivor, and the MG guarantee says it MUST survive.
+    val docs = Seq(
+      (1L, "x x x x x x x a b c"),
+      (2L, "x x x x x x d e f x")).toDF("doc_id", "text")
+    val out = CorpusOps.heavyHitters(docs, k = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("x", 14L)))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusOps.heavyHitters(empty, k = 4).count() == 0)
+  }
+
+  test("perplexityBuckets: equal-frequency per-lang buckets, head = best mean, partitioning-independent") {
+    val sql = spark
+    import sql.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CorpusOps.perplexityBuckets(docs, nBuckets = 3)
+    val rows = out.collect()
+    // every scored doc got a bucket in range
+    assert(rows.nonEmpty &&
+      rows.forall(r => { val b = r.getAs[Int]("bucket"); b >= 0 && b <= 2 }))
+    // per-lang equal-frequency: bucket sizes within a lang differ by <= 1
+    val sizes = rows.groupBy(r => (r.getAs[String]("lang"),
+      r.getAs[Int]("bucket"))).view.mapValues(_.length).toMap
+    for (lang <- sizes.keys.map(_._1).toSeq.distinct) {
+      val s = (0 to 2).map(b => sizes.getOrElse((lang, b), 0))
+      assert(s.max - s.min <= 1, s"$lang buckets skewed: $s")
+    }
+    // ordering contract: within a lang, every bucket-0 mean >= every
+    // bucket-2 mean (head = lowest perplexity = highest mean log-prob)
+    for (lang <- sizes.keys.map(_._1).toSeq.distinct) {
+      val byB = rows.filter(_.getAs[String]("lang") == lang)
+        .groupBy(_.getAs[Int]("bucket")).view
+        .mapValues(_.map(_.getAs[Long]("mean_unats"))).toMap
+      if (byB.contains(0) && byB.contains(2))
+        assert(byB(0).min >= byB(2).max)
+    }
+    // partitioning independence: the two-phase rank must not depend on
+    // the input layout
+    val again = CorpusOps.perplexityBuckets(docs.repartition(7), nBuckets = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket"))
+      .toMap
+    assert(rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap == again)
+  }
 }

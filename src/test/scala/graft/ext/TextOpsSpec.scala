@@ -160,4 +160,48 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(out.map { case (k, v) => k -> v._3 } == again)
   }
+
+  test("gopherFlags: each rule trips on its crafted violator") {
+    val good = (1 to 23).map(i => s"word$i").mkString("the cat is a ", " ", "")
+    val docs = Seq(
+      (1L, good),                                    // passes every rule
+      (2L, "the cat is a hat"),                      // too few tokens
+      (3L, ("extraordinarily " * 25) + "the a"),     // mean word len > 10
+      (4L, ("# # " * 15) + "the cat is a hat " + ("w " * 10)), // symbol-heavy
+      (5L, ("7 " * 30) + "the a"),                   // <80% alphabetic words
+      (6L, (1 to 25).map(i => s"word$i").mkString(" ")), // <2 stopwords
+      (7L, null.asInstanceOf[String]))               // null text
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = Seq("r_wc", "r_mwl", "r_sym", "r_alpha", "r_stop")
+      .map(out(id).getAs[Int](_))
+    assert(flags(1L) == Seq(1, 1, 1, 1, 1) && out(1L).getAs[Int]("keep") == 1)
+    assert(flags(2L)(0) == 0 && out(2L).getAs[Int]("keep") == 0)
+    assert(flags(3L)(1) == 0, s"mean word len should fail: ${flags(3L)}")
+    assert(flags(4L)(2) == 0, s"symbol ratio should fail: ${flags(4L)}")
+    assert(flags(5L)(3) == 0, s"alpha fraction should fail: ${flags(5L)}")
+    assert(flags(6L)(4) == 0 && flags(6L).take(4) == Seq(1, 1, 1, 1))
+    // null text → zero counts, fails on word count alone, never NULL flags
+    assert(out(7L).getAs[Int]("n_tokens") == 0 &&
+      out(7L).getAs[Int]("keep") == 0)
+  }
+
+  test("gopherFlags: integer cross-multiplied boundaries are inclusive/exclusive as documented") {
+    // exactly mean 3.0 and exactly mean 10.0 pass; 80% alpha passes;
+    // symbol ratio at exactly 0.1 FAILS (strict <).
+    val docs = Seq(
+      (1L, ("abc " * 19) + "the"),                      // 20 tokens, Σ60: mean exactly 3.0
+      (2L, ("abcdefghij " * 18) + "thexxxxxxx aaaaaaaaaa"), // mean 10.0, no stop needed for r_mwl
+      (3L, "# " + ("w " * 9) + "the a w w w w w w w w")) // 2 sym? no: 1 sym, 20 words → 10*1 < 20 passes
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("r_mwl") == 1)
+    assert(out(2L).getAs[Int]("r_mwl") == 1)
+    assert(out(3L).getAs[Int]("r_sym") == 1)
+    // push symbol count to exactly 10% of words: 2 syms, 20 words → fails
+    val edge = Seq((9L, "# # " + ("w " * 14) + "the a w w")).toDF("doc_id", "text")
+    assert(TextOps.gopherFlags(edge).head().getAs[Int]("r_sym") == 0)
+  }
 }
