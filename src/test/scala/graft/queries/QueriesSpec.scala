@@ -92,6 +92,30 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("MapPartitions"), plan)
   }
 
+  test("q113 gopher rules: one pure projection — the only exchange is the presentation ORDER BY") {
+    val plan = run("q113_gopher_rules").queryExecution.executedPlan.toString
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length <= 1, plan)
+    assert(!plan.contains("HashAggregate"), plan) // no aggregate at all
+  }
+
+  test("q114 heavy hitters: the exact recount is broadcast-pruned, never a sort-merge join") {
+    val plan = run("q114_heavy_hitters").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan) // candidate semi-join
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q115 ccnet buckets: no one-reducer-per-language window over the corpus") {
+    // the only Window in the plan is the two-phase construction's
+    // carry-in offsets frame, which is partition-count-sized, and the
+    // lang-count join rides a broadcast.
+    val df = run("q115_ccnet_buckets")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("filters reach the scan and projections prune the read schema") {
     // q02: the equality+range conjunction must be PushedFilters at the
     // parquet scan, not a post-scan Filter only.
