@@ -496,4 +496,71 @@ object CorpusOps {
       .drop("__grn", "__gc", "__n")
       .orderBy(col(idCol))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document of
+    * the raw corpus by how target-like its hashed-bigram feature
+    * distribution is — `w(doc) = Σ_f log(p_target(f) / p_raw(f))` over the
+    * doc's feature OCCURRENCES, features = bigrams hashed into `nBuckets`
+    * via md5 nibbles (derived IDENTICALLY in the DuckDB oracle — the
+    * q100/q112 discipline, so the whole path hash-compares cross-engine).
+    *
+    * Model: Laplace-smoothed bucket distributions with B = nBuckets,
+    * `p(f) = (c(f)+1) / (N+B)`; target = rows matching `targetPred` (they
+    * are raw-corpus members too and get scored like everyone else). Each
+    * per-feature log-ratio floors to integer MICRO-nats BEFORE the
+    * order-independent per-doc sum. Docs with < 2 tokens carry no bigram
+    * and get no row.
+    *
+    * Scale shapes: the bucket-count aggregates key on ≤ nBuckets values
+    * (map-side partials collapse the corpus explode to nBuckets rows per
+    * task); the log-ratio table is nBuckets rows and BROADCASTS into the
+    * scoring join; the only corpus-sized work is the two bigram explodes
+    * (count pass, scoring pass). No full-vocabulary state anywhere — the
+    * hash bound is the point of DSIR at 100 TB. */
+  def dsirWeights(docs: DataFrame, targetPred: Column, nBuckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536], got $nBuckets")
+    val spark = docs.sparkSession
+    def feats(df: DataFrame): DataFrame = df
+      .select(col(idCol), col("__t"), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), col("__t"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .as("g"))
+      // first 4 md5 nibbles = 16 bits, folded into the bucket range
+      .withColumn("bucket",
+        (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+    val tagged = docs.withColumn("__t", targetPred)
+    val f = feats(tagged)
+    // ONE corpus counts pass: raw and target bucket counts from the same
+    // aggregate (map-side partials collapse to ≤ nBuckets rows per task);
+    // checkpointed because the bounded table is consumed twice.
+    val counts = f.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      count(when(col("__t"), lit(1))).as("ct"))
+      .localCheckpoint()
+    val totals = counts.agg(
+      coalesce(sum(col("cr")), lit(0L)),
+      coalesce(sum(col("ct")), lit(0L))).head()
+    val (nr, nt) = (totals.getLong(0), totals.getLong(1))
+    require(nt > 0, "dsirWeights: the target slice has no bigrams")
+    require(nr > 0, "dsirWeights: the corpus has no bigrams")
+    val ratio = spark.range(nBuckets).select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .withColumn("unats", floor((
+        log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+          / lit((nt + nBuckets).toDouble)) -
+        log((coalesce(col("cr"), lit(0L)) + 1).cast("double")
+          / lit((nr + nBuckets).toDouble))) * 1000000).cast("long"))
+      .select(col("bucket"), col("unats"))
+    f.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("unats")).as("weight_unats"))
+      .orderBy(col(idCol))
+  }
 }

@@ -3136,6 +3136,51 @@ object Queries {
       |       CAST((rk - 1) * 3 // n AS INTEGER) AS bucket
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- q116 DSIR weights
+
+  private def q116(s: SparkSession, d: String): DataFrame =
+    graft.ext.CorpusOps.dsirWeights(t(s, d, "documents"),
+      col("source") === "src0", nBuckets = 4096)
+
+  private val q116Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source = 'src0' AS is_t,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     x -> LEN(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, is_t,
+      |         UNNEST(LIST_TRANSFORM(RANGE(0, LEN(toks) - 1),
+      |                i -> ARRAY_TO_STRING(toks[i + 1 : i + 2], ' '))) AS g
+      |  FROM d WHERE LEN(toks) >= 2),
+      |h AS (
+      |  SELECT doc_id, is_t,
+      |         CAST(((STRPOS('0123456789abcdef', SUBSTR(MD5(g), 1, 1)) - 1) * 4096
+      |             + (STRPOS('0123456789abcdef', SUBSTR(MD5(g), 2, 1)) - 1) * 256
+      |             + (STRPOS('0123456789abcdef', SUBSTR(MD5(g), 3, 1)) - 1) * 16
+      |             + (STRPOS('0123456789abcdef', SUBSTR(MD5(g), 4, 1)) - 1))
+      |              % 4096 AS INTEGER) AS bucket
+      |  FROM g),
+      |counts AS (
+      |  SELECT bucket, COUNT(*) AS cr,
+      |         COUNT(CASE WHEN is_t THEN 1 END) AS ct
+      |  FROM h GROUP BY bucket),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+      |               CAST(SUM(ct) AS BIGINT) AS nt FROM counts),
+      |ratio AS (
+      |  SELECT CAST(b.bucket AS INTEGER) AS bucket,
+      |         CAST(FLOOR((LN(CAST(COALESCE(counts.ct, 0) + 1 AS DOUBLE)
+      |                        / ((SELECT nt FROM tot) + 4096))
+      |                   - LN(CAST(COALESCE(counts.cr, 0) + 1 AS DOUBLE)
+      |                        / ((SELECT nr FROM tot) + 4096)))
+      |                   * 1000000) AS BIGINT) AS unats
+      |  FROM (SELECT UNNEST(RANGE(0, 4096)) AS bucket) b
+      |  LEFT JOIN counts ON counts.bucket = b.bucket)
+      |SELECT h.doc_id, COUNT(*) AS n_feats,
+      |       CAST(SUM(ratio.unats) AS BIGINT) AS weight_unats
+      |FROM h JOIN ratio USING (bucket)
+      |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3266,5 +3311,6 @@ object Queries {
     QueryDef("q113_gopher_rules", q113, Some(q113Sql)),
     QueryDef("q114_heavy_hitters", q114, Some(q114Sql)),
     QueryDef("q115_ccnet_buckets", q115, Some(q115Sql)),
+    QueryDef("q116_dsir_weights", q116, Some(q116Sql)),
   )
 }

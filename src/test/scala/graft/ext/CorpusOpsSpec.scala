@@ -321,4 +321,38 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap == again)
   }
+
+  test("dsirWeights: target-like docs outscore dissimilar ones; layout-independent") {
+    val sql = spark
+    import sql.implicits._
+    // target vocabulary {aa..ae}, noise vocabulary {zz0..zz199}: a raw doc
+    // drawn from the target vocabulary must weigh higher than a noise doc.
+    val rnd = new scala.util.Random(11)
+    def tgt() = Seq.fill(12)("a" + ('a' + rnd.nextInt(5)).toChar).mkString(" ")
+    def noise() = Seq.fill(12)("zz" + rnd.nextInt(200)).mkString(" ")
+    val docs = ((1 to 20).map(i => (i.toLong, "t", tgt())) ++
+      (21 to 30).map(i => (i.toLong, "r", tgt())) ++   // target-like raw
+      (31 to 60).map(i => (i.toLong, "r", noise())))
+      .toDF("doc_id", "source", "text")
+    val w = CorpusOps.dsirWeights(docs, col("source") === "t", nBuckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("weight_unats").toDouble / r.getAs[Long]("n_feats")))
+      .toMap
+    val likeMean = (21 to 30).map(i => w(i.toLong)).sum / 10
+    val noiseMean = (31 to 60).map(i => w(i.toLong)).sum / 30
+    assert(likeMean > noiseMean,
+      s"target-like $likeMean should outscore noise $noiseMean")
+    // weights are a pure function of the data, not the layout
+    val again = CorpusOps.dsirWeights(docs.repartition(7),
+      col("source") === "t", nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("weight_unats")).toMap
+    val first = CorpusOps.dsirWeights(docs, col("source") === "t",
+      nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("weight_unats")).toMap
+    assert(first == again)
+    // an empty target slice must fail loudly, not return garbage
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirWeights(docs, col("source") === "nope").collect()
+    }
+  }
 }

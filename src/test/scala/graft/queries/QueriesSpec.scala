@@ -106,6 +106,13 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q116 dsir weights: the ratio table broadcasts; no vocab-keyed sort-merge join") {
+    val plan = run("q116_dsir_weights").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("q115 ccnet buckets: no one-reducer-per-language window over the corpus") {
     // the only Window in the plan is the two-phase construction's
     // carry-in offsets frame, which is partition-count-sized, and the
