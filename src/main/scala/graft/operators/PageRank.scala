@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over a directed edge list, DataFrame-native and
+  * ENGINE-EXACT: ranks live in integer MICRO-units, each node's per-edge
+  * contribution is `rank div outdeg` (integral truncation, non-negative
+  * operands so floor == trunc on every engine), and the damped update is
+  * `150000 + FLOOR(0.85 · Σ contrib)` — one IEEE multiply of an
+  * exactly-representable integer sum, floored. A fixed iteration count
+  * therefore yields bit-identical ranks on any engine and any
+  * partitioning (integer sums are order-independent), which is what makes
+  * a cross-engine oracle possible for an iterative algorithm.
+  *
+  * Scale shapes (the iterative-on-Spark discipline):
+  *   - the edge list is augmented with out-degrees ONCE and
+  *     localCheckpointed — the static side of every iteration's join is
+  *     materialized, never recomputed;
+  *   - each iteration is ONE join (edges ⋈ ranks on src) + ONE hash
+  *     aggregate keyed on dst — two shuffles, hash-partitioned on the
+  *     same key family every round;
+  *   - the rank frame localCheckpoints per iteration, so lineage (and
+  *     plan size) stays ITERATION-CONSTANT instead of growing a join
+  *     tree `iters` deep — the classic driver-loop trap on Spark.
+  *
+  * Precondition (spec-checked, documented): every node that appears as a
+  * `dst` must also appear as a `src` (feed BOTH directions for an
+  * undirected graph). Then every node has outdeg ≥ 1 and dangling mass
+  * is zero by construction.
+  *
+  * Reference evidence: exasol/etl-utils `query_wrapper.sql:40` forwards
+  * arbitrary SQL to the host engine; an iterative rank computation is the
+  * kind of job its `run` protocol would loop host-side. Public algorithm:
+  * Page et al. 1999; damping 0.85, teleport 0.15.
+  */
+object PageRank {
+
+  /** @param edges (src: long, dst: long) — directed; duplicate edges count
+    *              as parallel edges (each carries a contribution).
+    * @return (node: long, rank: long) — rank in micro-units; the initial
+    *         mass is 1e6 per node. */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100]: $iters")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint() // static join side: materialize once
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    var r = nodes.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, col("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+            floor(coalesce(col("s"), lit(0L)).cast("double") * 0.85)
+              .cast("long")).as("rank"))
+        .localCheckpoint() // keep lineage iteration-constant
+    }
+    r
+  }
+}

@@ -3181,6 +3181,45 @@ object Queries {
       |FROM h JOIN ratio USING (bucket)
       |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
 
+  // --------------------------------------------- q117 pagerank
+
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // bipartite customer↔supplier trade graph, both directions so every
+    // node has outdeg >= 1 (the PageRank precondition)
+    val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.PageRank.ranks(edges, iters = 5).orderBy(col("node"))
+  }
+
+  private val q117Sql = {
+    val prs = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(150000 + FLOOR(0.85 * SUM(p.rank // d.outdeg))
+         |              AS BIGINT) AS rank
+         |  FROM pr${i - 1} p
+         |  JOIN edges e ON e.src = p.node
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |$prs
+       |SELECT node, rank FROM pr5 ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3312,5 +3351,6 @@ object Queries {
     QueryDef("q114_heavy_hitters", q114, Some(q114Sql)),
     QueryDef("q115_ccnet_buckets", q115, Some(q115Sql)),
     QueryDef("q116_dsir_weights", q116, Some(q116Sql)),
+    QueryDef("q117_pagerank", q117, Some(q117Sql)),
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sql = spark
+  import sql.implicits._
+
+  test("two-node symmetric graph is the exact fixed point") {
+    // contrib = 1e6 div 1; update = 150000 + floor(0.85e6) = 1e6 exactly
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    for (iters <- Seq(1, 5)) {
+      val r = PageRank.ranks(edges, iters).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r == Map(1L -> 1000000L, 2L -> 1000000L), s"iters=$iters: $r")
+    }
+  }
+
+  test("star graph: hand-computed first iteration, hub dominates, leaves tie") {
+    val leaves = (2L to 5L)
+    val edges = (leaves.map(l => (1L, l)) ++ leaves.map(l => (l, 1L)))
+      .toDF("src", "dst")
+    val r1 = PageRank.ranks(edges, 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // leaf: 150000 + floor(0.85 * (1e6 div 4)) = 362500
+    // hub:  150000 + floor(0.85 * 4e6)         = 3550000
+    assert(r1(1L) == 3550000L)
+    leaves.foreach(l => assert(r1(l) == 362500L, s"leaf $l: ${r1(l)}"))
+    val r5 = PageRank.ranks(edges, 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r5(1L) > r5(2L) && leaves.map(r5).toSet.size == 1)
+  }
+
+  test("ranks are partitioning-independent (integer arithmetic end to end)") {
+    val rnd = new scala.util.Random(3)
+    val base = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val both = base ++ base.map(_.swap) // bidirectional precondition
+    val expected = PageRank.ranks(both.toDF("src", "dst"), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = PageRank.ranks(both.toDF("src", "dst").repartition(parts), 3)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // flooring only ever LOSES mass: sum <= N * 1e6, and every rank holds
+    // at least the teleport floor
+    assert(expected.values.sum <= expected.size * 1000000L)
+    assert(expected.values.forall(_ >= 150000L))
+  }
+
+  test("documented precondition: a dst-only node is not ranked") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 9L)).toDF("src", "dst")
+    val nodes = PageRank.ranks(edges, 2).collect().map(_.getLong(0)).toSet
+    assert(nodes == Set(1L, 2L)) // 9 never appears as src → excluded
+  }
+}
