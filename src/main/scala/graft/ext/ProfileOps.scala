@@ -169,4 +169,37 @@ object ProfileOps {
       .select(col(groupCol), col("n"), col("corr_r"))
       .orderBy(col(groupCol))
   }
+
+  /** Per-group ordinary-least-squares fit `y = a + b·x` from EXACT integer
+    * sufficient statistics (the [[groupedCorr]] discipline): slope
+    * `b = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`, intercept
+    * `a = (Σy − b·Σx) / n` — BIGINT sums shuffle (order-independent,
+    * exact while n·Σ stays under 2^63, same bound as groupedCorr), then
+    * ONE shared double expression per output, floored to 6dp. Both
+    * engines run the identical IEEE sequence, so the fit hash-compares —
+    * native `regr_slope` aggregates doubles in stream order and is
+    * neither partitioning- nor engine-reproducible. Zero-x-variance
+    * groups yield NULL slope and intercept. One hash aggregate: the
+    * 100 TB cost is one shuffle of six longs per group. */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val (x, y) = (col(xCol).cast("long"), col(yCol).cast("long"))
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val b = num / den // raw double slope feeds the intercept, THEN floor
+    agg
+      .withColumn("slope",
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(floor(b * 1000000) / 1000000))
+      .withColumn("intercept",
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(floor(
+            (col("sy").cast("double") - b * col("sx").cast("double"))
+              / col("n").cast("double") * 1000000) / 1000000))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -3220,6 +3220,42 @@ object Queries {
        |SELECT node, rank FROM pr5 ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------- q118 grouped OLS
+
+  private def q118(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.groupedOls(
+      t(s, d, "documents").select(col("source"),
+        coalesce(size(graft.ext.TextOps.tokens(col("text"))), lit(0))
+          .as("x"),
+        col("n_chars").as("y")),
+      "source", "x", "y")
+
+  private val q118Sql =
+    """WITH d AS (
+      |  SELECT source,
+      |         CAST(COALESCE(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                                       t -> LEN(t) > 0)), 0)
+      |              AS BIGINT) AS x,
+      |         n_chars AS y
+      |  FROM documents),
+      |a AS (SELECT source, COUNT(*) AS n,
+      |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |             CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |             CAST(SUM(x * x) AS BIGINT) AS sxx
+      |      FROM d GROUP BY source)
+      |SELECT source, n,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                       / CAST(n * sxx - sx * sx AS DOUBLE)
+      |                       * 1000000) / 1000000 END AS slope,
+      |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |            ELSE FLOOR((CAST(sy AS DOUBLE)
+      |                        - CAST(n * sxy - sx * sy AS DOUBLE)
+      |                          / CAST(n * sxx - sx * sx AS DOUBLE)
+      |                          * CAST(sx AS DOUBLE))
+      |                       / n * 1000000) / 1000000 END AS intercept
+      |FROM a ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3352,5 +3388,6 @@ object Queries {
     QueryDef("q115_ccnet_buckets", q115, Some(q115Sql)),
     QueryDef("q116_dsir_weights", q116, Some(q116Sql)),
     QueryDef("q117_pagerank", q117, Some(q117Sql)),
+    QueryDef("q118_grouped_ols", q118, Some(q118Sql)),
   )
 }

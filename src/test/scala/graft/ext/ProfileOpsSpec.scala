@@ -144,4 +144,25 @@ class ProfileOpsSpec extends AnyFunSuite with SparkTestBase {
     // shared expression, not on a per-engine "corr" builtin.
     assert(exp(m) == -0.500001)
   }
+
+  test("groupedOls: exact fits, degenerate group yields NULLs, layout-independent") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq(
+      // y = 2x exactly → slope 2, intercept 0
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      // y = 10 − x exactly → slope −1, intercept 10
+      ("b", 1L, 9L), ("b", 3L, 7L), ("b", 5L, 5L),
+      // zero x-variance → NULL fit
+      ("z", 4L, 1L), ("z", 4L, 9L)).toDF("src", "x", "y")
+    def fit(d: org.apache.spark.sql.DataFrame) =
+      ProfileOps.groupedOls(d, "src", "x", "y").collect()
+        .map(r => (r.getString(0),
+          if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    val out = fit(df)
+    assert(out == Seq(("a", 2.0, 0.0), ("b", -1.0, 10.0), ("z", null, null)),
+      out.toString)
+    assert(fit(df.repartition(5)) == out)
+  }
 }
