@@ -3256,6 +3256,84 @@ object Queries {
       |                       / n * 1000000) / 1000000 END AS intercept
       |FROM a ORDER BY source""".stripMargin
 
+  // --------------------------------------------- q119 triangle counts
+
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    // co-activity graph: users sharing >= 3 (event_type, hour) cells;
+    // pair generation is cell-blocked (a cell holds at most the distinct
+    // user count), the LSH-bucket discipline applied to co-occurrence
+    val cells = ev.select(col("user_id"),
+        col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+    val a = cells.select(col("user_id").as("u"), col("event_type"), col("h"))
+    val b = cells.select(col("user_id").as("v"), col("event_type"), col("h"))
+    val edges = a.join(b, Seq("event_type", "h"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .select(col("u"), col("v"))
+    graft.operators.Triangles.perNode(edges)
+  }
+
+  private val q119Sql =
+    """WITH cells AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |         epoch_us(ts) // 3600000000 AS h
+      |  FROM events),
+      |e AS (
+      |  SELECT a.user_id AS u, b.user_id AS v
+      |  FROM cells a
+      |  JOIN cells b ON a.event_type = b.event_type AND a.h = b.h
+      |              AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |nodes AS (
+      |  SELECT a AS node FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT node, COUNT(*) AS n_tri
+      |FROM nodes GROUP BY node ORDER BY node""".stripMargin
+
+  // --------------------------------------------- q120 OHLC time bars
+
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    // open/close tie-break on (ts, event_id): deterministic by
+    // construction, not by data luck — min_by/max_by over an orderable
+    // struct, ONE hash aggregate, no window
+    val key = struct(col("ts"), col("event_id"))
+    ev.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"))
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
+  private val q120Sql =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id, value,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type,
+      |                                         epoch_us(ts) // 3600000000
+      |                            ORDER BY ts, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type,
+      |                                     epoch_us(ts) // 3600000000) AS cnt
+      |  FROM events)
+      |SELECT event_type, hour_id, COUNT(*) AS n,
+      |       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+      |       MAX(value) AS high, MIN(value) AS low,
+      |       MAX(CASE WHEN rn = cnt THEN value END) AS close
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3389,5 +3467,7 @@ object Queries {
     QueryDef("q116_dsir_weights", q116, Some(q116Sql)),
     QueryDef("q117_pagerank", q117, Some(q117Sql)),
     QueryDef("q118_grouped_ols", q118, Some(q118Sql)),
+    QueryDef("q119_triangles", q119, Some(q119Sql)),
+    QueryDef("q120_ohlc_bars", q120, Some(q120Sql)),
   )
 }
