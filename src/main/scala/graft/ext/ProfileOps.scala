@@ -202,4 +202,58 @@ object ProfileOps {
       .select(col(groupCol), col("n"), col("slope"), col("intercept"))
       .orderBy(col(groupCol))
   }
+
+  /** Per-group distribution drift vs the whole corpus: Population
+    * Stability Index of an integral column's bucketed distribution,
+    * `PSI = Σ_b (p_g,b − p_all,b)·ln(p_g,b / p_all,b)` — the standard
+    * "has this source/model-input shifted?" monitor. Laplace-smoothed
+    * (`+1` per bucket) so empty buckets are defined; a group that matches
+    * the corpus scores ≈0, a shifted one grows roughly linearly in the
+    * shift.
+    *
+    * Exactness contract: bucket counts are exact integers from ONE hash
+    * aggregate; each bucket's PSI term is ONE shared IEEE expression over
+    * those integers (`pg` and `pa` computed once, reused for both the
+    * difference and the log ratio), floored to integer micro-units BEFORE
+    * the per-group sum — so the result is an order-independent BIGINT
+    * that hash-compares across engines (the q90 micro-nat discipline).
+    *
+    * Shape at 100 TB: one full scan into a (group × nBuckets)-bounded
+    * aggregate; corpus-wide bucket totals re-aggregate those tiny counts
+    * (NO second scan); the dense group × bucket frame is a cross join of
+    * two driver-tiny sides. Everything after the first aggregate is
+    * kilobytes. */
+  def psiDrift(df: DataFrame, groupCol: String, valCol: String,
+      bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth >= 1 && nBuckets >= 2,
+      s"need bucketWidth>=1, nBuckets>=2; got $bucketWidth, $nBuckets")
+    val bucket = least(
+      expr(s"cast(`$valCol` as bigint) div ${bucketWidth}L"),
+      lit(nBuckets - 1L)).as("b")
+    val counts = df.select(col(groupCol), bucket)
+      .groupBy(col(groupCol), col("b")).agg(count(lit(1)).as("cg"))
+      .localCheckpoint() // consumed three times: dense frame, totals ×2
+    val groups = counts.select(col(groupCol), col("cg"))
+      .groupBy(col(groupCol)).agg(sum(col("cg")).as("ng"))
+    val buckets = counts.groupBy(col("b")).agg(sum(col("cg")).as("ca"))
+    val nAll = counts.agg(sum(col("cg")).as("na"))
+    // dense frame = groups × OCCUPIED buckets: a group missing a bucket
+    // some other group populates still contributes smoothed mass there
+    // (corpus-empty buckets are unobservable and by definition excluded)
+    val dense = groups.crossJoin(buckets.select(col("b")))
+      .join(counts, Seq(groupCol, "b"), "left")
+      .join(buckets, Seq("b"))
+      .crossJoin(nAll)
+      .na.fill(0L, Seq("cg"))
+    val pg = (col("cg") + 1).cast("double") /
+      (col("ng") + lit(nBuckets)).cast("double")
+    val pa = (col("ca") + 1).cast("double") /
+      (col("na") + lit(nBuckets)).cast("double")
+    dense
+      .withColumn("term", floor((pg - pa) * log(pg / pa) * 1000000)
+        .cast("long"))
+      .groupBy(col(groupCol))
+      .agg(max(col("ng")).as("n"), sum(col("term")).as("psi_micro"))
+      .orderBy(col(groupCol))
+  }
 }

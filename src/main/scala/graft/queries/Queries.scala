@@ -3334,6 +3334,186 @@ object Queries {
       |       MAX(CASE WHEN rn = cnt THEN value END) AS close
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- q121 snapshot diff
+
+  /** Snapshot diff ([[graft.ext.DiffOps]]): classify rows across two
+    * deterministic snapshots of `orders` — B drops every 89th key
+    * (deletes), gains the 97th-key rows A lacks (inserts), and bumps
+    * every 31st price (updates). Floats are pre-normalized to integer
+    * cents before the payload digest per the DiffOps exactness contract. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    def cents(p: Column) = floor(p * 100 + lit(0.5)).cast("long")
+    val a = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), cents(col("o_totalprice")).as("cents"))
+    val bPrice = when(col("o_orderkey") % 31 === 0,
+      col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice"))
+    val b = o.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), cents(bPrice).as("cents"))
+    graft.ext.DiffOps.snapshotDiff(a, b, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_orderpriority", "cents"))
+  }
+
+  private val q121Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey,
+      |         MD5(CONCAT_WS(CHR(1), o_orderstatus, o_orderpriority,
+      |           CAST(CAST(FLOOR(o_totalprice*100 + 0.5::DOUBLE) AS BIGINT)
+      |                AS VARCHAR))) AS dig
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |b AS (
+      |  SELECT o_orderkey,
+      |         MD5(CONCAT_WS(CHR(1), o_orderstatus, o_orderpriority,
+      |           CAST(CAST(FLOOR(p*100 + 0.5::DOUBLE) AS BIGINT)
+      |                AS VARCHAR))) AS dig
+      |  FROM (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |          CASE WHEN o_orderkey % 31 = 0
+      |               THEN o_totalprice + 1.0::DOUBLE
+      |               ELSE o_totalprice END AS p
+      |        FROM orders)
+      |  WHERE o_orderkey % 89 <> 0)
+      |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |       CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |            WHEN b.o_orderkey IS NULL THEN 'delete'
+      |            WHEN a.dig <> b.dig THEN 'update' END AS change
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.dig <> b.dig
+      |ORDER BY 1""".stripMargin
+
+  // --------------------------------------------- q122 PSI drift
+
+  /** Per-source distribution drift ([[graft.ext.ProfileOps.psiDrift]]):
+    * Population Stability Index of each source's `n_chars` distribution
+    * against the whole corpus — the "did an upstream source shift?"
+    * monitor run before a training-data refresh ships. */
+  private def q122(s: SparkSession, d: String): DataFrame =
+    graft.ext.ProfileOps.psiDrift(
+      t(s, d, "documents"), "source", "n_chars",
+      bucketWidth = 200L, nBuckets = 10)
+
+  private val q122Sql =
+    """WITH c AS (
+      |  SELECT source, LEAST(n_chars // 200, 9) AS b, COUNT(*) AS cg
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(SUM(cg) AS BIGINT) AS ng FROM c GROUP BY 1),
+      |bk AS (SELECT b, CAST(SUM(cg) AS BIGINT) AS ca FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS na FROM c),
+      |dense AS (
+      |  SELECT g.source, bk.b, COALESCE(c.cg, 0) AS cg, g.ng, bk.ca, tot.na
+      |  FROM g CROSS JOIN bk
+      |  LEFT JOIN c ON c.source = g.source AND c.b = bk.b
+      |  CROSS JOIN tot),
+      |term AS (
+      |  SELECT source, ng,
+      |         CAST(FLOOR((CAST(cg+1 AS DOUBLE)/CAST(ng+10 AS DOUBLE)
+      |                     - CAST(ca+1 AS DOUBLE)/CAST(na+10 AS DOUBLE))
+      |           * LN((CAST(cg+1 AS DOUBLE)/CAST(ng+10 AS DOUBLE))
+      |                / (CAST(ca+1 AS DOUBLE)/CAST(na+10 AS DOUBLE)))
+      |           * 1000000::DOUBLE) AS BIGINT) AS term
+      |  FROM dense)
+      |SELECT source, MAX(ng) AS n, CAST(SUM(term) AS BIGINT) AS psi_micro
+      |FROM term GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------- q123 k-core
+
+  /** k-core of the q119 co-activity graph ([[graft.operators.KCore]]):
+    * 3 peel rounds at k=4 over users sharing ≥4 (event_type, hour)
+    * cells — the dense-community screen (hubs survive, chains and
+    * tendrils fall off round by round). */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val cells = ev.select(col("user_id"),
+        col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+    val a = cells.select(col("user_id").as("u"), col("event_type"), col("h"))
+    val b = cells.select(col("user_id").as("v"), col("event_type"), col("h"))
+    val edges = a.join(b, Seq("event_type", "h"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 4)
+      .select(col("u"), col("v"))
+    graft.operators.KCore.peel(edges, k = 4, rounds = 3)
+  }
+
+  private val q123Sql =
+    """WITH cells AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |         epoch_us(ts) // 3600000000 AS h
+      |  FROM events),
+      |e0 AS (
+      |  SELECT a.user_id AS a, b.user_id AS b
+      |  FROM cells a
+      |  JOIN cells b ON a.event_type = b.event_type AND a.h = b.h
+      |              AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+      |d1 AS (SELECT n, COUNT(*) AS d FROM
+      |  (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+      |e1 AS (SELECT a, b FROM e0
+      |  WHERE a IN (SELECT n FROM d1 WHERE d >= 4)
+      |    AND b IN (SELECT n FROM d1 WHERE d >= 4)),
+      |d2 AS (SELECT n, COUNT(*) AS d FROM
+      |  (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+      |e2 AS (SELECT a, b FROM e1
+      |  WHERE a IN (SELECT n FROM d2 WHERE d >= 4)
+      |    AND b IN (SELECT n FROM d2 WHERE d >= 4)),
+      |d3 AS (SELECT n, COUNT(*) AS d FROM
+      |  (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+      |e3 AS (SELECT a, b FROM e2
+      |  WHERE a IN (SELECT n FROM d3 WHERE d >= 4)
+      |    AND b IN (SELECT n FROM d3 WHERE d >= 4))
+      |SELECT node, COUNT(*) AS deg
+      |FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------- q124 last-click attribution
+
+  /** Last-click attribution: each purchase credits the user's most recent
+    * click within 7 days — the standard marketing-attribution form,
+    * composed from the SALTED backward as-of join (q40's skew-safe
+    * machinery) with a tolerance bound; clicks pre-aggregated per
+    * (user, ts) with a max-event_id tie-break so the match is
+    * deterministic by construction. Boundary compared in integer
+    * MICROSECONDS on both engines (the time-boundary discipline). */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts").as("cts"), col("click_id"),
+        col("ts").as("click_ts"))
+    graft.operators.AsOfJoin.backwardSalted(
+      purchases, clicks, Seq("user_id"), "ts", "cts",
+      Seq("click_id", "click_ts"),
+      bucket = _.cast("date"),
+      tolerance = Some((l, r) =>
+        unix_micros(l) - unix_micros(r) <= lit(604800000000L)))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q124Sql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts AS cts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |m AS (
+      |  SELECT p.purchase_id, c.click_id,
+      |         epoch_us(p.ts) - epoch_us(c.cts) AS gap_us,
+      |         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |                            ORDER BY c.cts DESC) AS rn
+      |  FROM p JOIN c ON c.user_id = p.user_id AND c.cts <= p.ts
+      |               AND epoch_us(p.ts) - epoch_us(c.cts) <= 604800000000)
+      |SELECT p.purchase_id, p.user_id, m.click_id, m.gap_us
+      |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (purchase_id)
+      |ORDER BY purchase_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3469,5 +3649,9 @@ object Queries {
     QueryDef("q118_grouped_ols", q118, Some(q118Sql)),
     QueryDef("q119_triangles", q119, Some(q119Sql)),
     QueryDef("q120_ohlc_bars", q120, Some(q120Sql)),
+    QueryDef("q121_snapshot_diff", q121, Some(q121Sql)),
+    QueryDef("q122_psi_drift", q122, Some(q122Sql)),
+    QueryDef("q123_kcore", q123, Some(q123Sql)),
+    QueryDef("q124_attribution", q124, Some(q124Sql)),
   )
 }

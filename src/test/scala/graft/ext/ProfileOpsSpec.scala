@@ -165,4 +165,34 @@ class ProfileOpsSpec extends AnyFunSuite with SparkTestBase {
       out.toString)
     assert(fit(df.repartition(5)) == out)
   }
+
+  test("psiDrift: hand-computed PSI, dense over occupied buckets, layout-independent") {
+    val sql = spark
+    import sql.implicits._
+    // width 10, 3 buckets: a → {0, 0, 1}; b → {2, 2} (missing 0 and 1:
+    // the dense frame must still charge b smoothed mass there)
+    val df = Seq(("a", 1L), ("a", 5L), ("a", 12L), ("b", 25L), ("b", 28L))
+      .toDF("src", "v")
+    // same IEEE sequence as the operator: per-bucket term floored to
+    // micro-units, THEN summed
+    def term(cg: Long, ng: Long, ca: Long, na: Long): Long = {
+      val pg = (cg + 1).toDouble / (ng + 3).toDouble
+      val pa = (ca + 1).toDouble / (na + 3).toDouble
+      math.floor((pg - pa) * math.log(pg / pa) * 1000000).toLong
+    }
+    val expA = term(2, 3, 2, 5) + term(1, 3, 1, 5) + term(0, 3, 2, 5)
+    val expB = term(0, 2, 2, 5) + term(0, 2, 1, 5) + term(2, 2, 2, 5)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ProfileOps.psiDrift(d, "src", "v", bucketWidth = 10L, nBuckets = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val out = run(df)
+    assert(out == Seq(("a", 3L, expA), ("b", 2L, expB)), out.toString)
+    assert(run(df.repartition(5)) == out)
+    // a group that IS the whole corpus has pg == pa per bucket → PSI 0
+    // exactly (with multiple groups Laplace smoothing scales by group
+    // size, so even identical shapes sit slightly off zero — by design)
+    val whole = Seq(("x", 1L), ("x", 11L), ("x", 25L)).toDF("src", "v")
+    assert(run(whole).map(_._3) == Seq(0L))
+  }
 }

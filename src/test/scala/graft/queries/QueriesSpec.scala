@@ -72,6 +72,14 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q119/q123 graph queries: wedges and peels are hash joins, never nested loops") {
+    Seq("q119_triangles", "q123_kcore").foreach { q =>
+      val plan = run(q).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("q104 BM25: broadcast query/stat sides; the only nested loops are " +
       "the 1-row scalar-stat crosses") {
     val df = run("q104_bm25_topk")
