@@ -3514,6 +3514,110 @@ object Queries {
       |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (purchase_id)
       |ORDER BY purchase_id""".stripMargin
 
+  // --------------------------------------------- q125 ER golden record
+
+  /** End-to-end entity resolution to a golden-record table: q111's
+    * sorted-neighborhood blocking + edit-distance-1 verify produce match
+    * pairs, [[graft.operators.ConnectedComponents]] closes them
+    * transitively (chains of near-identical names merge — visible here:
+    * consecutive serial names form 10-member entities), and survivorship
+    * picks the min-key member's name as canonical (`min_by` — keys are
+    * unique so the pick is deterministic). Singletons stay their own
+    * golden record via the left join. The MERGE-into-master workflow an
+    * Exasol ETL shop hand-writes, as one declarative pipeline. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+    val pairs = graft.ext.FuzzyOps.sortedNeighborhoodPairs(
+        cust, "c_custkey", "c_name", w = 5)
+      .filter(levenshtein(col("a_val"), col("b_val")) <= 1)
+      .select(col("a_id"), col("b_id"))
+    val labels = graft.operators.ConnectedComponents
+      .labels(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "c_custkey")
+    cust.join(labels, Seq("c_custkey"), "left")
+      .withColumn("entity_id", coalesce(col("comp"), col("c_custkey")))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min_by(col("c_name"), col("c_custkey")).as("canonical"))
+      .orderBy(col("entity_id"))
+  }
+
+  private val q125Sql =
+    """WITH r AS (
+      |  SELECT c_custkey, c_name,
+      |         ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer),
+      |p AS (
+      |  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+      |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+      |    AND LEVENSHTEIN(a.c_name, b.c_name) <= 1),
+      |sym AS (SELECT a_key AS s, b_key AS t FROM p
+      |        UNION ALL SELECT b_key, a_key FROM p),
+      |reach AS (
+      |  WITH RECURSIVE rc(s, t) AS (
+      |    SELECT s, t FROM sym
+      |    UNION
+      |    SELECT rc.s, sym.t FROM rc JOIN sym ON sym.s = rc.t
+      |    WHERE sym.t <> rc.s)
+      |  SELECT s, t FROM rc),
+      |comp AS (
+      |  SELECT s AS id, LEAST(s, MIN(t)) AS comp FROM reach GROUP BY s),
+      |g AS (
+      |  SELECT COALESCE(comp.comp, c.c_custkey) AS entity_id,
+      |         c.c_custkey, c.c_name
+      |  FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey)
+      |SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |       ARG_MIN(c_name, c_custkey) AS canonical
+      |FROM g GROUP BY entity_id ORDER BY entity_id""".stripMargin
+
+  // --------------------------------------------- q126 Benford screen
+
+  /** Benford first-digit screen over order prices: observed leading-digit
+    * counts vs the Benford expectation `n·log10(1+1/d)`, with the
+    * per-digit chi-square term — the classic fabricated-numbers /
+    * corrupted-feed detector a load-audit job runs. The digit histogram
+    * is ONE hash aggregate (9 keys); the expectation and chi-square are
+    * pure arithmetic on the tiny result, densified over the literal
+    * digit table so absent digits still report. Doubles are floored to
+    * integer micro-units on the SHARED expression (q90 discipline). */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val src = t(s, d, "orders")
+      .filter(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("d"))
+    val obs = src.groupBy(col("d")).agg(count(lit(1)).as("obs"))
+    val n = src.agg(count(lit(1)).as("n"))
+    val e = col("n") * log10(lit(1.0) + lit(1.0) / col("d"))
+    s.range(1, 10).select(col("id").as("d"))
+      .join(obs, Seq("d"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(n)
+      .withColumn("e", e)
+      .select(col("d"), col("obs"),
+        floor(col("e") * lit(1000000.0)).cast("long").as("exp_micro"),
+        floor((col("obs") - col("e")) * (col("obs") - col("e")) / col("e")
+          * lit(1000000.0)).cast("long").as("chi2_micro"))
+      .orderBy(col("d"))
+  }
+
+  private val q126Sql =
+    """WITH src AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS BIGINT) AS d
+      |  FROM orders WHERE o_totalprice >= 1.0::DOUBLE),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+      |obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS obs FROM src GROUP BY d),
+      |digits AS (SELECT CAST(range AS BIGINT) AS d FROM range(1, 10)),
+      |f AS (
+      |  SELECT digits.d, COALESCE(obs.obs, 0) AS obs, n.n,
+      |         n.n * LOG10(1.0::DOUBLE + 1.0::DOUBLE / digits.d) AS e
+      |  FROM digits LEFT JOIN obs ON obs.d = digits.d CROSS JOIN n)
+      |SELECT d, obs,
+      |       CAST(FLOOR(e * 1000000::DOUBLE) AS BIGINT) AS exp_micro,
+      |       CAST(FLOOR((obs - e) * (obs - e) / e * 1000000::DOUBLE)
+      |            AS BIGINT) AS chi2_micro
+      |FROM f ORDER BY d""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3653,5 +3757,7 @@ object Queries {
     QueryDef("q122_psi_drift", q122, Some(q122Sql)),
     QueryDef("q123_kcore", q123, Some(q123Sql)),
     QueryDef("q124_attribution", q124, Some(q124Sql)),
+    QueryDef("q125_er_golden", q125, Some(q125Sql)),
+    QueryDef("q126_benford", q126, Some(q126Sql)),
   )
 }
