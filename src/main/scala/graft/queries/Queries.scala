@@ -3618,6 +3618,57 @@ object Queries {
       |            AS BIGINT) AS chi2_micro
       |FROM f ORDER BY d""".stripMargin
 
+  // --------------------------------------------- q127 hourly anomalies
+
+  /** Seasonal-baseline anomaly detection on the event stream: daily
+    * counts per (event_type, hour-of-day) cell, then each cell's count
+    * judged against the SAME hour-of-day's robust baseline (lower
+    * median + MAD across days, [[graft.ext.ProfileOps.robustOutliers]]
+    * at cutoff 2.0) — hour 03:00 is compared to other 03:00s, so the
+    * daily traffic shape never false-alarms. Cross-multiplied integer
+    * boundary, no float threshold; only OBSERVED cells are judged
+    * (a silent zero-count hour needs gap-fill first — q81's job).
+    * Shape: one hash aggregate to daily cells (bounded by
+    * types × days × 24), then the q106/q108 bounded-rank machinery on
+    * that tiny frame. */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val daily = ev.select(
+        concat_ws("#", col("event_type"),
+          (expr("unix_micros(ts) div 3600000000") % 24).cast("string"))
+          .as("grp"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("cnt"))
+    graft.ext.ProfileOps.robustOutliers(daily, "grp", "cnt", "day",
+      zTenths = 20)
+  }
+
+  private val q127Sql =
+    """WITH daily AS (
+      |  SELECT event_type || '#' ||
+      |           CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) AS grp,
+      |         epoch_us(ts) // 86400000000 AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT grp, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt, day) AS rn,
+      |         COUNT(*) OVER (PARTITION BY grp) AS c2
+      |  FROM daily),
+      |med AS (SELECT grp, cnt AS med FROM r WHERE rn = (c2 + 1) // 2),
+      |a AS (SELECT d.grp, med.med, ABS(d.cnt - med.med) AS adev, d.day
+      |      FROM daily d JOIN med USING (grp)),
+      |r2 AS (
+      |  SELECT grp, med, adev,
+      |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY adev, day) AS rn,
+      |         COUNT(*) OVER (PARTITION BY grp) AS c2
+      |  FROM a),
+      |s AS (SELECT grp, med, adev AS mad FROM r2 WHERE rn = (c2 + 1) // 2)
+      |SELECT d.grp, d.day, d.cnt, s.med, s.mad
+      |FROM daily d JOIN s USING (grp)
+      |WHERE 67450 * ABS(d.cnt - s.med) > 200000 * s.mad
+      |ORDER BY d.grp, d.day""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3759,5 +3810,6 @@ object Queries {
     QueryDef("q124_attribution", q124, Some(q124Sql)),
     QueryDef("q125_er_golden", q125, Some(q125Sql)),
     QueryDef("q126_benford", q126, Some(q126Sql)),
+    QueryDef("q127_hourly_anomaly", q127, Some(q127Sql)),
   )
 }
