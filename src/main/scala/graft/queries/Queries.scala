@@ -3669,6 +3669,35 @@ object Queries {
       |WHERE 67450 * ABS(d.cnt - s.med) > 200000 * s.mad
       |ORDER BY d.grp, d.day""".stripMargin
 
+  // --------------------------------------------- q128 join-key skew report
+
+  /** Key-skew diagnostics ([[graft.ext.SkewOps.keySkewReport]]) on the
+    * event stream's user_id — the audit run before committing a big
+    * shuffle join on a key: exact cardinalities, heaviest key,
+    * nearest-rank multiplicity percentiles, and the hottest-reducer
+    * skew ratio, all from one counts shuffle. */
+  private def q128(s: SparkSession, d: String): DataFrame =
+    graft.ext.SkewOps.keySkewReport(t(s, d, "events"), "user_id")
+
+  private val q128Sql =
+    """WITH counts AS (
+      |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS rn
+      |      FROM counts),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |             CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |             MAX(cnt) AS max_cnt FROM counts)
+      |SELECT t.n, t.n_keys, t.max_cnt,
+      |       (SELECT k FROM r, t WHERE rn = t.n_keys) AS top_key,
+      |       (SELECT cnt FROM r, t
+      |        WHERE rn = (t.n_keys - 1) * 50 // 100 + 1) AS p50_cnt,
+      |       (SELECT cnt FROM r, t
+      |        WHERE rn = (t.n_keys - 1) * 99 // 100 + 1) AS p99_cnt,
+      |       CAST(FLOOR(CAST(t.max_cnt AS DOUBLE) * t.n_keys / t.n
+      |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
+      |FROM t""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3811,5 +3840,6 @@ object Queries {
     QueryDef("q125_er_golden", q125, Some(q125Sql)),
     QueryDef("q126_benford", q126, Some(q126Sql)),
     QueryDef("q127_hourly_anomaly", q127, Some(q127Sql)),
+    QueryDef("q128_skew_report", q128, Some(q128Sql)),
   )
 }
