@@ -3698,6 +3698,79 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // --------------------------------------------- q129 source overlap matrix
+
+  /** Corpus-overlap matrix: pairwise Jaccard of each source pair's
+    * DISCRIMINATIVE bigram-shingle sets (document frequency ≤ 10 of the
+    * 20 sources — ubiquitous shingles carry no overlap signal and are
+    * dropped on BOTH sides, which also caps the shingle join at
+    * maxDf² pairs per shingle, the winnow/LSH bucket discipline). The
+    * mixture-planning input: which sources are near-copies of each
+    * other before weighting a training blend. Set sizes and shared
+    * counts are exact integers; the Jaccard is one shared IEEE division
+    * floored to micro-units. Shape: one shingle explode + distinct, one
+    * df aggregate, one capped equi-join on shingle — never all-pairs
+    * on documents. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val sh = docs
+      .select(col("source"), graft.ext.DedupOps.wordTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"),
+        explode(graft.ext.DedupOps.shingles(col("w"), 2)).as("g"))
+      .distinct()
+    val kept = sh
+      .join(sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10).select(col("g")), Seq("g"))
+      .select(col("source"), col("g"))
+      .localCheckpoint() // consumed by sizes + both sides of the pair join
+    val sizes = kept.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+    val shared = kept.select(col("source").as("src_a"), col("g"))
+      .join(kept.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("source").as("src_a"), col("nsh").as("na")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("nsh").as("nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        floor(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared"))
+          * lit(1000000.0)).cast("long").as("jac_micro"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q129Sql =
+    """WITH w AS (
+      |  SELECT source,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     t -> LEN(t) > 0) AS w
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT source,
+      |         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)),
+      |                  i -> w[i] || ' ' || w[i + 1]))) AS g
+      |  FROM w WHERE LEN(w) >= 2),
+      |sh AS (SELECT DISTINCT source, g FROM g0),
+      |dfc AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 10),
+      |kept AS (SELECT sh.source, sh.g FROM sh JOIN dfc USING (g)),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nsh
+      |          FROM kept GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.src_a, s.src_b, s.shared,
+      |       CAST(FLOOR(CAST(s.shared AS DOUBLE)
+      |                  / (na.nsh + nb.nsh - s.shared)
+      |                  * 1000000::DOUBLE) AS BIGINT) AS jac_micro
+      |FROM shared s
+      |JOIN sizes na ON na.source = s.src_a
+      |JOIN sizes nb ON nb.source = s.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -3841,5 +3914,6 @@ object Queries {
     QueryDef("q126_benford", q126, Some(q126Sql)),
     QueryDef("q127_hourly_anomaly", q127, Some(q127Sql)),
     QueryDef("q128_skew_report", q128, Some(q128Sql)),
+    QueryDef("q129_source_overlap", q129, Some(q129Sql)),
   )
 }
