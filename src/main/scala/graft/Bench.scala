@@ -68,10 +68,15 @@ object Bench {
       val s = samples(k).sorted
       if (s.isEmpty) 0.0 else s((s.length - 1) / 2)
     }.sum
+    // A query that errored every run records -1 AND lands in an explicit
+    // `failed` list — a multi-query wipeout must not hide inside a
+    // plausible-looking total (VERDICT r8 #5).
+    val failed = results.collect { case (k, v) if v < 0 => k }
     def jsonLine(key: String => String): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"queries":$qs,"sf":"$sfDir"}"""
+      val fl = failed.map(k => "\"" + key(k) + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_median":${fmt(totalMedian)},"failed":$fl,"queries":$qs,"sf":"$sfDir"}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_out.json")

@@ -33,13 +33,27 @@ object Queries {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries INT64 TIMESTAMP(NANOS) — Spark's parquet reader
-    * rejects nanos natively, so read them as long (legacy conf) and truncate
-    * to microseconds, exactly what DuckDB's ns→µs TIMESTAMP conversion does. */
-  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Schema-adaptive events loader. Fixture generations have shipped `ts` as
+    * either INT64 TIMESTAMP(NANOS) (read as long via the legacy conf, then
+    * truncated to micros — DuckDB's ns→µs conversion) or native
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false → read as TIMESTAMP_NTZ, cast
+    * to TIMESTAMP — value-preserving under the UTC session timezone).
+    * Branching on the observed dtype keeps
+    * both generations loadable, mirroring the reference wrapper's own
+    * engine-drift tolerance (query_wrapper.sql:24–30 null/nil quirk). */
+  private[graft] def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false micros; value-preserving cast under the
+        // UTC session timezone, keeping one ts type across generations.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Per-row half-up rounding computed on the raw binary double — identical
@@ -3698,6 +3712,41 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------------ q130 ASOF JOIN dialect
+
+  /** The r9 `ASOF JOIN` dialect spelling, driven end-to-end: the DuckDB-
+    * grammar statement goes through `SqlCompat.parseAsOf/runAsOf` onto the
+    * single-shuffle union+window as-of operator, and the ORACLE is DuckDB's
+    * own native ASOF JOIN — engine-vs-engine on identical declarative text,
+    * not an emulation compared against itself. Each event matches the
+    * latest purchase-aggregate at-or-before its timestamp for the same
+    * user; inner semantics (events before a user's first purchase drop). */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    ev.createOrReplaceTempView("ev_asof_l")
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pval"))
+      .createOrReplaceTempView("ev_asof_r")
+    // timestamps leave as integer micros (§7.6 determinism rule: raw
+    // timestamp outputs write INT96 → ns-typed parquet, dtype-mismatching
+    // the oracle's µs arrow output even when values agree)
+    graft.wrapper.SqlCompat.runAsOf(s, graft.wrapper.SqlCompat.parseAsOf(
+      """SELECT a.event_id, a.user_id, unix_micros(a.ts) AS ts_us,
+        |       unix_micros(b.ts) AS pts_us, b.pval
+        |FROM ev_asof_l a ASOF JOIN ev_asof_r b
+        |ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin).get)
+  }
+
+  private val q130Sql =
+    """SELECT a.event_id, a.user_id, EPOCH_US(a.ts) AS ts_us,
+      |       EPOCH_US(b.ts) AS pts_us, b.pval
+      |FROM events a ASOF JOIN (
+      |  SELECT user_id, ts, MAX(value) AS pval FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts
+      |) b ON a.user_id = b.user_id AND a.ts >= b.ts
+      |ORDER BY a.event_id""".stripMargin
+
   // --------------------------------------------- q129 source overlap matrix
 
   /** Corpus-overlap matrix: pairwise Jaccard of each source pair's
@@ -3915,5 +3964,6 @@ object Queries {
     QueryDef("q127_hourly_anomaly", q127, Some(q127Sql)),
     QueryDef("q128_skew_report", q128, Some(q128Sql)),
     QueryDef("q129_source_overlap", q129, Some(q129Sql)),
+    QueryDef("q130_asof_dialect", q130, Some(q130Sql)),
   )
 }

@@ -186,6 +186,29 @@ final class QueryWrapper private (
         val exported =
           SqlCompat.runExport(spark, SqlCompat.parseExport(stmt).get)
         new QueryResult(stmt, None, Some(exported), None)
+      case _ if SqlCompat.handleConnectionDdl(stmt) =>
+        // CREATE/DROP CONNECTION: named JDBC endpoints for IMPORT/EXPORT.
+        QueryResult.empty(stmt)
+      case _ if SqlCompat.parseJdbcImport(stmt)
+          .exists(im => SqlCompat.canHandle(spark, im)) =>
+        // Exasol IMPORT … FROM JDBC: external database → local table;
+        // each STATEMENT clause is its own parallel cursor.
+        val loaded =
+          SqlCompat.runJdbcImport(spark, SqlCompat.parseJdbcImport(stmt).get)
+        new QueryResult(stmt, None, Some(loaded), None)
+      case _ if SqlCompat.parseJdbcExport(stmt)
+          .exists(ex => SqlCompat.canHandle(spark, ex)) =>
+        // Exasol EXPORT … INTO JDBC: table/query → external database.
+        val exported =
+          SqlCompat.runJdbcExport(spark, SqlCompat.parseJdbcExport(stmt).get)
+        new QueryResult(stmt, None, Some(exported), None)
+      case _ if SqlCompat.parseAsOf(stmt)
+          .exists(q => SqlCompat.canHandle(spark, q)) =>
+        // ASOF [LEFT] JOIN dialect → the single-shuffle as-of operator.
+        val df = SqlCompat.runAsOf(spark, SqlCompat.parseAsOf(stmt).get)
+        val res = QueryResult.success(stmt, df, rowsAffectedOf(df))
+        res.normalizedRowCount
+        res
       case _ =>
         // Dialect translations, no-ops for Spark-native SQL:
         // CONNECT BY hierarchical queries → recursive CTE, then

@@ -610,6 +610,317 @@ object SqlCompat {
     n
   }
 
+  // ------------------------------------------------- IMPORT/EXPORT via JDBC
+  //
+  // Exasol's loader speaks to external databases through the same IMPORT/
+  // EXPORT statements it uses for files (the reference's QW:40 pass-through
+  // forwards them verbatim): `IMPORT INTO t FROM JDBC AT <conn> TABLE s` /
+  // `EXPORT t INTO JDBC AT <conn> TABLE s`, where <conn> is an inline
+  // 'jdbc:…' URL or a named connection created with `CREATE CONNECTION c TO
+  // 'url' USER 'u' IDENTIFIED BY 'p'`. Re-expressed Spark-first as
+  // spark.read.jdbc / df.write.jdbc.
+  //
+  // Scale notes (100 TB discipline): a single-source JDBC read is inherently
+  // one cursor → Exasol's own parallel form is MULTIPLE `STATEMENT` clauses,
+  // one cursor each; we honor that — each STATEMENT becomes its own JDBC
+  // partition (`predicates`-style union), so `STATEMENT 'q WHERE id%4=0'
+  // STATEMENT 'q WHERE id%4=1' …` fans out exactly like the host loader.
+  // The external database, not Spark, is the bottleneck by design here.
+
+  /** Named-connection registry (CREATE/DROP CONNECTION). Driver-side state,
+    * like the host engine's catalog object; never serialized to executors
+    * (spark.read.jdbc ships url/properties itself). */
+  final case class Connection(url: String, user: Option[String],
+      password: Option[String])
+  private val connections =
+    new java.util.concurrent.ConcurrentHashMap[String, Connection]()
+
+  private val CreateConnRe =
+    ("(?is)^\\s*create\\s+(or\\s+replace\\s+)?connection\\s+([\\w`]+)\\s+to\\s+'([^']*)'" +
+      "(?:\\s+user\\s+'([^']*)'\\s+identified\\s+by\\s+'([^']*)')?\\s*;?\\s*$").r
+  private val DropConnRe =
+    "(?is)^\\s*drop\\s+connection\\s+(if\\s+exists\\s+)?([\\w`]+)\\s*;?\\s*$".r
+
+  /** `CREATE [OR REPLACE] CONNECTION c TO 'url' [USER 'u' IDENTIFIED BY 'p']`
+    * / `DROP CONNECTION [IF EXISTS] c`. Returns true if the statement was a
+    * connection DDL (handled here). */
+  def handleConnectionDdl(sql: String): Boolean = sql match {
+    case CreateConnRe(orReplace, name, url, user, pass) =>
+      val key = name.replace("`", "").toUpperCase
+      if (orReplace == null && connections.containsKey(key))
+        throw new IllegalArgumentException(s"connection $key already exists")
+      connections.put(key, Connection(url, Option(user), Option(pass)))
+      true
+    case DropConnRe(ifExists, name) =>
+      val key = name.replace("`", "").toUpperCase
+      if (connections.remove(key) == null && ifExists == null)
+        throw new IllegalArgumentException(s"connection $key does not exist")
+      true
+    case _ => false
+  }
+
+  private[wrapper] def lookupConnection(name: String): Option[Connection] =
+    Option(connections.get(name.replace("`", "").toUpperCase))
+
+  private val JdbcImportRe =
+    ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+jdbc\\s+at\\s+" +
+      "(?:'([^']*)'|([\\w`]+))(.*?)\\s*;?\\s*$").r
+  private val JdbcExportRe =
+    ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+jdbc\\s+at\\s+" +
+      "(?:'([^']*)'|([\\w`]+))(.*?)\\s*;?\\s*$").r
+  private val UserOptRe = "(?is)\\buser\\s+'([^']*)'".r
+  private val PasswordOptRe = "(?is)identified\\s+by\\s+'([^']*)'".r
+  private val DriverOptRe = "(?is)\\bdriver\\s*=\\s*'([^']*)'".r
+  private val TableClauseRe = "(?is)\\btable\\s+([\\w.`]+)".r
+  private val StatementClauseRe = "(?is)\\bstatement\\s+'((?:[^']|'')*)'".r
+  private val TruncateOptRe = "(?is)\\btruncate\\b".r
+
+  /** Endpoint shared by JDBC import and export: resolved url + credentials
+    * (+ optional explicit driver class). */
+  final case class JdbcEndpoint(url: String, user: Option[String],
+      password: Option[String], driver: Option[String]) {
+    def properties: java.util.Properties = {
+      val p = new java.util.Properties()
+      user.foreach(p.setProperty("user", _))
+      password.foreach(p.setProperty("password", _))
+      driver.foreach(p.setProperty("driver", _))
+      p
+    }
+  }
+  final case class JdbcImport(table: String, at: JdbcEndpoint,
+      source: Either[String, Seq[String]]) // Left = remote table, Right = STATEMENTs
+  final case class JdbcExport(source: Either[String, String], // table | query
+      at: JdbcEndpoint, target: String, replace: Boolean, truncate: Boolean)
+
+  private def endpoint(urlLit: String, connName: String, opts: String):
+      Option[JdbcEndpoint] = {
+    val base =
+      if (urlLit != null) Some(Connection(urlLit, None, None))
+      else lookupConnection(connName)
+    base.map { c =>
+      JdbcEndpoint(c.url,
+        UserOptRe.findFirstMatchIn(opts).map(_.group(1)).orElse(c.user),
+        PasswordOptRe.findFirstMatchIn(opts).map(_.group(1)).orElse(c.password),
+        DriverOptRe.findFirstMatchIn(opts).map(_.group(1)))
+    }
+  }
+
+  /** `IMPORT INTO t FROM JDBC AT ('url'|conn) [USER 'u' IDENTIFIED BY 'p']
+    * [DRIVER = 'class'] (TABLE s | STATEMENT 'q' [STATEMENT 'q2' …])` —
+    * each STATEMENT clause is an independent cursor, loaded as its own
+    * partition (the host loader's parallel form). */
+  def parseJdbcImport(sql: String): Option[JdbcImport] =
+    JdbcImportRe.findFirstMatchIn(sql).flatMap { m =>
+      val opts = m.group(4)
+      endpoint(m.group(2), m.group(3), opts).flatMap { ep =>
+        val stmts = StatementClauseRe.findAllMatchIn(opts)
+          .map(_.group(1).replace("''", "'")).toSeq
+        val tbl = TableClauseRe.findFirstMatchIn(opts).map(_.group(1))
+        (tbl, stmts) match {
+          case (Some(t), Seq()) => Some(JdbcImport(m.group(1), ep, Left(t)))
+          case (None, s) if s.nonEmpty => Some(JdbcImport(m.group(1), ep, Right(s)))
+          case _ => None
+        }
+      }
+    }
+
+  /** `EXPORT (t|(query)) INTO JDBC AT ('url'|conn) [USER … IDENTIFIED BY …]
+    * [DRIVER = '…'] TABLE s [REPLACE|TRUNCATE]`. REPLACE drops+recreates the
+    * remote table (overwrite), TRUNCATE empties it keeping DDL. */
+  def parseJdbcExport(sql: String): Option[JdbcExport] =
+    JdbcExportRe.findFirstMatchIn(maskOptions(sql)).flatMap { m =>
+      val opts = sql.substring(m.start(5), m.end(5))
+      endpoint(
+        if (m.group(3) != null) sql.substring(m.start(3), m.end(3)) else null,
+        if (m.group(4) != null) sql.substring(m.start(4), m.end(4)) else null,
+        opts).flatMap { ep =>
+        TableClauseRe.findFirstMatchIn(opts).map { t =>
+          val source =
+            if (m.group(1) != null) Left(sql.substring(m.start(1), m.end(1)))
+            else Right(sql.substring(m.start(2), m.end(2)).trim)
+          JdbcExport(source, ep, t.group(1),
+            replace = ReplaceOptRe.findFirstIn(opts).isDefined,
+            truncate = TruncateOptRe.findFirstIn(opts).isDefined)
+        }
+      }
+    }
+
+  def canHandle(spark: SparkSession, i: JdbcImport): Boolean =
+    tableExists(spark, i.table)
+
+  def canHandle(spark: SparkSession, e: JdbcExport): Boolean = e.source match {
+    case Left(table) => tableExists(spark, table)
+    case Right(query) => isPureQuery(spark, query)
+  }
+
+  /** Append the remote rows to the local table. Columns map by POSITION with
+    * a cast to the target type — the host loader's rule. Multiple STATEMENT
+    * cursors read concurrently (one jdbc partition each) and union. */
+  def runJdbcImport(spark: SparkSession, i: JdbcImport): Long = {
+    val target = spark.table(i.table).schema
+    val df = i.source match {
+      case Left(remote) =>
+        spark.read.jdbc(i.at.url, remote, i.at.properties)
+      case Right(stmts) =>
+        stmts.map { q =>
+          // no leading underscore: some engines (Derby) reject `_x` idents
+          spark.read.jdbc(i.at.url, s"($q) graft_src", i.at.properties)
+        }.reduce(_ unionAll _)
+    }
+    require(df.schema.length == target.length,
+      s"IMPORT JDBC: source has ${df.schema.length} column(s), " +
+        s"target ${i.table} has ${target.length}")
+    val aligned = df.select(df.columns.zip(target).map { case (c, f) =>
+      col(Params.quote(c)).cast(f.dataType).as(f.name)
+    }: _*)
+    // persist before count+write: the source is an EXTERNAL database —
+    // without it the count and the append would each open fresh cursors
+    // and read the remote side twice.
+    aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = aligned.count()
+      aligned.write.mode("append").insertInto(i.table)
+      n
+    } finally { aligned.unpersist(); () }
+  }
+
+  /** Write the table/query to the remote table via df.write.jdbc. */
+  def runJdbcExport(spark: SparkSession, e: JdbcExport): Long = {
+    val df = e.source.fold(spark.table, spark.sql)
+    val n = df.count()
+    val mode = if (e.replace || e.truncate) "overwrite" else "append"
+    df.write.mode(mode)
+      .option("truncate", e.truncate.toString) // TRUNCATE keeps remote DDL
+      .jdbc(e.at.url, e.target, e.at.properties)
+    n
+  }
+
+  // ------------------------------------------------------------- ASOF JOIN
+
+  private val AsOfHeadRe =
+    ("(?is)^\\s*select\\s+(.*?)\\s+from\\s+([\\w.`]+)(?:\\s+(?:as\\s+)?(\\w+))?\\s+" +
+      "asof\\s+(left\\s+)?join\\s+([\\w.`]+)(?:\\s+(?:as\\s+)?(\\w+))?\\s+on\\s+").r
+  private val AsOfCmpRe =
+    "(?is)^\\s*(\\w+)\\.([\\w`]+)\\s*(>=|<=|=|>|<)\\s*(\\w+)\\.([\\w`]+)\\s*$".r
+
+  /** One parsed `ASOF JOIN` statement (supported subset, see
+    * [[parseAsOf]]). `keys` pairs are (leftCol, rightCol); `forward` is the
+    * match direction (false = backward: latest right with
+    * rightTime <= leftTime). */
+  final case class AsOfQuery(selectList: String, leftTable: String,
+      leftAlias: String, rightTable: String, rightAlias: String,
+      leftJoin: Boolean, keys: Seq[(String, String)], leftTime: String,
+      rightTime: String, forward: Boolean, tail: String)
+
+  /** DuckDB-grammar `ASOF JOIN` → [[graft.operators.AsOfJoin]].
+    *
+    * Exasol users spell as-of logic as correlated subselects or window SQL;
+    * the industry-standard declarative spelling (DuckDB, Snowflake) is an
+    * ASOF JOIN clause, accepted here so the wrapper's pass-through surface
+    * covers it: `SELECT <qualified cols> FROM l [AS] a ASOF [LEFT] JOIN r
+    * [AS] b ON a.k = b.k [AND …] AND a.ts >= b.ts [WHERE …] [ORDER BY …]`.
+    * The ON conjunction takes any number of alias-qualified equalities plus
+    * EXACTLY ONE time inequality (`>=`/`>` = backward match, `<=`/`<` =
+    * forward). Plain ASOF JOIN is inner (unmatched left rows drop, DuckDB
+    * semantics); ASOF LEFT JOIN keeps them with NULL right columns.
+    *
+    * NOT a nested-loop range join: execution is the single-shuffle
+    * union+running-window composition of [[graft.operators.AsOfJoin]], so
+    * the dialect spelling inherits the scale path. */
+  def parseAsOf(sql: String): Option[AsOfQuery] = {
+    val masked = maskOptions(sql)
+    AsOfHeadRe.findFirstMatchIn(masked).flatMap { m =>
+      val rest = sql.substring(m.end) // ON conjunction + optional tail
+      val maskedRest = masked.substring(m.end)
+      // The ON conjunction ends at the first top-level WHERE/ORDER/GROUP kw.
+      val tailKw = "(?is)\\b(where|order\\s+by|group\\s+by|limit)\\b".r
+      val cut = tailKw.findFirstMatchIn(maskedRest).map(_.start)
+        .getOrElse(maskedRest.length)
+      val onText = rest.substring(0, cut)
+      val tail = rest.substring(cut).replaceAll("[;\\s]+$", "")
+      val la = Option(m.group(3)).getOrElse(sql.substring(m.start(2), m.end(2)))
+      val ra = Option(m.group(6)).getOrElse(sql.substring(m.start(5), m.end(5)))
+      val conjuncts = splitTopLevelAnd(onText).map {
+        case AsOfCmpRe(a1, c1, op, a2, c2) => Some((a1, c1, op, a2, c2))
+        case _ => None
+      }
+      if (conjuncts.exists(_.isEmpty)) None
+      else {
+        val cs = conjuncts.flatten
+        // orient every conjunct left-alias-first
+        val oriented = cs.flatMap {
+          case (a1, c1, op, a2, c2) if a1.equalsIgnoreCase(la) && a2.equalsIgnoreCase(ra) =>
+            Some((c1, op, c2))
+          case (a1, c1, op, a2, c2) if a1.equalsIgnoreCase(ra) && a2.equalsIgnoreCase(la) =>
+            Some((c2, flipOp(op), c1))
+          case _ => None
+        }
+        val eqs = oriented.collect { case (l, "=", r) => (l, r) }
+        val ineqs = oriented.collect { case (l, op, r) if op != "=" => (l, op, r) }
+        if (oriented.length != cs.length || ineqs.length != 1) None
+        else {
+          val (lt, op, rt) = ineqs.head
+          Some(AsOfQuery(sql.substring(m.start(1), m.end(1)),
+            sql.substring(m.start(2), m.end(2)), la,
+            sql.substring(m.start(5), m.end(5)), ra,
+            leftJoin = m.group(4) != null,
+            keys = eqs, leftTime = lt, rightTime = rt,
+            forward = op == "<=" || op == "<", tail = tail))
+        }
+      }
+    }
+  }
+
+  def canHandle(spark: SparkSession, q: AsOfQuery): Boolean =
+    tableExists(spark, q.leftTable) && tableExists(spark, q.rightTable) &&
+      q.keys.nonEmpty
+
+  /** Execute a parsed ASOF query: rename the right side into a collision-free
+    * namespace, run the union+window as-of, then evaluate the SELECT list /
+    * tail SQL over the joined view with alias-qualified refs rewritten. */
+  def runAsOf(spark: SparkSession, q: AsOfQuery): DataFrame = {
+    val left = spark.table(q.leftTable)
+    val right0 = spark.table(q.rightTable)
+    // right keys take the left key's name (AsOfJoin keys are same-named);
+    // every other right column moves to a collision-free prefixed name.
+    val keyMap = q.keys.map { case (l, r) => r -> l }.toMap
+    val right = right0.columns.foldLeft(right0) { (df, c) =>
+      df.withColumnRenamed(c, keyMap.getOrElse(c, s"__asof_r_$c"))
+    }
+    val payload = right.columns.filterNot(q.keys.map(_._1).contains).toSeq
+    val rt = s"__asof_r_${q.rightTime}"
+    val joined0 =
+      if (q.forward)
+        graft.operators.AsOfJoin.forward(left, right, q.keys.map(_._1),
+          q.leftTime, rt, payload.filterNot(_ == rt) :+ rt)
+      else
+        graft.operators.AsOfJoin.backward(left, right, q.keys.map(_._1),
+          q.leftTime, rt, payload.filterNot(_ == rt) :+ rt)
+    // inner semantics: a match exists iff the matched right time is non-null
+    val joined1 = if (q.leftJoin) joined0 else joined0.filter(col(rt).isNotNull)
+    // restore natural right-column names; only a name colliding with a left
+    // column keeps a `<rightAlias>_` prefix (and must be SELECTed with an
+    // explicit alias to disambiguate, same as any self-join)
+    val finalName = payload.map { p =>
+      val orig = p.stripPrefix("__asof_r_")
+      val clash = left.columns.exists(_.equalsIgnoreCase(orig))
+      p -> (if (clash) s"${q.rightAlias}_$orig" else orig)
+    }.toMap
+    val joined = finalName.foldLeft(joined1) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    val view = "__graft_asof"
+    joined.createOrReplaceTempView(view)
+    def rewrite(text: String): String = {
+      val l = ("(?i)\\b" + java.util.regex.Pattern.quote(q.leftAlias) + "\\.(\\w+)").r
+      val r = ("(?i)\\b" + java.util.regex.Pattern.quote(q.rightAlias) + "\\.(\\w+)").r
+      val afterL = l.replaceAllIn(text, mm => mm.group(1))
+      r.replaceAllIn(afterL, mm => keyMap.getOrElse(mm.group(1),
+        finalName.getOrElse(s"__asof_r_${mm.group(1)}", mm.group(1))))
+    }
+    spark.sql(s"SELECT ${rewrite(q.selectList)} FROM $view ${rewrite(q.tail)}")
+  }
+
   // ----------------------------------------------------------- CONNECT BY
 
   // Anchor keywords located on the MASKED text; clause bodies are sliced

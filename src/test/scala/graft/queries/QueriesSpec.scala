@@ -194,8 +194,7 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   test("q40's salted as-of equals the unsalted path, incl. a 90%-hot user") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Queries.events(spark, sf)
       // pile ~90% of events onto one hot user to force the skew the salted
       // path exists for, keeping (user_id, ts) collision-free via event_id
       .withColumn("user_id",

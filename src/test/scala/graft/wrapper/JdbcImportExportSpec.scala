@@ -1,0 +1,159 @@
+package graft.wrapper
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** IMPORT/EXPORT … JDBC + CREATE CONNECTION (VERDICT r8 #4): the host
+  * engine's external-database lane behind the same statement grammar as the
+  * CSV/FBV forms, re-expressed as spark.read.jdbc / df.write.jdbc. Tested
+  * against embedded Derby (ships with Spark's jars — no new dependency).
+  */
+class JdbcImportExportSpec extends AnyFunSuite with SparkTestBase {
+
+  // Keep Derby's home (derby.log etc.) out of the repo tree.
+  System.setProperty("derby.system.home",
+    Files.createTempDirectory("derby-home").toString)
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def withRemote[A](f: java.sql.Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def freshRemoteTable(name: String, rows: Seq[(Int, String)]): Unit =
+    withRemote { c =>
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $name") catch { case _: Exception => () }
+      st.execute(s"CREATE TABLE $name (id INT, name VARCHAR(64))")
+      val ps = c.prepareStatement(s"INSERT INTO $name VALUES (?, ?)")
+      rows.foreach { case (i, n) => ps.setInt(1, i); ps.setString(2, n); ps.addBatch() }
+      ps.executeBatch()
+      st.close(); ps.close()
+    }
+
+  test("parseJdbcImport: inline URL, TABLE and STATEMENT forms") {
+    val i = SqlCompat.parseJdbcImport(
+      "IMPORT INTO t FROM JDBC AT 'jdbc:derby:memory:x' TABLE remote_t").get
+    assert(i.table == "t" && i.at.url == "jdbc:derby:memory:x")
+    assert(i.source == Left("remote_t"))
+    val s = SqlCompat.parseJdbcImport(
+      "IMPORT INTO t FROM JDBC AT 'u' USER 'sa' IDENTIFIED BY 'pw' " +
+        "STATEMENT 'SELECT * FROM a WHERE x = ''y''' STATEMENT 'SELECT * FROM b'").get
+    assert(s.at.user.contains("sa") && s.at.password.contains("pw"))
+    assert(s.source == Right(Seq("SELECT * FROM a WHERE x = 'y'", "SELECT * FROM b")))
+    // CSV import must not match the JDBC grammar and vice versa.
+    assert(SqlCompat.parseJdbcImport("IMPORT INTO t FROM CSV FILE '/x'").isEmpty)
+    assert(SqlCompat.parseImport("IMPORT INTO t FROM JDBC AT 'u' TABLE s").isEmpty)
+  }
+
+  test("CREATE/DROP CONNECTION registry semantics") {
+    assert(SqlCompat.handleConnectionDdl(
+      "CREATE CONNECTION conn_a TO 'jdbc:derby:memory:a' USER 'u1' IDENTIFIED BY 'p1'"))
+    assert(SqlCompat.lookupConnection("conn_a")
+      .exists(c => c.url == "jdbc:derby:memory:a" && c.user.contains("u1")))
+    // duplicate without OR REPLACE fails; with it, overwrites
+    intercept[IllegalArgumentException] {
+      SqlCompat.handleConnectionDdl("CREATE CONNECTION conn_a TO 'other'")
+    }
+    assert(SqlCompat.handleConnectionDdl(
+      "CREATE OR REPLACE CONNECTION conn_a TO 'jdbc:derby:memory:b'"))
+    assert(SqlCompat.lookupConnection("CONN_A").exists(_.url == "jdbc:derby:memory:b"))
+    assert(SqlCompat.handleConnectionDdl("DROP CONNECTION conn_a"))
+    assert(SqlCompat.lookupConnection("conn_a").isEmpty)
+    intercept[IllegalArgumentException] {
+      SqlCompat.handleConnectionDdl("DROP CONNECTION conn_a")
+    }
+    assert(SqlCompat.handleConnectionDdl("DROP CONNECTION IF EXISTS conn_a"))
+    // non-connection statements fall through
+    assert(!SqlCompat.handleConnectionDdl("SELECT 1"))
+  }
+
+  test("IMPORT FROM JDBC TABLE via a named connection, through the wrapper") {
+    freshRemoteTable("src_t", Seq(1 -> "ann", 2 -> "bob", 3 -> "cat"))
+    val loc = Files.createTempDirectory("jdbc-imp").toString
+    spark.sql(s"CREATE TABLE ji_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      val w = QueryWrapper(spark)
+      val (ok0, _) = w.query(s"CREATE CONNECTION derby_c TO '$url'")
+      assert(ok0)
+      val (ok, res) = w.query("IMPORT INTO ji_t FROM JDBC AT derby_c TABLE src_t")
+      assert(ok)
+      assert(res.rowsAffected.contains(3L))
+      val rows = spark.table("ji_t").orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "ann"), (2L, "bob"), (3L, "cat")))
+      // position-mapped with cast: remote INT landed in a BIGINT column
+      assert(spark.table("ji_t").schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+    } finally {
+      spark.sql("DROP TABLE ji_t")
+      QueryWrapper(spark).query("DROP CONNECTION IF EXISTS derby_c")
+    }
+  }
+
+  test("IMPORT FROM JDBC with parallel STATEMENT cursors") {
+    freshRemoteTable("src_p", (1 to 10).map(i => i -> s"n$i"))
+    val loc = Files.createTempDirectory("jdbc-imp2").toString
+    spark.sql(s"CREATE TABLE jp_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"""IMPORT INTO jp_t FROM JDBC AT '$url'
+           |STATEMENT 'SELECT id, name FROM src_p WHERE MOD(id, 2) = 0'
+           |STATEMENT 'SELECT id, name FROM src_p WHERE MOD(id, 2) = 1'""".stripMargin)
+      assert(ok, res.error.map(_.message).getOrElse(""))
+      assert(res.rowsAffected.contains(10L))
+      assert(spark.table("jp_t").select("id").distinct().count() == 10L)
+    } finally spark.sql("DROP TABLE jp_t")
+  }
+
+  test("EXPORT INTO JDBC: table append, query, and TRUNCATE re-export") {
+    val loc = Files.createTempDirectory("jdbc-exp").toString
+    spark.sql(s"CREATE TABLE je_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      spark.sql("INSERT INTO je_t VALUES (1, 'x'), (2, 'y')")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(s"EXPORT je_t INTO JDBC AT '$url' TABLE dst_t")
+      assert(ok, res.error.map(_.message).getOrElse(""))
+      assert(res.rowsAffected.contains(2L))
+      withRemote { c =>
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM dst_t")
+        rs.next(); assert(rs.getInt(1) == 2)
+      }
+      // plain re-export appends (host default)
+      assert(w.query(s"EXPORT je_t INTO JDBC AT '$url' TABLE dst_t")._1)
+      withRemote { c =>
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM dst_t")
+        rs.next(); assert(rs.getInt(1) == 4)
+      }
+      // TRUNCATE empties the remote table first, keeping its DDL
+      val (ok3, res3) = w.query(
+        s"EXPORT (SELECT id + 10 AS id, name FROM je_t) INTO JDBC AT '$url' TABLE dst_t TRUNCATE")
+      assert(ok3, res3.error.map(_.message).getOrElse(""))
+      withRemote { c =>
+        // Spark's JDBC writer created dst_t with quoted lowercase columns
+        val rs = c.createStatement()
+          .executeQuery("SELECT MIN(\"id\"), COUNT(*) FROM dst_t")
+        rs.next(); assert(rs.getInt(1) == 11 && rs.getInt(2) == 2)
+      }
+    } finally spark.sql("DROP TABLE je_t")
+  }
+
+  test("column-count mismatch fails the statement before any write") {
+    freshRemoteTable("src_m", Seq(1 -> "a"))
+    val loc = Files.createTempDirectory("jdbc-mis").toString
+    spark.sql(s"CREATE TABLE jm_t (id BIGINT) USING parquet LOCATION '$loc/t'")
+    try {
+      val w = QueryWrapper(spark)
+      w.onError = "continue"
+      val (ok, res) = w.query("IMPORT INTO jm_t FROM JDBC AT '" + url + "' TABLE src_m")
+      assert(!ok)
+      assert(res.error.exists(_.message.contains("column")))
+      assert(spark.table("jm_t").count() == 0L)
+    } finally spark.sql("DROP TABLE jm_t")
+  }
+}

@@ -52,4 +52,18 @@ class ParamsSpec extends AnyFunSuite {
     assert(Params.valueParamNames("SELECT :A, ':B', ::C FROM t WHERE x = :D")
       == Set("A", "D"))
   }
+
+  test("native IDENTIFIER(:p) clause works through wrapper.query (SURVEY §1.4)") {
+    // Spark 4's IDENTIFIER() clause is the engine-native alternative to the
+    // pre-parse ::x splice — a value param becomes an identifier inside the
+    // parser, surviving nested-quoting edge cases the text splice can't.
+    val spark = graft.SparkTestBase.spark
+    spark.range(3).toDF("n").createOrReplaceTempView("ident_t")
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query(
+      "SELECT count(*) AS c FROM IDENTIFIER(:tab)",
+      QueryOptions(params = Some(Map("tab" -> "ident_t"))))
+    assert(ok, res.errorMessage)
+    assert(res.dataFrame.get.collect().head.getLong(0) == 3L)
+  }
 }
