@@ -3712,6 +3712,126 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------- q132 label-propagation communities
+
+  /** Community detection on the q119 co-activity graph
+    * ([[graft.operators.LabelPropagation]]): 3 synchronous rounds of
+    * deterministic min-tie-break LPA — which users behave as one cohort.
+    * The oracle unrolls the exact same 3 rounds in SQL (per-round
+    * neighbor-label counts + (cnt DESC, label) argmax), so every round's
+    * semantics — not just the fixpoint — is cross-engine-checked. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val cells = ev.select(col("user_id"),
+        col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+    val a = cells.select(col("user_id").as("u"), col("event_type"), col("h"))
+    val b = cells.select(col("user_id").as("v"), col("event_type"), col("h"))
+    val und = a.join(b, Seq("event_type", "h"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .select(col("u"), col("v"))
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    graft.operators.LabelPropagation.run(edges, iters = 3)
+      .orderBy(col("node"))
+  }
+
+  private val q132Sql = {
+    def round(i: Int) =
+      s"""c$i AS (
+         |  SELECT e.src AS node, l.label, COUNT(*) AS cnt
+         |  FROM e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           ROW_NUMBER() OVER (PARTITION BY node
+         |                              ORDER BY cnt DESC, label) AS rn
+         |    FROM c$i) WHERE rn = 1)"""
+    s"""WITH cells AS (
+       |  SELECT DISTINCT user_id, event_type,
+       |         epoch_us(ts) // 3600000000 AS h
+       |  FROM events),
+       |e0 AS (
+       |  SELECT a.user_id AS u, b.user_id AS v
+       |  FROM cells a
+       |  JOIN cells b ON a.event_type = b.event_type AND a.h = b.h
+       |              AND a.user_id < b.user_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |e AS (SELECT u AS src, v AS dst FROM e0
+       |      UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------- q131 weighted sample (ES keys)
+
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis exponential-key scheme (Inf. Proc. Letters 97(5),
+    * 2006): each document draws key u^(1/w) from a uniform u and weight w,
+    * and the top-k keys per stratum are an exact weighted sample. The
+    * training-mixture primitive q116's DSIR weights feed into: given
+    * per-doc importance weights, SELECT the documents, reproducibly.
+    *
+    * rand()-free like every sampling op here: u derives from md5 of the
+    * doc id (6 nibbles → u ∈ (0,1)), so a resumed or re-run job draws the
+    * SAME sample. Keys are compared as ln(u)/w floored to nano-units —
+    * one shared IEEE computation reproduced verbatim in the DuckDB oracle
+    * (the q112 md5-derivation pattern), with doc_id tie-breaks, so the
+    * sampled SET is hash-compared cross-engine. Ranks come from the
+    * bounded-memory two-phase construction, never a one-reducer window;
+    * w is taken as n_chars (clamped ≥1) — longer docs proportionally
+    * likelier, the token-budget-aware choice. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val u6 = conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val w = greatest(col("n_chars").cast("double"), lit(1.0))
+    val keyNano = floor(
+      log((u6.cast("double") + lit(0.5)) / lit(16777216.0)) / w * lit(1e9))
+      .cast("long")
+    graft.ext.ShardOps.withGroupRank(
+      docs.withColumn("u6", u6).withColumn("key_nano", keyNano),
+      "source", Seq(col("key_nano").desc, col("doc_id").asc))
+      .filter(col("__grn") <= 10)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("u6"),
+        col("key_nano"), col("__grn").cast("int").as("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q131Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source, n_chars, MD5('ws:' || doc_id) AS hx
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST((STRPOS('0123456789abcdef', SUBSTR(hx, 1, 1)) - 1) * 1048576
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 2, 1)) - 1) * 65536
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 3, 1)) - 1) * 4096
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 4, 1)) - 1) * 256
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 5, 1)) - 1) * 16
+      |       + (STRPOS('0123456789abcdef', SUBSTR(hx, 6, 1)) - 1)
+      |      AS BIGINT) AS u6
+      |  FROM h),
+      |k AS (
+      |  SELECT doc_id, source, n_chars, u6,
+      |         CAST(FLOOR(LN((CAST(u6 AS DOUBLE) + 0.5) / 16777216.0)
+      |                    / GREATEST(CAST(n_chars AS DOUBLE), 1.0)
+      |                    * 1000000000.0) AS BIGINT) AS key_nano
+      |  FROM u),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |                               ORDER BY key_nano DESC, doc_id) AS rk
+      |  FROM k)
+      |SELECT doc_id, source, n_chars, u6, key_nano, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ q130 ASOF JOIN dialect
 
   /** The r9 `ASOF JOIN` dialect spelling, driven end-to-end: the DuckDB-
@@ -3965,5 +4085,7 @@ object Queries {
     QueryDef("q128_skew_report", q128, Some(q128Sql)),
     QueryDef("q129_source_overlap", q129, Some(q129Sql)),
     QueryDef("q130_asof_dialect", q130, Some(q130Sql)),
+    QueryDef("q131_weighted_sample", q131, Some(q131Sql)),
+    QueryDef("q132_lpa_communities", q132, Some(q132Sql)),
   )
 }
