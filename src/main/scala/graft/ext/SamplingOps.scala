@@ -78,6 +78,41 @@ object SamplingOps {
       .drop("__key")
   }
 
+  /** Per-STRATUM deterministic weighted sampling without replacement —
+    * [[weightedSample]]'s sibling for the mixture-curation case: the top-k
+    * Efraimidis–Spirakis keys within every stratum (source, language,
+    * shard…) rather than globally. Two deliberate differences from the
+    * global variant:
+    *
+    *   - the uniform comes from 6 md5 nibbles of the id (not the LCG), and
+    *     the comparison key is `ln(u)/w` FLOORED TO INTEGER NANO-UNITS
+    *     (monotone in u^(1/w)) with an id tie-break — an engine-exact
+    *     integer, so the sampled set is cross-engine reproducible and
+    *     oracle-checkable, not just run-stable;
+    *   - per-group top-k uses [[ShardOps.withGroupRank]]'s bounded-memory
+    *     two-phase rank (one range shuffle), never a one-reducer-per-group
+    *     window and never a global limit.
+    *
+    * Weights are clamped ≥ 1; P(row first in its stratum) = w_i/Σw_stratum
+    * exactly. Output: input columns + `u6`, `key_nano`, `__grn` (1-based
+    * rank within the stratum), filtered to rank ≤ k. */
+  def weightedSampleStratified(df: DataFrame, idCol: String,
+      strataCol: String, weightCol: String, k: Int,
+      saltPrefix: String = "ws:"): DataFrame = {
+    require(k >= 1)
+    val u6 = conv(substring(
+      md5(concat(lit(saltPrefix), col(idCol).cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val w = greatest(col(weightCol).cast("double"), lit(1.0))
+    val keyNano = floor(
+      log((u6.cast("double") + lit(0.5)) / lit(16777216.0)) / w * lit(1e9))
+      .cast("long")
+    ShardOps.withGroupRank(
+      df.withColumn("u6", u6).withColumn("key_nano", keyNano),
+      strataCol, Seq(col("key_nano").desc, col(idCol).asc))
+      .filter(col("__grn") <= k)
+  }
+
   /** Deterministic epoch upsampling — materialize the temperature
     * rebalance [[sourceMixWeights]] describes: every doc of source `s`
     * is repeated `min(round((n_max/n_s)^alpha), cap)` times (the largest

@@ -3786,24 +3786,13 @@ object Queries {
     * bounded-memory two-phase construction, never a one-reducer window;
     * w is taken as n_chars (clamped ≥1) — longer docs proportionally
     * likelier, the token-budget-aware choice. */
-  private def q131(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    val u6 = conv(substring(
-      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
-      .cast("long")
-    val w = greatest(col("n_chars").cast("double"), lit(1.0))
-    val keyNano = floor(
-      log((u6.cast("double") + lit(0.5)) / lit(16777216.0)) / w * lit(1e9))
-      .cast("long")
-    graft.ext.ShardOps.withGroupRank(
-      docs.withColumn("u6", u6).withColumn("key_nano", keyNano),
-      "source", Seq(col("key_nano").desc, col("doc_id").asc))
-      .filter(col("__grn") <= 10)
+  private def q131(s: SparkSession, d: String): DataFrame =
+    graft.ext.SamplingOps.weightedSampleStratified(
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      idCol = "doc_id", strataCol = "source", weightCol = "n_chars", k = 10)
       .select(col("doc_id"), col("source"), col("n_chars"), col("u6"),
         col("key_nano"), col("__grn").cast("int").as("rk"))
       .orderBy(col("doc_id"))
-  }
 
   private val q131Sql =
     """WITH h AS (

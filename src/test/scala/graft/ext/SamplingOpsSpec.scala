@@ -200,4 +200,45 @@ class SamplingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(SamplingOps.dropBottomPct(df, "grp", 100,
       Seq(col("q").asc)).count() == 0L)
   }
+
+  test("weightedSampleStratified: exact k per stratum, partition-invariant") {
+    val sql = spark
+    import sql.implicits._
+    val df = (1L to 200L).map(i => (i, s"s${i % 4}", 10L + i % 7))
+      .toDF("id", "src", "w")
+    val a = SamplingOps.weightedSampleStratified(df, "id", "src", "w", k = 5)
+      .select("id", "src", "__grn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a.size == 20 && a.groupBy(_._2).forall(_._2.size == 5))
+    // identical selection from a reshuffled input — the sample is a pure
+    // function of (ids, weights), not of physical layout
+    val b = SamplingOps.weightedSampleStratified(
+      df.repartition(13), "id", "src", "w", k = 5)
+      .select("id", "src", "__grn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("weightedSampleStratified: a dominant weight is drawn first") {
+    val sql = spark
+    import sql.implicits._
+    // one doc carries ~all the stratum mass: u^(1/w) -> 1 as w grows, so
+    // P(rank 1) = 1e9/(1e9+99) — assert the deterministic draw agrees
+    val df = ((1L to 99L).map(i => (i, "s", 1L)) :+ ((100L, "s", 1000000000L)))
+      .toDF("id", "src", "w")
+    val top = SamplingOps.weightedSampleStratified(df, "id", "src", "w", k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(100L))
+  }
+
+  test("weightedSampleStratified: small stratum yields its full population") {
+    val sql = spark
+    import sql.implicits._
+    val df = Seq((1L, "tiny", 5L), (2L, "tiny", 9L),
+      (3L, "big", 1L), (4L, "big", 1L), (5L, "big", 1L))
+      .toDF("id", "src", "w")
+    val got = SamplingOps.weightedSampleStratified(df, "id", "src", "w", k = 3)
+    assert(got.filter(col("src") === "tiny").count() == 2L)
+    assert(got.filter(col("src") === "big").count() == 3L)
+  }
 }
