@@ -22,27 +22,41 @@ import org.apache.spark.sql.functions._
   * combine, so the shuffle carries keys, not rows); the count frame
   * (#distinct keys) then flows through the bounded-memory two-phase
   * global rank ([[ShardOps.withGlobalRank]] — never a single-reducer
-  * window) and three rank probes stitched by 1-row cross joins.
-  * Nothing after the first aggregate scales with the table. */
+  * window). The three rank probes run as ONE pass: the 3-row (tag, rank)
+  * spec derived from the totals broadcasts into a single equi-join on
+  * `__rn`, and a global conditional aggregate pivots the ≤3 hits to one
+  * row. Nothing after the first aggregate scales with the table — and
+  * nothing multiplies partitions: chaining per-probe cross joins instead
+  * costs numPartitions^k near-empty tasks (the original spelling spent
+  * ~35 s scheduling 32³ tasks on a 1500-key frame; this one is
+  * milliseconds). */
 object SkewOps {
 
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("cnt"))
     val ranked = ShardOps.withGlobalRank(counts, Seq(col("cnt"), col("k")))
-      .localCheckpoint() // consumed by the totals + three rank probes
+      .localCheckpoint() // consumed by the totals + the probe pass
     val totals = ranked.agg(
       sum(col("cnt")).as("n"),
       count(lit(1)).as("n_keys"),
       max(col("cnt")).as("max_cnt"))
-    def probe(rankExpr: String, as: String) =
-      ranked.crossJoin(totals.select(col("n_keys").as("__nk")))
-        .filter(col("__rn") === expr(rankExpr))
-        .select(col("k").as(s"${as}_key"), col("cnt").as(s"${as}_cnt"))
-    val top = probe("__nk", "top").drop("top_cnt")
-    val p50 = probe("(__nk - 1) * 50 div 100 + 1", "p50").drop("p50_key")
-    val p99 = probe("(__nk - 1) * 99 div 100 + 1", "p99").drop("p99_key")
-    totals.crossJoin(top).crossJoin(p50).crossJoin(p99)
+    // nearest-rank-lower probe spec: 3 (tag, rank) rows from the 1-row
+    // totals, broadcast into one equi-join against the ranked frame
+    val specs = totals.select(explode(array(
+        struct(lit("top").as("tag"), col("n_keys").as("r")),
+        struct(lit("p50").as("tag"),
+          expr("(n_keys - 1) * 50 div 100 + 1").as("r")),
+        struct(lit("p99").as("tag"),
+          expr("(n_keys - 1) * 99 div 100 + 1").as("r")))).as("s"))
+      .select(col("s.tag").as("tag"), col("s.r").as("r"))
+    val hits = ranked
+      .join(broadcast(specs), col("__rn") === col("r"))
+      .agg(
+        max(when(col("tag") === "top", col("k"))).as("top_key"),
+        max(when(col("tag") === "p50", col("cnt"))).as("p50_cnt"),
+        max(when(col("tag") === "p99", col("cnt"))).as("p99_cnt"))
+    totals.crossJoin(hits)
       .withColumn("skew_micro",
         floor(col("max_cnt").cast("double") * col("n_keys") / col("n")
           * lit(1000000.0)).cast("long"))
