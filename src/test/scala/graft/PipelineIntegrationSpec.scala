@@ -136,6 +136,21 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkTestBase {
       rawPerLang.max.toDouble / rawPerLang.min)
     w.log("INFO", "epoch upsample", Some(upsampled.count()))
 
+    // 8d. Weighted mixture selection (r9): the reproducible per-source
+    //     weighted draw (Efraimidis–Spirakis, md5-derived uniforms) —
+    //     the selection step importance weights feed into. Same sample
+    //     from any physical layout.
+    val mix = graft.ext.SamplingOps.weightedSampleStratified(
+      curatedFinal.select("doc_id", "source", "n_chars"),
+      idCol = "doc_id", strataCol = "source", weightCol = "n_chars", k = 5)
+    val mixIds = mix.select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixIds2 = graft.ext.SamplingOps.weightedSampleStratified(
+      curatedFinal.select("doc_id", "source", "n_chars").repartition(11),
+      idCol = "doc_id", strataCol = "source", weightCol = "n_chars", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixIds == mixIds2 && mixIds.nonEmpty)
+    w.log("INFO", "weighted mix", Some(mixIds.size.toLong))
+
     // 9. Write the curated corpus; quick audit roundtrip.
     curated.select("doc_id", "text").write.parquet(s"$dir/curated")
     assert(spark.read.parquet(s"$dir/curated").count() == nCurated)
