@@ -3712,6 +3712,38 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------------ q133 QUALIFY dialect
+
+  /** The r9 `QUALIFY` dialect driven end-to-end: the Snowflake/DuckDB
+    * window-filter clause through `SqlCompat.translateQualify` (subquery
+    * rewrite; the window evaluates post-GROUP-BY), while the ORACLE runs
+    * the identical clause on DuckDB's NATIVE QUALIFY — engine-vs-engine
+    * on the same declarative text, the q130 pattern. Top-3 orders per
+    * customer segment-leader: a grouped aggregate qualified by a window
+    * over the aggregate, the clause's canonical hard case. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders_q")
+    val sql =
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 100 + 0.5) AS cents
+        |FROM orders_q
+        |GROUP BY o_custkey
+        |QUALIFY row_number() OVER (ORDER BY floor(sum(o_totalprice) * 100 + 0.5) DESC, o_custkey) <= 25
+        |ORDER BY o_custkey""".stripMargin
+    s.sql(graft.wrapper.SqlCompat.translateQualify(sql).get)
+      .selectExpr("o_custkey", "n_orders",
+        "cast(cents as bigint) as cents")
+  }
+
+  private val q133Sql =
+    """SELECT o_custkey, n_orders, CAST(cents AS BIGINT) AS cents FROM (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         FLOOR(SUM(o_totalprice) * 100 + 0.5) AS cents
+      |  FROM orders
+      |  GROUP BY o_custkey
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY FLOOR(SUM(o_totalprice) * 100 + 0.5) DESC, o_custkey) <= 25
+      |) ORDER BY o_custkey""".stripMargin
+
   // ------------------------------------- q132 label-propagation communities
 
   /** Community detection on the q119 co-activity graph
@@ -4076,5 +4108,6 @@ object Queries {
     QueryDef("q130_asof_dialect", q130, Some(q130Sql)),
     QueryDef("q131_weighted_sample", q131, Some(q131Sql)),
     QueryDef("q132_lpa_communities", q132, Some(q132Sql)),
+    QueryDef("q133_qualify_dialect", q133, Some(q133Sql)),
   )
 }

@@ -220,7 +220,9 @@ final class QueryWrapper private (
         val translated = SqlCompat.translateDatetimeFormats(
           SqlCompat.translateGroupConcat {
             val cb = SqlCompat.translateConnectBy(stmt).getOrElse(stmt)
-            SqlCompat.translatePreferring(cb).getOrElse(cb)
+            val pf = SqlCompat.translatePreferring(cb).getOrElse(cb)
+            // QUALIFY (window-expression filter) → subquery spelling
+            SqlCompat.translateQualify(pf).getOrElse(pf)
           })
         val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>

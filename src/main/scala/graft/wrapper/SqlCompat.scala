@@ -795,6 +795,47 @@ object SqlCompat {
     n
   }
 
+  // --------------------------------------------------------------- QUALIFY
+
+  private val QualifyKwRe = "(?i)\\bqualify\\b".r
+  private val LimitKwRe = "(?i)\\blimit\\b".r
+  private val DistinctHeadRe = "(?is)^\\s*select\\s+distinct\\b".r
+
+  /** Snowflake/DuckDB/Teradata `QUALIFY` — filter rows on window
+    * expressions without spelling the subquery — translated to the
+    * subquery: `SELECT <list> FROM … QUALIFY <pred> [ORDER BY…|LIMIT…]`
+    * becomes `SELECT * EXCEPT (__graft_q) FROM (SELECT <list>, (<pred>)
+    * AS __graft_q FROM …) WHERE __graft_q [tail]`. The window evaluates in
+    * the inner projection — after GROUP BY/HAVING, QUALIFY's standard
+    * evaluation order — and NULL predicates drop the row like WHERE.
+    * Pure spelling translation (the plan is whatever Catalyst makes of
+    * the window + filter); `SELECT DISTINCT … QUALIFY` is out of scope
+    * (injecting the predicate column would change the distinct key) and
+    * left untranslated. */
+  def translateQualify(sql: String): Option[String] = {
+    val masked = maskNonTopLevel(sql)
+    if (SelectHeadRe.findFirstIn(masked).isEmpty ||
+        DistinctHeadRe.findFirstIn(masked).isDefined) return None
+    for {
+      q <- QualifyKwRe.findFirstMatchIn(masked)
+      f <- FromKwRe.findFirstMatchIn(masked) if f.start < q.start
+    } yield {
+      val selHead = SelectHeadRe.findFirstMatchIn(masked).get
+      val selectList = sql.substring(selHead.end, f.start).trim
+      val mid = sql.substring(f.start, q.start).trim // FROM … [GROUP BY …]
+      val afterQMasked = masked.substring(q.end)
+      val tailCut = Seq(
+        OrderByKwRe.findFirstMatchIn(afterQMasked).map(_.start),
+        LimitKwRe.findFirstMatchIn(afterQMasked).map(_.start))
+        .flatten.minOption.getOrElse(afterQMasked.length)
+      val pred = sql.substring(q.end, q.end + tailCut)
+        .replaceAll("[;\\s]+$", "").trim
+      val tail = sql.substring(q.end + tailCut).replaceAll("[;\\s]+$", "")
+      s"SELECT * EXCEPT (__graft_q) FROM (SELECT $selectList, ($pred) AS __graft_q $mid) WHERE __graft_q $tail"
+        .trim
+    }
+  }
+
   // ------------------------------------------------------------- ASOF JOIN
 
   private val AsOfHeadRe =
