@@ -3712,6 +3712,75 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------- q134 token co-occurrence
+
+  /** Token co-occurrence mining (market-basket over documents): the top
+    * pairs of tokens appearing in the same document — the topic-discovery
+    * / taxonomy-seed primitive. Both blowup axes are capped BEFORE the
+    * pair join, the q129/winnow bucket discipline, with CORPUS-RELATIVE
+    * bounds (integer cross-multiplied, no floats): document frequency
+    * ≥ 2 (a df-1 token can't pair twice) and ≤ 90% of docs (a truly
+    * ubiquitous token carries no signal), ≤ 20 tokens per document
+    * (lexicographic, deterministic) bounding pairs at C(20,2) per doc,
+    * and support ≥ 10% of docs on the way out. ONE doc-keyed equi-join
+    * generates pairs; support counts are exact integers; top-25 by
+    * (support DESC, pair) plans as TakeOrderedAndProject. Per-doc
+    * windows partition on doc_id — millions of tiny partitions at scale,
+    * never one reducer. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val ndocs = docs.agg(countDistinct(col("doc_id")).as("nd"))
+    val toks = docs
+      .select(col("doc_id"),
+        explode(graft.ext.DedupOps.wordTokens(col("text"))).as("tok"))
+      .distinct()
+    val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("df") >= 2 && col("df") * 10 <= col("nd") * 9)
+      .select(col("tok"))
+    val capped = toks.join(dfc, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tok"))))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("tok"))
+    capped.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(capped.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("support") * 10 >= col("nd"))
+      .select(col("tok_a"), col("tok_b"), col("support"))
+      .orderBy(col("support").desc, col("tok_a"), col("tok_b"))
+      .limit(25)
+  }
+
+  private val q134Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                t -> LEN(t) > 0)) AS tok
+      |  FROM documents),
+      |toks AS (SELECT DISTINCT doc_id, tok FROM w),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |dfc AS (SELECT tok FROM toks GROUP BY tok
+      |        HAVING COUNT(*) >= 2
+      |           AND COUNT(*) * 10 <= (SELECT n FROM nd) * 9),
+      |capped AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT t.doc_id, t.tok,
+      |           ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.tok) AS rn
+      |    FROM toks t JOIN dfc USING (tok))
+      |  WHERE rn <= 20),
+      |p AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+      |         CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM capped a
+      |  JOIN capped b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) * 10 >= (SELECT n FROM nd))
+      |SELECT tok_a, tok_b, support FROM p
+      |ORDER BY support DESC, tok_a, tok_b LIMIT 25""".stripMargin
+
   // ------------------------------------------------ q133 QUALIFY dialect
 
   /** The r9 `QUALIFY` dialect driven end-to-end: the Snowflake/DuckDB
@@ -4109,5 +4178,6 @@ object Queries {
     QueryDef("q131_weighted_sample", q131, Some(q131Sql)),
     QueryDef("q132_lpa_communities", q132, Some(q132Sql)),
     QueryDef("q133_qualify_dialect", q133, Some(q133Sql)),
+    QueryDef("q134_token_pairs", q134, Some(q134Sql)),
   )
 }
