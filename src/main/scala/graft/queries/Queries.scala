@@ -3712,6 +3712,51 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // --------------------------------------- q135 cumulative unique users
+
+  /** Daily active / new / CUMULATIVE-unique users — the growth-accounting
+    * report whose naive spelling (`COUNT(DISTINCT user) OVER (ORDER BY
+    * day)`) engines either reject or execute quadratically. Exact at any
+    * scale via first-seen aggregation: distinct (day, user) once, each
+    * user's MIN(day) marks them "new" exactly once, and the running sum
+    * of new-user counts IS the cumulative distinct count. The only
+    * window runs over the per-day frame — calendar-bounded (#days rows),
+    * not data-bounded, the q127 k-row-frame discipline. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val du = t(s, d, "events")
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val active = du.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val nu = du.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    active.join(nu, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("active_users"), col("new_users"),
+        col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  private val q135Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |active AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users
+      |  FROM du GROUP BY 1),
+      |f AS (SELECT user_id, MIN(day) AS day FROM du GROUP BY 1),
+      |nu AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM f GROUP BY 1)
+      |SELECT a.day, a.active_users,
+      |       COALESCE(n.new_users, 0) AS new_users,
+      |       CAST(SUM(COALESCE(n.new_users, 0))
+      |            OVER (ORDER BY a.day ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS cum_users
+      |FROM active a LEFT JOIN nu n ON n.day = a.day
+      |ORDER BY a.day""".stripMargin
+
   // ------------------------------------------- q134 token co-occurrence
 
   /** Token co-occurrence mining (market-basket over documents): the top
@@ -4179,5 +4224,6 @@ object Queries {
     QueryDef("q132_lpa_communities", q132, Some(q132Sql)),
     QueryDef("q133_qualify_dialect", q133, Some(q133Sql)),
     QueryDef("q134_token_pairs", q134, Some(q134Sql)),
+    QueryDef("q135_cumulative_uniques", q135, Some(q135Sql)),
   )
 }

@@ -869,7 +869,10 @@ object SqlCompat {
     * union+running-window composition of [[graft.operators.AsOfJoin]], so
     * the dialect spelling inherits the scale path. */
   def parseAsOf(sql: String): Option[AsOfQuery] = {
-    val masked = maskOptions(sql)
+    // maskNonTopLevel (not maskOptions): string literals blank out, so an
+    // 'asof join' / 'order by' / 'limit' INSIDE a literal can neither
+    // trigger the grammar nor mis-cut the tail keywords.
+    val masked = maskNonTopLevel(sql)
     AsOfHeadRe.findFirstMatchIn(masked).flatMap { m =>
       val rest = sql.substring(m.end) // ON conjunction + optional tail
       val maskedRest = masked.substring(m.end)

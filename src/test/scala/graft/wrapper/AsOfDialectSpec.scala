@@ -39,6 +39,14 @@ class AsOfDialectSpec extends AnyFunSuite with SparkTestBase {
     assert(SqlCompat.parseAsOf(
       "SELECT a.t FROM l a ASOF JOIN r b ON a.k = b.k AND a.t >= b.t AND a.u >= b.u").isEmpty)
     assert(SqlCompat.parseAsOf("SELECT x FROM t ORDER BY x").isEmpty)
+    // literals can't trigger the grammar or mis-cut the tail
+    assert(SqlCompat.parseAsOf(
+      "SELECT 'from t asof join r on a.k = b.k and a.t >= b.t' AS s FROM x").isEmpty)
+    val lit = SqlCompat.parseAsOf(
+      "SELECT a.t FROM l a ASOF JOIN r b ON a.k = b.k AND a.t >= b.qt " +
+        "WHERE a.note = 'order by limit' ORDER BY a.t").get
+    assert(lit.tail.contains("'order by limit'") &&
+      lit.tail.trim.toLowerCase.startsWith("where"))
   }
 
   test("ASOF JOIN through the wrapper: backward inner match") {
