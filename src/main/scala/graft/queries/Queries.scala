@@ -3712,6 +3712,354 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------ q136 decayed engagement
+
+  /** Recency-weighted user engagement — the feature-store "exponential
+    * decay" score, EXACT: half-life = 1 day with base-2 weights (an
+    * event dd days before the corpus's last day weighs 2^(20−dd),
+    * zero past the 20-day horizon) over half-up cents. No libm `exp`
+    * anywhere, so transcendental last-ulp divergence between engines
+    * cannot flip a bit; the weighted sum is an order-independent
+    * integer, accumulated as DECIMAL(38,0) (the 100 TB overflow-safe
+    * path — per-user cents×2^20 sums leave BIGINT range long before
+    * they leave 38 digits) and emitted BIGINT. The reference day is a
+    * broadcast 1-row aggregate (no driver collect); ONE user-keyed
+    * aggregate; top-20 plans as TakeOrderedAndProject. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val refDay = ev.agg(max(col("ts").cast("date")).as("ref_day"))
+    ev.select(col("user_id"), col("ts"), col("value"))
+      .crossJoin(broadcast(refDay))
+      .withColumn("dd", datediff(col("ref_day"), col("ts").cast("date")))
+      .filter(col("dd") <= 20)
+      .withColumn("cents",
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), 20 - dd)"))
+      .groupBy(col("user_id"))
+      .agg(sum((col("cents") * col("w")).cast("decimal(38,0)"))
+          .cast("long").as("score_units"),
+        count(lit(1)).as("n_events"))
+      .withColumn("score_cents", expr("score_units div 1048576"))
+      .select(col("user_id"), col("n_events"), col("score_units"),
+        col("score_cents"))
+      .orderBy(col("score_units").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val q136Sql =
+    """WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+      |e AS (
+      |  SELECT user_id,
+      |         DATE_DIFF('day', CAST(ts AS DATE),
+      |                   (SELECT ref_day FROM ref)) AS dd,
+      |         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |         CAST(SUM(cents * (CAST(1 AS BIGINT) << (20 - dd)))
+      |              AS BIGINT) AS score_units,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM e WHERE dd <= 20 GROUP BY user_id)
+      |SELECT user_id, n_events, score_units,
+      |       score_units // 1048576 AS score_cents
+      |FROM s ORDER BY score_units DESC, user_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------ q137 winsorized group mean
+
+  /** Winsorized group mean — the outlier-robust pricing mean with clip
+    * points as EXACT order statistics (rank (n−1)·p/100 + 1, the q128
+    * convention) computed from (group, DISTINCT-cent) counts: the
+    * running-total window ranges over distinct price points, bounded by
+    * the price DOMAIN (~1e7 cents) rather than row count, so the small
+    * group cardinality never becomes a data-scaled one-reducer sort
+    * (the ExactQuantile discipline, q47). The clipped sum re-aggregates
+    * the distinct-value counts — no second row-level pass — and every
+    * emitted number is BIGINT (mean in milli-cents by integer
+    * division over positive sums). */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+    val counts = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"), cents.as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed by n, cum (×2) and the clipped sum —
+      // without it every branch re-scans and re-aggregates the table
+    val n = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val cum = counts.join(n, Seq("g"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lo = cum.filter(col("cum") >= expr("(n - 1) * 5 div 100 + 1"))
+      .groupBy(col("g")).agg(min(col("v")).as("lo"))
+    val hi = cum.filter(col("cum") >= expr("(n - 1) * 95 div 100 + 1"))
+      .groupBy(col("g")).agg(min(col("v")).as("hi"))
+    counts.join(lo, Seq("g")).join(hi, Seq("g")).join(n, Seq("g"))
+      .withColumn("cv", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy(col("g"), col("n"), col("lo"), col("hi"))
+      .agg(sum(col("cv") * col("c")).as("wsum"))
+      .withColumn("wmean_milli", expr("wsum * 1000 div n"))
+      .select(col("g"), col("n"), col("lo"), col("hi"),
+        col("wmean_milli"))
+      .orderBy(col("g"))
+  }
+
+  private val q137Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag AS g,
+      |         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY g),
+      |cum AS (
+      |  SELECT c.g, c.v, c.c, n.n,
+      |         CAST(SUM(c.c) OVER (PARTITION BY c.g ORDER BY c.v
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM c JOIN n USING (g)),
+      |lo AS (SELECT g, MIN(v) AS lo FROM cum
+      |       WHERE cum >= (n - 1) * 5 // 100 + 1 GROUP BY g),
+      |hi AS (SELECT g, MIN(v) AS hi FROM cum
+      |       WHERE cum >= (n - 1) * 95 // 100 + 1 GROUP BY g)
+      |SELECT c.g, n.n, lo.lo, hi.hi,
+      |       CAST(SUM(GREATEST(lo.lo, LEAST(hi.hi, c.v)) * c.c) AS BIGINT)
+      |         * 1000 // n.n AS wmean_milli
+      |FROM c JOIN n USING (g) JOIN lo USING (g) JOIN hi USING (g)
+      |GROUP BY c.g, n.n, lo.lo, hi.hi
+      |ORDER BY g""".stripMargin
+
+  // ------------------------------------------ q138 correlation matrix
+
+  /** Pairwise Pearson correlation matrix over lineitem's four numeric
+    * columns from EXACT co-moments (the q118 OLS discipline): one scan,
+    * ONE hash aggregate collecting n and all 14 sums/products in
+    * half-up cents as DECIMAL(38,0) (products reach ~1e25 at sf0.1 —
+    * past BIGINT, comfortably inside 38 digits; DuckDB's HUGEINT sums
+    * mirror exactly), then each pair's correlation is one shared IEEE
+    * expression over those integers, floored to micro-units. The 6-row
+    * matrix is a stack-unpivot of the single aggregate row — the q73
+    * profile shape — so the scan is never repeated per pair. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val vars = Seq("q", "p", "r", "x")
+    val named = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "r" -> "l_discount", "x" -> "l_tax")
+    def cents(c: String) = floor(col(c) * 100 + lit(0.5)).cast("long")
+    val base = t(s, d, "lineitem").select(
+      cents("l_quantity").as("q"), cents("l_extendedprice").as("p"),
+      cents("l_discount").as("r"), cents("l_tax").as("x"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val aggs =
+      (count(lit(1)).cast("decimal(38,0)").as("n") +:
+        vars.map(v => sum(dec(col(v))).as(s"s_$v"))) ++
+      (for { i <- vars.indices; j <- i until vars.length }
+        yield sum(dec(col(vars(i)) * col(vars(j))))
+          .as(s"s_${vars(i)}${vars(j)}"))
+    val a = base.agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- vars.indices; j <- (i + 1) until vars.length }
+      yield (vars(i), vars(j))
+    def corrCol(xv: String, yv: String): Column = {
+      val n = col("n")
+      val (sx, sy) = (col(s"s_$xv"), col(s"s_$yv"))
+      val sxy = col(s"s_$xv$yv")
+      val (sxx, syy) = (col(s"s_$xv$xv"), col(s"s_$yv$yv"))
+      val num = (n * sxy - sx * sy).cast("double")
+      val dx = (n * sxx - sx * sx).cast("double")
+      val dy = (n * syy - sy * sy).cast("double")
+      when(dx === 0 || dy === 0, lit(null).cast("double"))
+        .otherwise(floor(num / (sqrt(dx) * sqrt(dy)) * 1000000) / 1000000)
+    }
+    val withCorr = pairs.foldLeft(a) { case (df, (xv, yv)) =>
+      df.withColumn(s"corr_$xv$yv", corrCol(xv, yv))
+    }
+    val stackArgs = pairs.map { case (xv, yv) =>
+      s"'${named(xv)}', '${named(yv)}', corr_$xv$yv"
+    }.mkString(", ")
+    withCorr
+      .selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (var_x, var_y, corr)",
+        "CAST(n AS BIGINT) AS n")
+      .select(col("var_x"), col("var_y"), col("n"), col("corr"))
+      .orderBy(col("var_x"), col("var_y"))
+  }
+
+  private val q138Sql = {
+    val vars = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "r" -> "l_discount", "x" -> "l_tax")
+    val sums =
+      vars.map { case (k, c) =>
+        s"SUM(CAST(FLOOR($c * 100 + 0.5) AS BIGINT)) AS s_$k"
+      } ++
+      (for { i <- vars.indices; j <- i until vars.length } yield {
+        val (a, ca) = vars(i); val (b, cb) = vars(j)
+        s"""SUM(CAST(FLOOR($ca * 100 + 0.5) AS BIGINT)
+           |             * CAST(FLOOR($cb * 100 + 0.5) AS BIGINT)) AS s_$a$b"""
+          .stripMargin
+      })
+    val branches =
+      (for { i <- vars.indices; j <- (i + 1) until vars.length } yield {
+        val (x, cx) = vars(i); val (y, cy) = vars(j)
+        s"""SELECT '$cx' AS var_x, '$cy' AS var_y, CAST(n AS BIGINT) AS n,
+           |       CASE WHEN (n * s_$x$x - s_$x * s_$x) = 0
+           |              OR (n * s_$y$y - s_$y * s_$y) = 0 THEN NULL
+           |            ELSE FLOOR(CAST(n * s_$x$y - s_$x * s_$y AS DOUBLE)
+           |                 / (SQRT(CAST(n * s_$x$x - s_$x * s_$x AS DOUBLE))
+           |                    * SQRT(CAST(n * s_$y$y - s_$y * s_$y
+           |                                AS DOUBLE)))
+           |                 * 1000000) / 1000000 END AS corr
+           |FROM a""".stripMargin
+      }).mkString("\nUNION ALL\n")
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n,
+       |         ${sums.mkString(",\n         ")}
+       |  FROM lineitem)
+       |SELECT var_x, var_y, n, corr FROM (
+       |$branches)
+       |ORDER BY var_x, var_y""".stripMargin
+  }
+
+  // ------------------------------------------ q139 n-gram novelty score
+
+  /** Per-document n-gram novelty vs a reference corpus — the "how much
+    * NEW information does this candidate add" curation signal: split
+    * documents 80/20 by the deterministic Knuth bucket ([[graft.ext
+    * .SplitOps.bucket]], the q72/q98 split hash), take each candidate
+    * doc's DISTINCT word trigrams, and score the fraction absent from
+    * the reference side's distinct trigram set. ONE shingle-keyed
+    * equi-join (left join against the deduped reference set — at 100 TB
+    * the reference side swaps for the q66b Bloom screen with identical
+    * plumbing); counts and the micro-ratio are exact integers. Top-20
+    * most-novel docs, total order. */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val withB = t(s, d, "documents")
+      .withColumn("b", graft.ext.SplitOps.bucket(col("doc_id")))
+      .select(col("doc_id"), col("b"),
+        graft.ext.DedupOps.wordTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("b"),
+        explode(graft.ext.DedupOps.shingles(col("w"), 3)).as("g"))
+    val ref = withB.filter(col("b") < 80).select(col("g")).distinct()
+      .withColumn("seen", lit(1L))
+    val cand = withB.filter(col("b") >= 80)
+      .select(col("doc_id"), col("g")).distinct()
+    cand.join(ref, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_micro", expr("n_novel * 1000000 div n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        col("novelty_micro"))
+      .orderBy(col("novelty_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q139Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         ((doc_id * 2654435761) % 4294967296) % 100 AS b,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     t -> LEN(t) > 0) AS w
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, b,
+      |         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+      |                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+      |           AS g
+      |  FROM w WHERE LEN(w) >= 3),
+      |ref AS (SELECT DISTINCT g FROM g0 WHERE b < 80),
+      |cand AS (SELECT DISTINCT doc_id, g FROM g0 WHERE b >= 80),
+      |j AS (
+      |  SELECT c.doc_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |         CAST(SUM(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_novel
+      |  FROM cand c LEFT JOIN ref r ON c.g = r.g
+      |  GROUP BY 1)
+      |SELECT doc_id, n_grams, n_novel,
+      |       n_novel * 1000000 // n_grams AS novelty_micro
+      |FROM j ORDER BY novelty_micro DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------ q140 moving daily revenue
+
+  /** 7-observed-day moving revenue with day-over-day delta — the KPI
+    * smoothing report. Daily sums are exact integer cents (half-up
+    * per row, BEFORE the sum — order-independent); the moving frame is
+    * ROWS 6 PRECEDING over the day-ordered aggregate, so the only
+    * unpartitioned window runs over #days rows — calendar-bounded, the
+    * q135 discipline — and the moving mean is integer milli-cents (sum
+    * and count over the frame, one integer division). */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .select(col("ts").cast("date").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.orderBy(col("day"))
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("sum7", sum(col("rev_cents")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("ma7_milli", expr("sum7 * 1000 div cnt7"))
+      .withColumn("delta_cents",
+        col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+      .select(col("day"), col("rev_cents"), col("ma7_milli"),
+        col("delta_cents"))
+      .orderBy(col("day"))
+  }
+
+  private val q140Sql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS rev_cents
+      |  FROM events GROUP BY 1)
+      |SELECT day, rev_cents,
+      |       CAST(SUM(rev_cents) OVER w7 AS BIGINT) * 1000
+      |         // CAST(COUNT(*) OVER w7 AS BIGINT) AS ma7_milli,
+      |       rev_cents - LAG(rev_cents, 1) OVER (ORDER BY day)
+      |         AS delta_cents
+      |FROM daily
+      |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------ q141 transition matrix
+
+  /** Event-type Markov transition matrix — the user-journey primitive:
+    * per user, order events by (ts, event_id) (the unique tie-break
+    * rule), lag one step, and count (prev → next) transitions with the
+    * row-conditional probability in exact integer micros. The lag
+    * window partitions on user_id — millions of tiny partitions at
+    * scale, never one reducer — and the probability window runs over
+    * the aggregated #event_types² matrix, bounded by the type DOMAIN,
+    * not the data. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy(col("prev"))))
+      .withColumn("prob_micro", expr("cnt * 1000000 div tot"))
+      .select(col("prev"), col("next"), col("cnt"), col("prob_micro"))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  private val q141Sql =
+    """WITH tr AS (
+      |  SELECT LAG(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev,
+      |         event_type AS next
+      |  FROM events),
+      |c AS (
+      |  SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev, next, cnt,
+      |       cnt * 1000000
+      |         // CAST(SUM(cnt) OVER (PARTITION BY prev) AS BIGINT)
+      |         AS prob_micro
+      |FROM c ORDER BY prev, next""".stripMargin
+
   // --------------------------------------- q135 cumulative unique users
 
   /** Daily active / new / CUMULATIVE-unique users — the growth-accounting
@@ -4225,5 +4573,11 @@ object Queries {
     QueryDef("q133_qualify_dialect", q133, Some(q133Sql)),
     QueryDef("q134_token_pairs", q134, Some(q134Sql)),
     QueryDef("q135_cumulative_uniques", q135, Some(q135Sql)),
+    QueryDef("q136_decayed_engagement", q136, Some(q136Sql)),
+    QueryDef("q137_winsorized_mean", q137, Some(q137Sql)),
+    QueryDef("q138_corr_matrix", q138, Some(q138Sql)),
+    QueryDef("q139_ngram_novelty", q139, Some(q139Sql)),
+    QueryDef("q140_moving_revenue", q140, Some(q140Sql)),
+    QueryDef("q141_transition_matrix", q141, Some(q141Sql)),
   )
 }
