@@ -62,6 +62,12 @@ final class QueryWrapper private (
   var verbosity: Int = 2
   /** `on_error` (QW:417): abort (no rollback) | rollback | continue. */
   var onError: String = "abort"
+  /** `::NAME` identifier-parameter binding mode: "splice" (default —
+    * pre-parse text splice, required when the statement is handled by a
+    * dialect emulation layer whose parser must see the final name) or
+    * "native" (Spark ≥4 `IDENTIFIER()` clause — quoting and nesting edge
+    * cases resolve in the SQL parser, [[Params.nativeIdentifiers]]). */
+  var identifierBinding: String = "splice"
   var errors: Int = 0
   var runId: Option[Long] = None
 
@@ -112,8 +118,14 @@ final class QueryWrapper private (
     val params = options.params.getOrElse(queryParams.toMap)
     var stmtText = sqlText
     Try {
-      stmtText = Params.spliceIdentifiers(sqlText, params)
-      execute(stmtText, params)
+      if (identifierBinding == "native") {
+        val (rewritten, extra) = Params.nativeIdentifiers(sqlText, params)
+        stmtText = rewritten
+        execute(stmtText, params ++ extra)
+      } else {
+        stmtText = Params.spliceIdentifiers(sqlText, params)
+        execute(stmtText, params)
+      }
     } match {
       case Success(res) =>
         if (options.logging) {
