@@ -3712,6 +3712,183 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------ q142 rolling 7-day WAU
+
+  /** Rolling 7-day active users (WAU) per observed day — the growth
+    * metric whose naive `COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)`
+    * spelling engines reject or run quadratically. Exact at any scale
+    * via contribution explode: distinct (day, user) once, each pair
+    * contributes to the 7 window days it covers (a BOUNDED ×7
+    * multiplier — the q139/q124 discipline of exploding the constant
+    * axis, never the data axis), distinct again, and a plain per-day
+    * count. DAU rides the same distinct base. No window function at
+    * all — two hash aggregates and a ×7 generate. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    val du = t(s, d, "events")
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // consumed by the contribution explode AND dau
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+      .select(expr("date_add(day, i)").as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau7"))
+      .orderBy(col("day"))
+  }
+
+  private val q142Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      |        FROM du GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT du.day + CAST(t.i AS INTEGER) AS day, du.user_id
+      |  FROM du CROSS JOIN (SELECT UNNEST(RANGE(0, 7)) AS i) t),
+      |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau7
+      |        FROM contrib GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau7
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY dau.day""".stripMargin
+
+  // ------------------------------------------ q143 equi-depth binning
+
+  /** 10-bin equi-depth (equal-frequency) histogram of the price column
+    * — the feature-binning primitive (quantile bucketing for model
+    * inputs), EXACT: a distinct value whose preceding cumulative count
+    * is `cum_prev` lands in bin `cum_prev·10 div n` (clamped to 9), so
+    * every row of one value shares one bin and bin populations are as
+    * equal as ties allow — a deterministic integer definition, not a
+    * sampled approximation (Spark's `QuantileDiscretizer` is
+    * approximate by design). Same bounded machinery as q137: counts
+    * per (distinct cent), a running-total window over distinct values
+    * — DOMAIN-bounded, never a row sort — then a 10-row aggregate. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+    val counts = t(s, d, "lineitem").select(cents.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed by the total AND the ranked window
+    val n = counts.agg(sum(col("c")).as("n"))
+    counts.crossJoin(broadcast(n))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin",
+        least(lit(9L), expr("(cum - c) * 10 div n")))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n_rows"), min(col("v")).as("lo_cents"),
+        max(col("v")).as("hi_cents"))
+      .orderBy(col("bin"))
+  }
+
+  private val q143Sql =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+      |cum AS (
+      |  SELECT v, c, n.n,
+      |         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum
+      |  FROM c, n)
+      |SELECT LEAST(9, (cum - c) * 10 // n) AS bin,
+      |       CAST(SUM(c) AS BIGINT) AS n_rows,
+      |       MIN(v) AS lo_cents, MAX(v) AS hi_cents
+      |FROM cum GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ------------------------------------------ q144 growth accounting
+
+  /** Daily growth accounting — each active (day, user) classified as
+    * `new` (first activity ever), `retained` (previous activity ≤ 7
+    * days back) or `resurrected` (gap > 7 days): the full
+    * startup-metrics matrix that q135's cumulative-uniques report
+    * feeds. One distinct (day, user) base, one lag window partitioned
+    * per user (millions of tiny partitions at scale — never one
+    * reducer), then a per-day conditional aggregate. All counts exact
+    * integers; every day present in the base appears exactly once. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val du = t(s, d, "events")
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    du.withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(datediff(col("day"), col("prev")) <= 7, "retained")
+          .otherwise("resurrected"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("retained_users"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected_users"))
+      .orderBy(col("day"))
+  }
+
+  private val q144Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |l AS (
+      |  SELECT day, user_id,
+      |         LAG(day, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM du),
+      |s AS (
+      |  SELECT day,
+      |         CASE WHEN prev IS NULL THEN 'new'
+      |              WHEN DATE_DIFF('day', prev, day) <= 7 THEN 'retained'
+      |              ELSE 'resurrected' END AS status
+      |  FROM l)
+      |SELECT day,
+      |       CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS new_users,
+      |       CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS retained_users,
+      |       CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS resurrected_users
+      |FROM s GROUP BY day ORDER BY day""".stripMargin
+
+  // ------------------------------------------ q145 path mining
+
+  /** Top event-type paths of length 3 — second-order journey mining
+    * extending q141's transition matrix: per user, two lags over the
+    * (ts, event_id) total order produce (a→b→c) windows; exact counts,
+    * top-15 by (count DESC, path) planning as TakeOrderedAndProject.
+    * Same scale shape as q141 — the lag window partitions on user_id,
+    * the count aggregate partial-aggregates map-side, and nothing
+    * after it scales with the table. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("c"))
+      .withColumn("b", lag(col("c"), 1).over(w))
+      .withColumn("a", lag(col("c"), 2).over(w))
+      .filter(col("a").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"), col("c"))
+      .limit(15)
+  }
+
+  private val q145Sql =
+    """WITH p AS (
+      |  SELECT LAG(event_type, 2) OVER w AS a,
+      |         LAG(event_type, 1) OVER w AS b,
+      |         event_type AS c
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM p WHERE a IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY cnt DESC, a, b, c LIMIT 15""".stripMargin
+
   // ------------------------------------------ q136 decayed engagement
 
   /** Recency-weighted user engagement — the feature-store "exponential
@@ -4579,5 +4756,9 @@ object Queries {
     QueryDef("q139_ngram_novelty", q139, Some(q139Sql)),
     QueryDef("q140_moving_revenue", q140, Some(q140Sql)),
     QueryDef("q141_transition_matrix", q141, Some(q141Sql)),
+    QueryDef("q142_rolling_wau", q142, Some(q142Sql)),
+    QueryDef("q143_equidepth_bins", q143, Some(q143Sql)),
+    QueryDef("q144_growth_accounting", q144, Some(q144Sql)),
+    QueryDef("q145_path_mining", q145, Some(q145Sql)),
   )
 }
