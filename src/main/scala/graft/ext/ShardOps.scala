@@ -117,6 +117,16 @@ object ShardOps {
       .drop("__gnull", "__grp", "__pid", "__lcum", "__off")
   }
 
+  /** 1-based running SUM of `valueCol` (integral) over the global
+    * `sortCols` order — [[withGlobalRank]]'s value sibling, the
+    * Pareto/ABC cumulative-share primitive. Same bounded-memory
+    * two-phase construction, ONE range shuffle. Include a unique
+    * tie-breaker in `sortCols` for full determinism. Adds `__rsum`. */
+  def withGlobalPrefixSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String): DataFrame =
+    withGroupPrefix(df.withColumn("__gall", lit(true)), "__gall", sortCols,
+      valueCol = Some(valueCol), outCol = "__rsum").drop("__gall")
+
   /** Assigns every row a shard in [0, nShards) balanced by `sizeCol`,
     * deterministically: size-ranked round-robin over
     * (sizeCol DESC, tieBreaker ASC). Output = input columns + `shard`. */

@@ -3712,6 +3712,222 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------ q146 ABC / Pareto classes
+
+  /** ABC (Pareto) revenue classification of parts — the inventory
+    * 80/95 cumulative-share cut: per-part revenue in exact cents, a
+    * GLOBAL running prefix over (revenue DESC, partkey) from
+    * [[graft.ext.ShardOps.withGlobalPrefixSum]] — the bounded-memory
+    * two-phase construction, ONE range shuffle, never a
+    * single-reducer `SUM OVER (ORDER BY …)` — then integer
+    * cross-multiplied class cuts (rsum·100 ≤ tot·80 → A, ≤ tot·95 →
+    * B, else C) and a 3-row class rollup with micro shares. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+    val rev = t(s, d, "lineitem").groupBy(col("l_partkey"))
+      .agg(sum(cents).as("rev_cents"))
+      .localCheckpoint() // consumed by the total AND the prefix pass
+    val total = rev.agg(sum(col("rev_cents")).as("tot"))
+    graft.ext.ShardOps.withGlobalPrefixSum(rev,
+        Seq(col("rev_cents").desc, col("l_partkey").asc), "rev_cents")
+      .crossJoin(broadcast(total))
+      .withColumn("cls",
+        when(col("__rsum") * 100 <= col("tot") * 80, "A")
+          .when(col("__rsum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"), col("tot"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_cents")).as("class_cents"))
+      .withColumn("share_micro", expr("class_cents * 1000000 div tot"))
+      .select(col("cls"), col("n_parts"), col("class_cents"),
+        col("share_micro"))
+      .orderBy(col("cls"))
+  }
+
+  private val q146Sql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM rev),
+      |run AS (
+      |  SELECT rev_cents,
+      |         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+      |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rsum
+      |  FROM rev),
+      |cls AS (
+      |  SELECT CASE WHEN rsum * 100 <= (SELECT tot FROM tot) * 80 THEN 'A'
+      |              WHEN rsum * 100 <= (SELECT tot FROM tot) * 95 THEN 'B'
+      |              ELSE 'C' END AS cls, rev_cents
+      |  FROM run)
+      |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |       CAST(SUM(rev_cents) AS BIGINT) AS class_cents,
+      |       CAST(SUM(rev_cents) AS BIGINT) * 1000000
+      |         // (SELECT tot FROM tot) AS share_micro
+      |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
+
+  // ------------------------------------------ q147 RFM segmentation
+
+  /** RFM customer segmentation — recency (days since last order at the
+    * corpus reference day), frequency (orders), monetary (exact cents)
+    * per customer, each quintile-binned by the q143 EXACT equi-depth
+    * definition (bin = cum_prev·5 div n over DISTINCT metric values —
+    * ties never split, the window is metric-DOMAIN-bounded, not
+    * customer-scaled), then the segment rollup. The per-customer base
+    * is checkpointed once and feeds the three bin maps AND the final
+    * classification joins (value-keyed equi-joins against bin maps
+    * that are broadcast-tiny). */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val ord = t(s, d, "orders")
+    val refDay = ord.agg(max(col("o_orderdate").cast("date")).as("ref_day"))
+    val rfm = ord.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_ord"),
+        count(lit(1)).as("f"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("m"))
+      .crossJoin(broadcast(refDay))
+      .withColumn("r",
+        datediff(col("ref_day"), col("last_ord").cast("date")).cast("long"))
+      .select(col("o_custkey"), col("r"), col("f"), col("m"))
+      .localCheckpoint() // feeds 3 bin maps + the classification joins
+    def binMap(metric: String): DataFrame = {
+      val counts = rfm.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val n = counts.agg(sum(col("c")).as("n"))
+      counts.crossJoin(broadcast(n))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("v"),
+          least(lit(4L), expr("(cum - c) * 5 div n")).as(s"${metric}_bin"))
+    }
+    rfm
+      .join(broadcast(binMap("r")).withColumnRenamed("v", "r"), Seq("r"))
+      .join(broadcast(binMap("f")).withColumnRenamed("v", "f"), Seq("f"))
+      .join(broadcast(binMap("m")).withColumnRenamed("v", "m"), Seq("m"))
+      .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("m_cents"))
+      .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
+  }
+
+  private val q147Sql = {
+    def bin(metric: String) =
+      s"""${metric}b AS (
+         |  SELECT v, LEAST(4, (cum - c) * 5 // n) AS ${metric}_bin FROM (
+         |    SELECT v, c,
+         |           CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |                AS BIGINT) AS cum,
+         |           (SELECT CAST(COUNT(*) AS BIGINT) FROM rfm) AS n
+         |    FROM (SELECT $metric AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM rfm GROUP BY 1)))""".stripMargin
+    s"""WITH ref AS (
+       |  SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+       |rfm AS (
+       |  SELECT o_custkey,
+       |         CAST(DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+       |              (SELECT ref_day FROM ref)) AS BIGINT) AS r,
+       |         CAST(COUNT(*) AS BIGINT) AS f,
+       |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+       |              AS BIGINT) AS m
+       |  FROM orders GROUP BY o_custkey),
+       |${bin("r")},
+       |${bin("f")},
+       |${bin("m")}
+       |SELECT rb.r_bin, fb.f_bin, mb.m_bin,
+       |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |       CAST(SUM(rfm.m) AS BIGINT) AS m_cents
+       |FROM rfm
+       |JOIN rb ON rfm.r = rb.v
+       |JOIN fb ON rfm.f = fb.v
+       |JOIN mb ON rfm.m = mb.v
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // ------------------------------------------ q148 association rules
+
+  /** Association rules over q134's capped co-occurrence lattice:
+    * confidence (support/df_a) and lift (support·N/(df_a·df_b)) in
+    * exact integer micros — lift's numerator rides DECIMAL(38,0) so
+    * the 100 TB path (support·N·1e6 past BIGINT) cannot overflow,
+    * while DuckDB's HUGEINT mirrors the same integral division. Same
+    * blowup discipline as q134: corpus-relative df bounds and the
+    * ≤ 20-tokens-per-doc cap BEFORE the pair join; the df table is
+    * checkpointed once and reused for the cap and both rule-side
+    * lookups. Top-20 by (lift DESC, pair). */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val ndocs = docs.agg(countDistinct(col("doc_id")).as("nd"))
+    val toks = docs.select(col("doc_id"),
+        explode(graft.ext.DedupOps.wordTokens(col("text"))).as("tok"))
+      .distinct()
+    val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("df") >= 2 && col("df") * 10 <= col("nd") * 9)
+      .select(col("tok"), col("df"))
+      .localCheckpoint() // cap join + both df lookups
+    val capped = toks.join(dfc.select(col("tok")), Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tok"))))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("tok"))
+    val sup = capped.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(capped.select(col("doc_id"), col("tok").as("tok_b")),
+        Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("support"))
+    sup
+      .join(dfc.select(col("tok").as("tok_a"), col("df").as("df_a")),
+        Seq("tok_a"))
+      .join(dfc.select(col("tok").as("tok_b"), col("df").as("df_b")),
+        Seq("tok_b"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("support") * 20 >= col("nd"))
+      .withColumn("conf_micro", expr("support * 1000000 div df_a"))
+      .withColumn("lift_micro",
+        expr("(CAST(support AS DECIMAL(38,0)) * nd * 1000000)" +
+          " div (df_a * df_b)"))
+      .select(col("tok_a"), col("tok_b"), col("support"),
+        col("conf_micro"), col("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
+  private val q148Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                t -> LEN(t) > 0)) AS tok
+      |  FROM documents),
+      |toks AS (SELECT DISTINCT doc_id, tok FROM w),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks
+      |        GROUP BY tok
+      |        HAVING COUNT(*) >= 2
+      |           AND COUNT(*) * 10 <= (SELECT n FROM nd) * 9),
+      |capped AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT t.doc_id, t.tok,
+      |           ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.tok)
+      |             AS rn
+      |    FROM toks t JOIN dfc USING (tok))
+      |  WHERE rn <= 20),
+      |p AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+      |         CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM capped a
+      |  JOIN capped b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) * 20 >= (SELECT n FROM nd))
+      |SELECT p.tok_a, p.tok_b, p.support,
+      |       p.support * 1000000 // da.df AS conf_micro,
+      |       p.support * (SELECT n FROM nd) * 1000000
+      |         // (da.df * db.df) AS lift_micro
+      |FROM p
+      |JOIN dfc da ON da.tok = p.tok_a
+      |JOIN dfc db ON db.tok = p.tok_b
+      |ORDER BY lift_micro DESC, tok_a, tok_b LIMIT 20""".stripMargin
+
   // ------------------------------------------ q142 rolling 7-day WAU
 
   /** Rolling 7-day active users (WAU) per observed day — the growth
@@ -3961,15 +4177,20 @@ object Queries {
       .localCheckpoint() // consumed by n, cum (×2) and the clipped sum —
       // without it every branch re-scans and re-aggregates the table
     val n = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
-    val cum = counts.join(n, Seq("g"))
+    // ONE ranked pass: both clip points fall out of a single conditional
+    // aggregate over the cumulative counts (min value whose running total
+    // reaches the rank threshold) — not one filtered window pass per bound.
+    val bounds = counts.join(n, Seq("g"))
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(col("g")).orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val lo = cum.filter(col("cum") >= expr("(n - 1) * 5 div 100 + 1"))
-      .groupBy(col("g")).agg(min(col("v")).as("lo"))
-    val hi = cum.filter(col("cum") >= expr("(n - 1) * 95 div 100 + 1"))
-      .groupBy(col("g")).agg(min(col("v")).as("hi"))
-    counts.join(lo, Seq("g")).join(hi, Seq("g")).join(n, Seq("g"))
+      .groupBy(col("g"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n - 1) * 5 div 100 + 1"), col("v")))
+          .as("lo"),
+        min(when(col("cum") >= expr("(n - 1) * 95 div 100 + 1"), col("v")))
+          .as("hi"))
+    counts.join(broadcast(bounds), Seq("g"))
       .withColumn("cv", greatest(col("lo"), least(col("hi"), col("v"))))
       .groupBy(col("g"), col("n"), col("lo"), col("hi"))
       .agg(sum(col("cv") * col("c")).as("wsum"))
@@ -4760,5 +4981,8 @@ object Queries {
     QueryDef("q143_equidepth_bins", q143, Some(q143Sql)),
     QueryDef("q144_growth_accounting", q144, Some(q144Sql)),
     QueryDef("q145_path_mining", q145, Some(q145Sql)),
+    QueryDef("q146_abc_pareto", q146, Some(q146Sql)),
+    QueryDef("q147_rfm_segments", q147, Some(q147Sql)),
+    QueryDef("q148_association_rules", q148, Some(q148Sql)),
   )
 }

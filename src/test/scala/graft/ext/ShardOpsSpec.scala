@@ -24,6 +24,22 @@ class ShardOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("withGlobalPrefixSum equals a single-partition running SUM, incl. ties") {
+    val sql = spark
+    import sql.implicits._
+    val rnd = new Random(11)
+    val rows = (1L to 1500L).map(i => (i, rnd.nextInt(15).toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "size", "w").repartition(9)
+    val got = ShardOps
+      .withGlobalPrefixSum(df, Seq(col("size").desc, col("id").asc), "w")
+      .select("id", "__rsum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    var cum = 0L
+    val want = rows.sortBy { case (id, sz, _) => (-sz, id) }
+      .map { case (id, _, w) => cum += w; id -> cum }.toMap
+    assert(got == want)
+  }
+
   test("assignShards balances size within one max-item per shard") {
     val sql = spark
     import sql.implicits._
