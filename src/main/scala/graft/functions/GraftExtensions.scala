@@ -111,7 +111,18 @@ object GraftExtensions {
     // existing Spark SQL.
     dialectEntry("years_between", 2)(a =>
       TimestampDiff("YEAR", a(1), a.head)),
-    dialectEntry("week", 1)(delegate("weekofyear"))) ++
+    dialectEntry("week", 1)(delegate("weekofyear")),
+    // CONVERT_TZ(datetime, from_tz, to_tz) — Exasol arg order; Spark's
+    // builtin is convert_timezone(from, to, ts).
+    dialectEntry("convert_tz", 3)(a =>
+      delegate("convert_timezone")(Seq(a(1), a(2), a.head))),
+    // POSIX_TIME(datetime) → epoch seconds (Exasol returns DECIMAL with a
+    // fractional tail; whole seconds here — documented divergence).
+    dialectEntry("posix_time", 1)(delegate("unix_timestamp")),
+    dialectEntry("from_posix_time", 1)(delegate("timestamp_seconds")),
+    // COLOGNE_PHONETIC(str) — Kölner Phonetik, the German sibling of
+    // soundex; native codegen expression.
+    dialectEntry("cologne_phonetic", 1)(a => ColognePhonetic(a.head))) ++
       variadicDialectFunctions
 
   // Variadic Exasol functions that SHADOW a Spark builtin of the same name:

@@ -124,6 +124,49 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql("SELECT instr('abc', 'zz')").head().getInt(0) == 0)
   }
 
+  test("r9 dialect additions: convert_tz, posix_time, cologne_phonetic") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT convert_tz(timestamp_ntz'2026-06-01 12:00:00',
+        |                  'UTC', 'Europe/Berlin') AS tz,
+        |       posix_time(timestamp'1970-01-01 00:02:00') AS pt,
+        |       from_posix_time(120) AS fpt,
+        |       cologne_phonetic('Müller-Lüdenscheidt') AS c1,
+        |       cologne_phonetic('Breschnew') AS c2,
+        |       cologne_phonetic('Wikipedia') AS c3,
+        |       cologne_phonetic('Meyer') AS c4,
+        |       cologne_phonetic('Maier') AS c5""".stripMargin)
+      .head()
+    assert(r.get(0).toString.startsWith("2026-06-01T14:00"))
+    assert(r.getLong(1) == 120L)
+    assert(r.getTimestamp(2).toString.startsWith("1970-01-01 00:02:00"))
+    // Postel 1969 worked examples — and the homophone pair collides,
+    // which is the blocking-key property ER cares about.
+    assert(r.getString(3) == "65752682")
+    assert(r.getString(4) == "17863")
+    assert(r.getString(5) == "3412")
+    assert(r.getString(6) == r.getString(7))
+  }
+
+  test("cologne_phonetic survives codegen over a column (not just literals)") {
+    GraftExtensions.register(spark)
+    val sql = spark
+    import sql.implicits._
+    val df = Seq("Schmidt", "Schmitt", "Schmied", "", "Xavier", "ACHT")
+      .toDF("name")
+    df.createOrReplaceTempView("cp_names")
+    val got = spark.sql(
+      "SELECT name, cologne_phonetic(name) AS code FROM cp_names ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("Schmidt") == got("Schmitt")) // homophones collide
+    assert(got("") == "")
+    // interpreted path agrees with codegen
+    val interp = graft.functions.ColognePhoneticAlgo
+      .encode(org.apache.spark.unsafe.types.UTF8String.fromString("Schmidt"))
+      .toString
+    assert(got("Schmidt") == interp)
+  }
+
   test("extension class injects at session build (builder path)") {
     // Apply the extension class to a fresh SparkSessionExtensions and
     // materialize into an empty registry — the exact code path a
