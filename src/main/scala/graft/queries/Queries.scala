@@ -3712,6 +3712,122 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------ q149 FK integrity audit
+
+  /** Referential-integrity audit across the whole star schema — the
+    * pre-load constraint check an ETL job runs before committing a
+    * batch: for each FK relationship, the count of child rows whose
+    * parent is missing and the count of distinct orphan keys. Each
+    * relationship is ONE left-anti join on its key (sort-merge at
+    * scale, broadcast for the dimension parents) collapsing straight
+    * into a 1-row aggregate — the union of six 1-row aggregates is
+    * driver-trivial. A healthy load emits all zeros; the report shape
+    * is the contract. */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    def orphans(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key)).filter(col(key).isNotNull)
+        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"),
+          countDistinct(col(key)).as("orphan_keys"))
+        .select(lit(rel).as("relationship"), col("orphan_rows"),
+          col("orphan_keys"))
+    val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
+    val cust = t(s, d, "customer"); val nat = t(s, d, "nation")
+    Seq(
+      orphans("customer.c_nationkey->nation", cust, "c_nationkey",
+        nat, "n_nationkey"),
+      orphans("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord, "o_orderkey"),
+      orphans("lineitem.l_partkey->part", li, "l_partkey",
+        t(s, d, "part"), "p_partkey"),
+      orphans("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        t(s, d, "supplier"), "s_suppkey"),
+      orphans("nation.n_regionkey->region", nat, "n_regionkey",
+        t(s, d, "region"), "r_regionkey"),
+      orphans("orders.o_custkey->customer", ord, "o_custkey",
+        cust, "c_custkey"))
+      .reduce(_.unionAll(_))
+      .orderBy(col("relationship"))
+  }
+
+  private val q149Sql = {
+    def branch(rel: String, child: String, key: String, parent: String,
+        pkey: String) =
+      s"""SELECT '$rel' AS relationship,
+         |       CAST(COUNT(*) AS BIGINT) AS orphan_rows,
+         |       CAST(COUNT(DISTINCT $key) AS BIGINT) AS orphan_keys
+         |FROM $child c WHERE $key IS NOT NULL
+         |  AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)"""
+        .stripMargin
+    Seq(
+      branch("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      branch("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      branch("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      branch("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      branch("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      branch("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
+  // ------------------------------------------ q150 financial recon
+
+  /** Order-header vs line-item financial reconciliation — the "does the
+    * rollup still foot" audit: per order, the recomputed charge
+    * (Σ line `extendedprice·(1−discount)·(1+tax)`, each line floored
+    * half-up to cents on the RAW IEEE product — identical on both
+    * engines — then integer-summed) against the header total in cents;
+    * the report is one summary row (orders, matched-within-1-cent,
+    * mismatched, max and total absolute drift). Headers without lines
+    * count their full total as drift. ONE order-keyed aggregate, one
+    * left join, one 1-row rollup — nothing driver-side. */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val lineCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * (lit(1) + col("l_tax")) * 100 + lit(0.5)).cast("long")
+    val per = t(s, d, "lineitem")
+      .select(col("l_orderkey"), lineCents.as("lc"))
+      .groupBy(col("l_orderkey")).agg(sum(col("lc")).as("line_cents"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("hdr_cents"))
+      .join(per.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"), "left")
+      .withColumn("delta",
+        abs(col("hdr_cents") - coalesce(col("line_cents"), lit(0L))))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("delta") <= 1, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("delta") > 1, 1L).otherwise(0L)).as("n_mismatched"),
+        max(col("delta")).as("max_abs_delta_cents"),
+        sum(col("delta")).as("sum_abs_delta_cents"))
+  }
+
+  private val q150Sql =
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+      |                  * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS line_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |             - COALESCE(per.line_cents, 0)) AS delta
+      |  FROM orders LEFT JOIN per ON per.l_orderkey = o_orderkey)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CASE WHEN delta <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_matched,
+      |       CAST(SUM(CASE WHEN delta > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_mismatched,
+      |       MAX(delta) AS max_abs_delta_cents,
+      |       CAST(SUM(delta) AS BIGINT) AS sum_abs_delta_cents
+      |FROM j""".stripMargin
+
   // ------------------------------------------ q146 ABC / Pareto classes
 
   /** ABC (Pareto) revenue classification of parts — the inventory
@@ -4984,5 +5100,7 @@ object Queries {
     QueryDef("q146_abc_pareto", q146, Some(q146Sql)),
     QueryDef("q147_rfm_segments", q147, Some(q147Sql)),
     QueryDef("q148_association_rules", q148, Some(q148Sql)),
+    QueryDef("q149_fk_integrity", q149, Some(q149Sql)),
+    QueryDef("q150_financial_recon", q150, Some(q150Sql)),
   )
 }
