@@ -662,11 +662,15 @@ object SqlCompat {
   private[wrapper] def lookupConnection(name: String): Option[Connection] =
     Option(connections.get(name.replace("`", "").toUpperCase))
 
+  // EXA and ORA loader forms (Exasol's native-driver lanes) are accepted as
+  // aliases of the JDBC grammar: in this engine all three resolve through
+  // the same spark.read/write.jdbc path, with the AT connection supplying a
+  // JDBC url (for EXA/ORA that is the vendor's JDBC endpoint).
   private val JdbcImportRe =
-    ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+jdbc\\s+at\\s+" +
+    ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:jdbc|exa|ora)\\s+at\\s+" +
       "(?:'([^']*)'|([\\w`]+))(.*?)\\s*;?\\s*$").r
   private val JdbcExportRe =
-    ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+jdbc\\s+at\\s+" +
+    ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+(?:jdbc|exa|ora)\\s+at\\s+" +
       "(?:'([^']*)'|([\\w`]+))(.*?)\\s*;?\\s*$").r
   private val UserOptRe = "(?is)\\buser\\s+'([^']*)'".r
   private val PasswordOptRe = "(?is)identified\\s+by\\s+'([^']*)'".r

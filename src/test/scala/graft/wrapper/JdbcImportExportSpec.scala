@@ -95,6 +95,35 @@ class JdbcImportExportSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("EXA/ORA loader forms alias the JDBC lane (grammar + end-to-end)") {
+    // grammar: all three source types parse to the same JdbcImport shape
+    val exa = SqlCompat.parseJdbcImport(
+      "IMPORT INTO t FROM EXA AT 'jdbc:exa:host:8563' TABLE remote_t").get
+    assert(exa.at.url == "jdbc:exa:host:8563" && exa.source == Left("remote_t"))
+    val ora = SqlCompat.parseJdbcExport(
+      "EXPORT t INTO ORA AT 'jdbc:oracle:thin:@h:1521' TABLE tgt").get
+    assert(ora.at.url == "jdbc:oracle:thin:@h:1521" && ora.target == "tgt")
+    // end-to-end: EXA spelling against the embedded endpoint behaves
+    // exactly like the JDBC spelling
+    freshRemoteTable("src_e", Seq(7 -> "gus", 8 -> "hal"))
+    val loc = Files.createTempDirectory("exa-imp").toString
+    spark.sql(
+      s"CREATE TABLE ei_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      val w = QueryWrapper(spark)
+      assert(w.query(s"CREATE CONNECTION exa_c TO '$url'")._1)
+      val (ok, res) = w.query("IMPORT INTO ei_t FROM EXA AT exa_c TABLE src_e")
+      assert(ok, res.errorMessage)
+      assert(res.rowsAffected.contains(2L))
+      assert(spark.table("ei_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((7L, "gus"), (8L, "hal")))
+    } finally {
+      spark.sql("DROP TABLE ei_t")
+      QueryWrapper(spark).query("DROP CONNECTION IF EXISTS exa_c")
+    }
+  }
+
   test("IMPORT FROM JDBC with parallel STATEMENT cursors") {
     freshRemoteTable("src_p", (1 to 10).map(i => i -> s"n$i"))
     val loc = Files.createTempDirectory("jdbc-imp2").toString
