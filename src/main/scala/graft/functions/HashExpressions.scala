@@ -210,4 +210,7 @@ object HashFunctions {
 
   def arrayDot(a: Column, b: Column): Column =
     Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def colognePhonetic(c: Column): Column =
+    Bridge.column(ColognePhonetic(Bridge.expression(c)))
 }

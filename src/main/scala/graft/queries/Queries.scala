@@ -3712,6 +3712,92 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------ q151 phonetic blocking
+
+  /** Phonetic blocking-key report via Kölner Phonetik
+    * ([[graft.functions.ColognePhonetic]], Exasol `COLOGNE_PHONETIC`):
+    * the vocabulary of part-name words plus nation names grouped by
+    * phonetic code — the block-size audit run before a phonetic ER
+    * join. The ORACLE re-implements the full Postel 1969 algorithm in
+    * pure DuckDB list/CASE SQL (RE2-safe — no backreferences or
+    * lookaround), so this is a genuine cross-engine differential test
+    * of the algorithm, not the expression compared against itself.
+    * Pure projection + one word-keyed distinct + one code aggregate —
+    * a scan at 100 TB. */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "part")
+      .select(explode(graft.ext.DedupOps.wordTokens(col("p_name"))).as("w"))
+      .unionAll(t(s, d, "nation").select(lower(col("n_name")).as("w")))
+      .distinct()
+    words
+      .withColumn("code",
+        graft.functions.HashFunctions.colognePhonetic(col("w")))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("n_words"), min(col("w")).as("first_word"),
+        max(col("w")).as("last_word"))
+      .orderBy(col("code"))
+  }
+
+  private val q151Sql = {
+    val enc =
+      """ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(cs) + 1), i ->
+        |  CASE
+        |    WHEN cs[i] IN ('A','E','I','J','O','U','Y') THEN '0'
+        |    WHEN cs[i] = 'H' THEN ''
+        |    WHEN cs[i] = 'B' THEN '1'
+        |    WHEN cs[i] = 'P' THEN
+        |      CASE WHEN i < LEN(cs) AND cs[i+1] = 'H' THEN '3' ELSE '1' END
+        |    WHEN cs[i] IN ('D','T') THEN
+        |      CASE WHEN i < LEN(cs) AND cs[i+1] IN ('C','S','Z') THEN '8'
+        |           ELSE '2' END
+        |    WHEN cs[i] IN ('F','V','W') THEN '3'
+        |    WHEN cs[i] IN ('G','K','Q') THEN '4'
+        |    WHEN cs[i] = 'C' THEN
+        |      CASE WHEN i = 1 THEN
+        |             CASE WHEN i < LEN(cs)
+        |                    AND cs[i+1] IN ('A','H','K','L','O','Q','R','U','X')
+        |                  THEN '4' ELSE '8' END
+        |           WHEN cs[i-1] IN ('S','Z') THEN '8'
+        |           WHEN i < LEN(cs) AND cs[i+1] IN ('A','H','K','O','Q','U','X')
+        |                THEN '4'
+        |           ELSE '8' END
+        |    WHEN cs[i] = 'X' THEN
+        |      CASE WHEN i > 1 AND cs[i-1] IN ('C','K','Q') THEN '8'
+        |           ELSE '48' END
+        |    WHEN cs[i] = 'L' THEN '5'
+        |    WHEN cs[i] IN ('M','N') THEN '6'
+        |    WHEN cs[i] = 'R' THEN '7'
+        |    WHEN cs[i] IN ('S','Z') THEN '8'
+        |    ELSE '' END), '')""".stripMargin
+    s"""WITH words AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(p_name), ' '),
+       |                  t -> LEN(t) > 0)) AS w FROM part
+       |    UNION ALL
+       |    SELECT LOWER(n_name) AS w FROM nation)),
+       |chars AS (
+       |  SELECT w, LIST_FILTER(REGEXP_EXTRACT_ALL(
+       |              REPLACE(REPLACE(REPLACE(UPPER(w), 'Ä', 'A'),
+       |                      'Ö', 'O'), 'Ü', 'U'), '.'),
+       |            c -> c >= 'A' AND c <= 'Z') AS cs
+       |  FROM words),
+       |e AS (SELECT w, $enc AS raw FROM chars),
+       |dd AS (SELECT w, REGEXP_EXTRACT_ALL(raw, '.') AS rc FROM e),
+       |f AS (SELECT w,
+       |        ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LEN(rc) + 1), i ->
+       |          CASE WHEN i > 1 AND rc[i] = rc[i-1] THEN '' ELSE rc[i] END),
+       |          '') AS cd
+       |      FROM dd),
+       |g AS (SELECT w,
+       |        CASE WHEN cd = '' THEN ''
+       |             ELSE SUBSTR(cd, 1, 1) || REPLACE(SUBSTR(cd, 2), '0', '')
+       |        END AS code
+       |      FROM f)
+       |SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       MIN(w) AS first_word, MAX(w) AS last_word
+       |FROM g GROUP BY code ORDER BY code""".stripMargin
+  }
+
   // ------------------------------------------ q149 FK integrity audit
 
   /** Referential-integrity audit across the whole star schema — the
@@ -5102,5 +5188,6 @@ object Queries {
     QueryDef("q148_association_rules", q148, Some(q148Sql)),
     QueryDef("q149_fk_integrity", q149, Some(q149Sql)),
     QueryDef("q150_financial_recon", q150, Some(q150Sql)),
+    QueryDef("q151_phonetic_blocking", q151, Some(q151Sql)),
   )
 }
