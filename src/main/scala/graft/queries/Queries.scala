@@ -3712,6 +3712,143 @@ object Queries {
       |                  * 1000000::DOUBLE) AS BIGINT) AS skew_micro
       |FROM t""".stripMargin
 
+  // ------------------------------------------ q152 interval coverage
+
+  /** Interval-union coverage per user — merge-overlapping-intervals as
+    * a window computation (uptime/session-coverage primitive): each
+    * event spans [ts, ts + floor(value·60) s] (the q110 interval
+    * construction), and per user the covered time is Σ max(0, end −
+    * max(start, running-max-of-previous-ends)) — the classic sweep,
+    * exact in integer MICROSECONDS (time-boundary discipline: integer
+    * micros, never seconds-as-double). The only window partitions on
+    * user_id (millions of tiny partitions at scale); utilization is an
+    * integer division with a NULLIF(span, 0) guard. Top-20 by covered
+    * time. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val iv = t(s, d, "events").select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("st"),
+      (expr("unix_micros(ts)")
+        + expr("CAST(FLOOR(value * 60) AS BIGINT) * 1000000")).as("en"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("en"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("pm", max(col("en")).over(w))
+      .withColumn("contrib",
+        when(col("pm").isNull || col("st") > col("pm"),
+          col("en") - col("st"))
+          .otherwise(greatest(col("en") - col("pm"), lit(0L))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_iv"),
+        sum(col("contrib")).as("covered_micros"),
+        (max(col("en")) - min(col("st"))).as("span_micros"))
+      .withColumn("util_micro",
+        expr("covered_micros * 1000000 div nullif(span_micros, 0)"))
+      .select(col("user_id"), col("n_iv"), col("covered_micros"),
+        col("span_micros"), col("util_micro"))
+      .orderBy(col("covered_micros").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val q152Sql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, EPOCH_US(ts) AS st,
+      |         EPOCH_US(ts) + CAST(FLOOR(value * 60) AS BIGINT) * 1000000
+      |           AS en
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, st, en,
+      |         MAX(en) OVER (PARTITION BY user_id
+      |                       ORDER BY st, en, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |c AS (
+      |  SELECT user_id, st, en,
+      |         CASE WHEN pm IS NULL OR st > pm THEN en - st
+      |              ELSE GREATEST(en - pm, 0) END AS contrib
+      |  FROM r),
+      |g AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_iv,
+      |         CAST(SUM(contrib) AS BIGINT) AS covered_micros,
+      |         MAX(en) - MIN(st) AS span_micros
+      |  FROM c GROUP BY user_id)
+      |SELECT user_id, n_iv, covered_micros, span_micros,
+      |       covered_micros * 1000000 // NULLIF(span_micros, 0)
+      |         AS util_micro
+      |FROM g ORDER BY covered_micros DESC, user_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------ q153 session conversion
+
+  /** Session-level conversion report — gap-based sessionization (new
+    * session after a 30-minute silence, the q24 rule) rolled up to
+    * daily session counts and purchase-conversion rates: two per-user
+    * windows (lag for the gap flag, running sum for the session
+    * number), a per-session aggregate, then a per-day aggregate with
+    * the rate in exact integer micros. Every window partitions on
+    * user_id; nothing after the session aggregate scales with events.
+    */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("gap_us",
+        expr("unix_micros(ts)")
+          - expr("unix_micros(lag(ts, 1) OVER (PARTITION BY user_id" +
+            " ORDER BY ts, event_id))"))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts").cast("date")).as("day"),
+        count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sess.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        sum(col("n_events")).as("n_events"))
+      .withColumn("conv_micro",
+        expr("n_converted * 1000000 div n_sessions"))
+      .orderBy(col("day"))
+  }
+
+  private val q153Sql =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         EPOCH_US(ts) - EPOCH_US(LAG(ts, 1) OVER w) AS gap_us
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id, ts, event_type,
+      |         CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+      |              THEN 1 ELSE 0 END AS new_sess,
+      |         event_id
+      |  FROM l),
+      |sn AS (
+      |  SELECT user_id, ts, event_type,
+      |         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS sess_no
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, sess_no, MIN(CAST(ts AS DATE)) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n_events,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS converted
+      |  FROM sn GROUP BY 1, 2),
+      |d AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |         CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |         CAST(SUM(n_events) AS BIGINT) AS n_events
+      |  FROM sess GROUP BY day)
+      |SELECT day, n_sessions, n_converted, n_events,
+      |       n_converted * 1000000 // n_sessions AS conv_micro
+      |FROM d ORDER BY day""".stripMargin
+
   // ------------------------------------------ q151 phonetic blocking
 
   /** Phonetic blocking-key report via Kölner Phonetik
@@ -5189,5 +5326,7 @@ object Queries {
     QueryDef("q149_fk_integrity", q149, Some(q149Sql)),
     QueryDef("q150_financial_recon", q150, Some(q150Sql)),
     QueryDef("q151_phonetic_blocking", q151, Some(q151Sql)),
+    QueryDef("q152_interval_coverage", q152, Some(q152Sql)),
+    QueryDef("q153_session_conversion", q153, Some(q153Sql)),
   )
 }
