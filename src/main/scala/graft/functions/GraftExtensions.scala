@@ -122,7 +122,11 @@ object GraftExtensions {
     dialectEntry("from_posix_time", 1)(delegate("timestamp_seconds")),
     // COLOGNE_PHONETIC(str) — Kölner Phonetik, the German sibling of
     // soundex; native codegen expression.
-    dialectEntry("cologne_phonetic", 1)(a => ColognePhonetic(a.head))) ++
+    dialectEntry("cologne_phonetic", 1)(a => ColognePhonetic(a.head)),
+    // JARO_WINKLER(a, b) — record-linkage comparator in [0,1]; native
+    // codegen expression, DuckDB-compatible parameterization.
+    dialectEntry("jaro_winkler", 2)(a =>
+      JaroWinklerSimilarity(a.head, a(1)))) ++
       variadicDialectFunctions
 
   // Variadic Exasol functions that SHADOW a Spark builtin of the same name:

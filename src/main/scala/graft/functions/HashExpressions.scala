@@ -213,4 +213,8 @@ object HashFunctions {
 
   def colognePhonetic(c: Column): Column =
     Bridge.column(ColognePhonetic(Bridge.expression(c)))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    Bridge.column(
+      JaroWinklerSimilarity(Bridge.expression(a), Bridge.expression(b)))
 }

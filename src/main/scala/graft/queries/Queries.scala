@@ -5160,6 +5160,45 @@ object Queries {
       |JOIN sizes nb ON nb.source = s.src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ------------------------------------------ q154 jaro-winkler pairs
+
+  /** Name-similarity candidate pairs via Jaro–Winkler
+    * ([[graft.functions.JaroWinklerSimilarity]], native codegen) — the
+    * record-linkage comparator pass that follows a blocking key: pairs
+    * share a block (last name token here), never all-pairs. The
+    * distinct-names table is tiny relative to the corpus (names
+    * dedupe), so Catalyst broadcasts the build side; at 100 TB the
+    * block key bounds each bucket and the comparator runs inside
+    * whole-stage codegen. Scores reported in exact integer micros; the
+    * oracle is DuckDB's own independent `jaro_winkler_similarity`
+    * implementation — a genuine cross-engine differential test. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val lhs = names.select(col("blk"), col("p_name").as("name_a"))
+    val rhs = names.select(col("blk").as("blk_b"),
+      col("p_name").as("name_b"))
+    lhs.join(rhs,
+        col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("jw", graft.functions.HashFunctions.jaroWinkler(
+        col("name_a"), col("name_b")))
+      .filter(col("jw") >= 0.85)
+      .select(col("name_a"), col("name_b"),
+        expr("CAST(FLOOR(jw * 1000000 + 0.5) AS BIGINT)").as("jw_micro"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val q154Sql =
+    """WITH p AS (SELECT DISTINCT p_name FROM part),
+      |b AS (
+      |  SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM p)
+      |SELECT x.p_name AS name_a, y.p_name AS name_b,
+      |       CAST(FLOOR(jaro_winkler_similarity(x.p_name, y.p_name)
+      |                  * 1000000 + 0.5) AS BIGINT) AS jw_micro
+      |FROM b x JOIN b y ON x.blk = y.blk AND x.p_name < y.p_name
+      |WHERE jaro_winkler_similarity(x.p_name, y.p_name) >= 0.85
+      |ORDER BY name_a, name_b""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5328,5 +5367,6 @@ object Queries {
     QueryDef("q151_phonetic_blocking", q151, Some(q151Sql)),
     QueryDef("q152_interval_coverage", q152, Some(q152Sql)),
     QueryDef("q153_session_conversion", q153, Some(q153Sql)),
+    QueryDef("q154_jaro_winkler_pairs", q154, Some(q154Sql)),
   )
 }
