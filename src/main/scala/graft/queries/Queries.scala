@@ -5199,6 +5199,107 @@ object Queries {
       |WHERE jaro_winkler_similarity(x.p_name, y.p_name) >= 0.85
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ------------------------------------------ q155 activity streaks
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands computation: distinct (user, day), then `day −
+    * row_number()` is constant within a consecutive run (the island
+    * anchor), so one per-user window plus two integer aggregates give
+    * streak lengths. Everything partitions on user_id; the distinct
+    * collapses the event volume to ≤ users×days rows before any
+    * window runs — at 100 TB the window input is bounded by the
+    * calendar, not the event count. All-integer output. */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("anchor", expr("date_sub(day, row_number() OVER" +
+        " (PARTITION BY user_id ORDER BY day))"))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("longest").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val q155Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |               ORDER BY day) AS INTEGER) AS anchor,
+      |         day
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, MAX(len) AS longest,
+      |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |       CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM st GROUP BY user_id
+      |ORDER BY longest DESC, user_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------ q156 cohort LTV
+
+  /** Cohort lifetime-value triangle — customers cohorted by first-order
+    * month, revenue rolled up by (cohort, months-since-cohort) with a
+    * running cumulative per cohort: the standard LTV curve input.
+    * Money is exact integer cents from the first projection
+    * (`FLOOR(x·100+0.5)` — the decimal-aggregation discipline), so the
+    * cumulative window is integer arithmetic. Two shuffles (per-
+    * customer min, per-cell aggregate) plus one window over ≤
+    * cohorts×ages rows — calendar-bounded, volume-independent. */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders").select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("od"),
+      expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .as("cents"))
+    val cohorts = orders.groupBy(col("o_custkey"))
+      .agg(min(expr("date_trunc('month', od)")).cast("date")
+        .as("cohort"))
+    val cells = orders.join(cohorts, "o_custkey")
+      .withColumn("age", expr(
+        "(year(od) * 12 + month(od)) - (year(cohort) * 12 + month(cohort))"))
+      .groupBy(col("cohort"), col("age"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+    cells.withColumn("cum_rev_cents",
+        sum(col("rev_cents")).over(Window.partitionBy(col("cohort"))
+          .orderBy(col("age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  private val q156Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_custkey,
+      |         CAST(DATE_TRUNC('month', MIN(od)) AS DATE) AS cohort
+      |  FROM o GROUP BY o_custkey),
+      |cells AS (
+      |  SELECT cohort,
+      |         (YEAR(od) * 12 + MONTH(od))
+      |           - (YEAR(cohort) * 12 + MONTH(cohort)) AS age,
+      |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |         CAST(SUM(cents) AS BIGINT) AS rev_cents,
+      |         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+      |  FROM o JOIN c ON o.o_custkey = c.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT cohort, CAST(age AS INTEGER) AS age, n_orders, rev_cents,
+      |       n_customers,
+      |       CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+      |FROM cells ORDER BY cohort, age""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5368,5 +5469,7 @@ object Queries {
     QueryDef("q152_interval_coverage", q152, Some(q152Sql)),
     QueryDef("q153_session_conversion", q153, Some(q153Sql)),
     QueryDef("q154_jaro_winkler_pairs", q154, Some(q154Sql)),
+    QueryDef("q155_activity_streaks", q155, Some(q155Sql)),
+    QueryDef("q156_cohort_ltv", q156, Some(q156Sql)),
   )
 }
