@@ -5300,6 +5300,161 @@ object Queries {
       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
       |FROM cells ORDER BY cohort, age""".stripMargin
 
+  // ------------------------------------------ q157 sparse cosine join
+
+  /** All-pairs sparse TF-IDF cosine via posting lists — the text-side
+    * similarity-join workhorse (dedup/clustering before embeddings
+    * exist): dot products materialize ONLY through shared tokens (one
+    * token-keyed exchange — non-shared tokens contribute 0, so this is
+    * exact), with a document-frequency cap as the hot-key guard (a
+    * stop-word's posting list is quadratic; the cap is part of the
+    * operator's contract and applied identically in the oracle). Per-
+    * token contributions floor to integer micro-units BEFORE the sum
+    * (the q104 discipline — integer addition is order-independent, so
+    * Spark's partition-order sums hash-match DuckDB's). Final cosine
+    * normalizes by SQRT of the integer norms — unit-scale doubles,
+    * same IEEE ops both engines. Top-50 by score. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 450)
+    val ndDf = docs.agg(count(lit(1)).as("nd"))
+    val w = tf.join(broadcast(dfq), "tok").crossJoin(broadcast(ndDf))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(lit(1.0)
+          + col("nd").cast("double") / col("df").cast("double")))
+          .as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(floor(col("w") * col("w") * lit(1e6))).as("n2_un"))
+    val lhs = w.select(col("tok"), col("doc_id").as("da"),
+      col("w").as("wa"))
+    val rhs = w.select(col("tok").as("tok_b"), col("doc_id").as("db"),
+      col("w").as("wb"))
+    val dots = lhs.join(rhs,
+        col("tok") === col("tok_b") && col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(floor(col("wa") * col("wb") * lit(1e6))).as("dot_un"))
+    dots
+      .join(norms.select(col("doc_id").as("da"),
+        col("n2_un").as("na_un")), "da")
+      .join(norms.select(col("doc_id").as("db"),
+        col("n2_un").as("nb_un")), "db")
+      .select(col("da"), col("db"),
+        floor(col("dot_un")
+          / (sqrt(col("na_un")) * sqrt(col("nb_un")))
+          * lit(1e6) + lit(0.5)).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("da"), col("db"))
+      .limit(50)
+  }
+
+  private val q157Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                                    x -> LEN(x) > 0)) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tk GROUP BY 1, 2),
+      |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      |        GROUP BY tok HAVING COUNT(*) <= 450),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+      |w AS (SELECT doc_id, tf.tok,
+      |             tf * LN(1 + CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+      |               AS w
+      |      FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN nd),
+      |norms AS (SELECT doc_id,
+      |                 CAST(SUM(CAST(FLOOR(w * w * 1000000) AS BIGINT))
+      |                      AS BIGINT) AS n2_un
+      |          FROM w GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |                CAST(SUM(CAST(FLOOR(a.w * b.w * 1000000) AS BIGINT))
+      |                     AS BIGINT) AS dot_un
+      |         FROM w a JOIN w b
+      |           ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)
+      |SELECT da, db,
+      |       CAST(FLOOR(dot_un / (SQRT(na.n2_un) * SQRT(nb.n2_un))
+      |                  * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      |FROM dots
+      |JOIN norms na ON na.doc_id = da
+      |JOIN norms nb ON nb.doc_id = db
+      |ORDER BY cos_micro DESC, da, db LIMIT 50""".stripMargin
+
+  // ------------------------------------------ q158 BFS distances
+
+  /** Bounded multi-source BFS ([[graft.operators.Bfs]]) over the
+    * customer↔supplier trade graph (the q117 bipartite construction):
+    * hop distance from the 3 seed customers, reported as a per-distance
+    * histogram. All-integer state means a fixed depth is bit-identical
+    * on any engine — the oracle is a bounded recursive CTE with
+    * UNION-dedup (frontier rows stay ≤ nodes×depth, never the
+    * exponential UNION ALL walk). Frontier-only expansion: each hop
+    * joins just the newly-reached nodes against the checkpointed edge
+    * list. */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders").select(col("o_orderkey"),
+      col("o_custkey"))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"))
+    val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = s.range(3).select((col("id") * 2).as("node"))
+    graft.operators.Bfs.distances(edges, seeds, maxDepth = 3)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(col("dist"))
+  }
+
+  private val q158Sql =
+    """WITH RECURSIVE
+      |pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst FROM pairs),
+      |walk(node, dist) AS (
+      |  SELECT CAST(v.node AS BIGINT), v.dist
+      |  FROM (VALUES (0, 0), (2, 0), (4, 0)) v(node, dist)
+      |  UNION
+      |  SELECT e.dst, w.dist + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.dist < 3),
+      |d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+      |SELECT CAST(dist AS INTEGER) AS dist,
+      |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |       MIN(node) AS min_node, MAX(node) AS max_node
+      |FROM d GROUP BY dist ORDER BY dist""".stripMargin
+
+  // ------------------------------------------ q159 HLL sketch rollup
+
+  /** Incremental distinct-user counting via DataSketches HLL — the
+    * 100 TB pattern for "distinct users per segment, updated daily":
+    * one mergeable sketch per (event_type, day) partial (map-side
+    * combinable, byte-bounded), then a union-aggregate per event_type
+    * and a single estimate. Re-aggregating history rescans NOTHING —
+    * only sketches merge. Estimates are engine-specific (no DuckDB
+    * oracle); QueriesSpec pins the union estimate to the exact distinct
+    * within 5% and to the direct single-pass sketch exactly. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5471,5 +5626,8 @@ object Queries {
     QueryDef("q154_jaro_winkler_pairs", q154, Some(q154Sql)),
     QueryDef("q155_activity_streaks", q155, Some(q155Sql)),
     QueryDef("q156_cohort_ltv", q156, Some(q156Sql)),
+    QueryDef("q157_sparse_cosine", q157, Some(q157Sql)),
+    QueryDef("q158_bfs_distances", q158, Some(q158Sql)),
+    QueryDef("q159_hll_incremental", q159, None),
   )
 }

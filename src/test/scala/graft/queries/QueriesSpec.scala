@@ -50,6 +50,28 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q159 HLL union estimate within 5% of exact; equals one-pass sketch") {
+    import org.apache.spark.sql.functions._
+    val est = run("q159_hll_incremental").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Queries.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, e) =>
+      assert(math.abs(est(t).toDouble - e) <= math.max(1.0, 0.05 * e),
+        s"$t: union estimate ${est(t)} vs exact $e")
+    }
+    // Mergeability: the daily-partial union must equal the single-pass
+    // sketch — same sketch state either way.
+    val onePass = Queries.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == onePass)
+  }
+
   test("every declared query runs and matches its declared column set") {
     Queries.all.foreach { q =>
       val df = q.fn(spark, sf)
