@@ -5455,6 +5455,45 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------------------ q160 ratio_to_report
+
+  /** Revenue share per market segment through the Exasol/Oracle
+    * `RATIO_TO_REPORT(x) OVER (...)` dialect spelling
+    * ([[graft.wrapper.SqlCompat.translateRatioToReport]] → `(x) /
+    * SUM(x) OVER (...)`, the builtin window aggregate). Shares are
+    * computed over exact integer cents (one segment-level aggregate
+    * first — the window runs over 5 rows, never the fact table) and
+    * reported in floored micros. */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer").createOrReplaceTempView("customer_q160")
+    t(s, d, "orders").createOrReplaceTempView("orders_q160")
+    val sql =
+      """SELECT c_mktsegment, cents,
+        |       CAST(FLOOR(RATIO_TO_REPORT(cents) OVER ()
+        |                  * 1000000 + 0.5) AS BIGINT) AS share_micro
+        |FROM (SELECT c_mktsegment,
+        |             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |               AS cents
+        |      FROM orders_q160
+        |      JOIN customer_q160 ON o_custkey = c_custkey
+        |      GROUP BY c_mktsegment) seg
+        |ORDER BY c_mktsegment""".stripMargin
+    s.sql(graft.wrapper.SqlCompat.translateRatioToReport(sql))
+  }
+
+  private val q160Sql =
+    """WITH seg AS (
+      |  SELECT c_mktsegment,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, cents,
+      |       CAST(FLOOR(CAST(cents AS DOUBLE)
+      |                  / CAST(SUM(cents) OVER () AS DOUBLE)
+      |                  * 1000000 + 0.5) AS BIGINT) AS share_micro
+      |FROM seg ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5629,5 +5668,6 @@ object Queries {
     QueryDef("q157_sparse_cosine", q157, Some(q157Sql)),
     QueryDef("q158_bfs_distances", q158, Some(q158Sql)),
     QueryDef("q159_hll_incremental", q159, None),
+    QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
   )
 }

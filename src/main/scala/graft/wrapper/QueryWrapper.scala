@@ -230,12 +230,13 @@ final class QueryWrapper private (
         // TO_TIMESTAMP(?, 'YYYY-MM-DD HH24:MI:SS'), QW:98) → Spark
         // patterns; TO_CHAR → date_format.
         val translated = SqlCompat.translateDatetimeFormats(
+          SqlCompat.translateRatioToReport(
           SqlCompat.translateGroupConcat {
             val cb = SqlCompat.translateConnectBy(stmt).getOrElse(stmt)
             val pf = SqlCompat.translatePreferring(cb).getOrElse(cb)
             // QUALIFY (window-expression filter) → subquery spelling
             SqlCompat.translateQualify(pf).getOrElse(pf)
-          })
+          }))
         val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>
           params.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => name -> v }

@@ -1663,6 +1663,66 @@ object SqlCompat {
     out.result()
   }
 
+  // --------------------------------------------------- RATIO_TO_REPORT
+  // Exasol/Oracle `RATIO_TO_REPORT(expr) OVER (partition)` → ANSI
+  // `(expr) / SUM(expr) OVER (partition)`. Pure spelling translation —
+  // the window aggregate runs on the builtin (codegen'd) SUM window.
+
+  private val RatioToReportHeadRe = "(?i)\\bratio_to_report\\s*\\(".r
+  private val RtrOverRe = "(?is)^\\s*over\\s*\\(".r
+
+  /** Rewrite every RATIO_TO_REPORT call (innermost ones on later
+    * passes). A call without a following OVER clause is left for the
+    * engine (it's invalid in Exasol too). No-op for SQL without the
+    * spelling. */
+  def translateRatioToReport(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 50) {
+      guard += 1
+      val masked = maskLiterals(cur)
+      val found = RatioToReportHeadRe.findFirstMatchIn(masked) match {
+        case None => return cur
+        case Some(m) =>
+          val argClose = balancedClose(masked, m.end - 1)
+          if (argClose < 0) return cur // unbalanced — leave for the engine
+          val after = masked.substring(argClose + 1)
+          RtrOverRe.findFirstMatchIn(after) match {
+            case None => return cur // no OVER — not the analytic form
+            case Some(ov) =>
+              val overOpen = argClose + 1 + ov.end - 1
+              val overClose = balancedClose(masked, overOpen)
+              if (overClose < 0) return cur
+              val arg = cur.substring(m.end, argClose).trim
+              val overBody = cur.substring(overOpen + 1, overClose)
+              val repl =
+                s"(($arg) / SUM($arg) OVER ($overBody))"
+              cur = cur.substring(0, m.start) + repl +
+                cur.substring(overClose + 1)
+              true
+          }
+      }
+      if (!found) return cur
+    }
+    cur
+  }
+
+  /** Index of the ')' balancing the '(' at `open` (counted on
+    * literal-masked text), or -1. */
+  private def balancedClose(masked: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
   // ------------------------------------------------------- GROUP_CONCAT
   // Exasol `GROUP_CONCAT([DISTINCT] expr [ORDER BY …] [SEPARATOR 'sep'])`
   // → Spark's native `listagg([DISTINCT] expr, 'sep')

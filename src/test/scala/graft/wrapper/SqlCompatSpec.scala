@@ -644,6 +644,39 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1) == (("b", "x", "x")))
   }
 
+  test("RATIO_TO_REPORT translates to a SUM window division") {
+    assert(SqlCompat.translateRatioToReport(
+      "SELECT g, RATIO_TO_REPORT(x) OVER (PARTITION BY g) AS r FROM t") ==
+      "SELECT g, ((x) / SUM(x) OVER (PARTITION BY g)) AS r FROM t")
+    // Empty OVER: share of the whole result set.
+    assert(SqlCompat.translateRatioToReport(
+      "SELECT RATIO_TO_REPORT(v) OVER () FROM t") ==
+      "SELECT ((v) / SUM(v) OVER ()) FROM t")
+    // Computed argument keeps its parens; nested parens in OVER survive.
+    assert(SqlCompat.translateRatioToReport(
+      "SELECT ratio_to_report(a + f(b)) OVER (PARTITION BY g(h, i)) FROM t")
+      == "SELECT ((a + f(b)) / SUM(a + f(b)) OVER (PARTITION BY g(h, i))) FROM t")
+    // No OVER clause (invalid in Exasol too): untouched.
+    val noOver = "SELECT RATIO_TO_REPORT(x) FROM t"
+    assert(SqlCompat.translateRatioToReport(noOver) == noOver)
+    // Inside a string literal: untouched.
+    val lit = "SELECT 'see RATIO_TO_REPORT(x) OVER ()' AS doc FROM t"
+    assert(SqlCompat.translateRatioToReport(lit) == lit)
+
+    import graft.SparkTestBase.spark.implicits._
+    Seq(("a", 1L), ("a", 3L), ("b", 6L))
+      .toDF("g", "v").createOrReplaceTempView("rtr_t")
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query(
+      """SELECT g, v,
+        |       CAST(FLOOR(RATIO_TO_REPORT(v) OVER (PARTITION BY g)
+        |                  * 100 + 0.5) AS BIGINT) AS pct
+        |FROM rtr_t ORDER BY g, v""".stripMargin)
+    assert(ok, res.error)
+    assert(res.rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 1L, 25L), ("a", 3L, 75L), ("b", 6L, 100L)))
+  }
+
   test("PREFERRING translation: shape, WHERE replication, guarded negatives") {
     val out = SqlCompat.translatePreferring(
       "SELECT a, b FROM t PREFERRING HIGH a PLUS LOW b ORDER BY a")
