@@ -126,7 +126,13 @@ object GraftExtensions {
     // JARO_WINKLER(a, b) — record-linkage comparator in [0,1]; native
     // codegen expression, DuckDB-compatible parameterization.
     dialectEntry("jaro_winkler", 2)(a =>
-      JaroWinklerSimilarity(a.head, a(1)))) ++
+      JaroWinklerSimilarity(a.head, a(1))),
+    // KLL mergeable quantile sketches (the quantile sibling of Spark's
+    // builtin hll_* lane): build / merge / extract. The analyzer wraps
+    // the returned AggregateFunctions itself.
+    dialectEntry("kll_sketch_agg", 1)(a => KllSketchAgg(a.head, 200)),
+    dialectEntry("kll_merge_agg", 1)(a => KllMergeAgg(a.head, 200)),
+    dialectEntry("kll_quantile", 2)(a => KllQuantile(a.head, a(1)))) ++
       variadicDialectFunctions
 
   // Variadic Exasol functions that SHADOW a Spark builtin of the same name:

@@ -5494,6 +5494,30 @@ object Queries {
       |                  * 1000000 + 0.5) AS BIGINT) AS share_micro
       |FROM seg ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------------------ q161 KLL quantile rollup
+
+  /** Incremental percentile maintenance via mergeable KLL sketches
+    * ([[graft.functions.KllSketchAgg]], native TypedImperativeAggregate
+    * — live sketch buffers, serialized only at shuffle boundaries): one
+    * byte-bounded partial per (event_type, day), a merge-aggregate per
+    * type, p50/p90/p99 extracted from the merged state. Re-running over
+    * new days merges SKETCHES — history is never rescanned. Estimates
+    * are sketch-specific (no DuckDB oracle); QueriesSpec pins each
+    * estimate's true rank to within KLL k=200's error envelope. */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(kllAgg(col("value")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), kllMerge(col("sk")).as("msk"))
+      .select(col("event_type"), col("n_days"),
+        kllQuantile(col("msk"), lit(0.5)).as("p50"),
+        kllQuantile(col("msk"), lit(0.9)).as("p90"),
+        kllQuantile(col("msk"), lit(0.99)).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5669,5 +5693,6 @@ object Queries {
     QueryDef("q158_bfs_distances", q158, Some(q158Sql)),
     QueryDef("q159_hll_incremental", q159, None),
     QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
+    QueryDef("q161_kll_quantiles", q161, None),
   )
 }

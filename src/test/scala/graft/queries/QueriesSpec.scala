@@ -72,6 +72,28 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(est == onePass)
   }
 
+  test("q161 KLL quantile estimates land within 5% true rank per type") {
+    import org.apache.spark.sql.functions._
+    val est = run("q161_kll_quantiles").collect()
+      .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(2),
+        0.9 -> r.getDouble(3), 0.99 -> r.getDouble(4))).toMap
+    val ev = Queries.events(spark, sf)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(est.keySet == ev.keySet)
+    est.foreach { case (t, qs) =>
+      val vs = ev(t)
+      qs.foreach { case (rank, q) =>
+        // true rank of the estimate (fraction of values <= q, the
+        // INCLUSIVE criterion) must sit within 5% of the target rank
+        val trueRank = vs.count(_ <= q).toDouble / vs.length
+        assert(math.abs(trueRank - rank) < 0.05,
+          s"$t p$rank: est $q has true rank $trueRank")
+      }
+    }
+  }
+
   test("every declared query runs and matches its declared column set") {
     Queries.all.foreach { q =>
       val df = q.fn(spark, sf)
