@@ -132,7 +132,14 @@ object GraftExtensions {
     // the returned AggregateFunctions itself.
     dialectEntry("kll_sketch_agg", 1)(a => KllSketchAgg(a.head, 200)),
     dialectEntry("kll_merge_agg", 1)(a => KllMergeAgg(a.head, 200)),
-    dialectEntry("kll_quantile", 2)(a => KllQuantile(a.head, a(1)))) ++
+    dialectEntry("kll_quantile", 2)(a => KllQuantile(a.head, a(1))),
+    // Theta sketches — the set-operation member of the sketch lane
+    // (intersection estimates, which HLL cannot do).
+    dialectEntry("theta_sketch_agg", 1)(a => ThetaSketchAgg(a.head)),
+    dialectEntry("theta_merge_agg", 1)(a => ThetaMergeAgg(a.head)),
+    dialectEntry("theta_estimate", 1)(a => ThetaEstimate(a.head)),
+    dialectEntry("theta_intersect_estimate", 2)(a =>
+      ThetaIntersectEstimate(a.head, a(1)))) ++
       variadicDialectFunctions
 
   // Variadic Exasol functions that SHADOW a Spark builtin of the same name:

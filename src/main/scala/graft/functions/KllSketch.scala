@@ -169,4 +169,21 @@ object SketchFunctions {
   def kllQuantile(sketch: Column, rank: Column): Column =
     Bridge.column(
       KllQuantile(Bridge.expression(sketch), Bridge.expression(rank)))
+
+  /** Default lgK=12: 4096 nominal entries — EXACT below that, ~1.6%
+    * relative error above. */
+  def thetaAgg(c: Column, lgK: Int = 12): Column =
+    Bridge.column(
+      ThetaSketchAgg(Bridge.expression(c), lgK).toAggregateExpression())
+
+  def thetaMerge(c: Column, lgK: Int = 12): Column =
+    Bridge.column(
+      ThetaMergeAgg(Bridge.expression(c), lgK).toAggregateExpression())
+
+  def thetaEstimate(c: Column): Column =
+    Bridge.column(ThetaEstimate(Bridge.expression(c)))
+
+  def thetaIntersectEstimate(a: Column, b: Column): Column =
+    Bridge.column(
+      ThetaIntersectEstimate(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -5518,6 +5518,43 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------------------ q162 theta overlap
+
+  /** Sketch-estimated corpus-overlap matrix — the q129 exact Jaccard
+    * re-expressed at the 100 TB scale path: one mergeable theta sketch
+    * per source over its bigram-shingle hashes
+    * ([[graft.functions.ThetaSketchAgg]]), then EVERY pairwise overlap
+    * is a driver-side set operation over kilobyte sketches
+    * (`theta_intersect_estimate`, the operation HLL cannot do) — the
+    * corpora are never re-joined. The pair join runs over #sources
+    * rows (broadcast nested loop by construction, never fact-sized).
+    * Estimates are sketch-specific (no DuckDB oracle); QueriesSpec
+    * pins each pair's Jaccard estimate against the exact shingle-set
+    * computation. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchFunctions._
+    val docs = t(s, d, "documents")
+    val sh = docs
+      .select(col("source"),
+        graft.ext.DedupOps.wordTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"),
+        explode(graft.ext.DedupOps.shingles(col("w"), 2)).as("g"))
+    val sks = sh.groupBy(col("source"))
+      .agg(thetaAgg(xxhash64(col("g"))).as("sk"))
+    val lhs = sks.select(col("source").as("src_a"), col("sk").as("ska"))
+    val rhs = sks.select(col("source").as("src_b"), col("sk").as("skb"))
+    lhs.join(broadcast(rhs), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        thetaEstimate(col("ska")).as("est_a"),
+        thetaEstimate(col("skb")).as("est_b"),
+        thetaIntersectEstimate(col("ska"), col("skb")).as("est_shared"))
+      .withColumn("jac_est",
+        col("est_shared")
+          / (col("est_a") + col("est_b") - col("est_shared")))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5694,5 +5731,6 @@ object Queries {
     QueryDef("q159_hll_incremental", q159, None),
     QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
     QueryDef("q161_kll_quantiles", q161, None),
+    QueryDef("q162_theta_overlap", q162, None),
   )
 }

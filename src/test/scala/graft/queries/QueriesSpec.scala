@@ -94,6 +94,27 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q162 theta Jaccard estimates track the exact shingle overlap") {
+    import org.apache.spark.sql.functions._
+    val est = run("q162_theta_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // exact shingle sets per source, computed independently
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = docs
+      .select(col("source"), graft.ext.DedupOps.wordTokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("source"), explode(graft.ext.DedupOps.shingles(col("w"), 2)).as("g"))
+      .distinct().collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(est.nonEmpty)
+    est.foreach { case ((a, b), jacEst) =>
+      val exact = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      assert(math.abs(jacEst - exact) <= 0.05,
+        s"($a,$b): est $jacEst vs exact $exact")
+    }
+  }
+
   test("every declared query runs and matches its declared column set") {
     Queries.all.foreach { q =>
       val df = q.fn(spark, sf)
