@@ -217,4 +217,22 @@ object HashFunctions {
   def jaroWinkler(a: Column, b: Column): Column =
     Bridge.column(
       JaroWinklerSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Spark's own runtime-filter bloom aggregate, exposed for EXPLICIT
+    * semi-join pruning (the scale pattern when the dim side is too big
+    * to broadcast but its key set fits a compact bitmap). `hashed` must
+    * be an xxhash64 long on BOTH build and probe sides. */
+  def bloomAgg(hashed: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(Bridge.expression(hashed),
+          Literal(expectedItems), Literal(numBits))
+        .toAggregateExpression())
+  }
+
+  def mightContain(bloom: Column, hashed: Column): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.expression(bloom), Bridge.expression(hashed)))
 }

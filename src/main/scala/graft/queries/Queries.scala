@@ -5555,6 +5555,48 @@ object Queries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ------------------------------------------ q163 bloom-pruned join
+
+  /** Explicit bloom-prefiltered semi join — the scale pattern when the
+    * dim side is too big to broadcast whole but its KEY SET fits a
+    * compact bitmap (Spark's own runtime-filter machinery, driven
+    * explicitly): build `bloom_filter_agg` over the filtered dim keys
+    * (one ~KB aggregate row), broadcast it, prune the fact table with
+    * `might_contain` BEFORE the join shuffle, then close with the exact
+    * semi join — false positives drop there, so the RESULT is exact and
+    * oracle-checkable while the shuffle moves only ~matching rows.
+    * Money in exact integer cents. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions._
+    val cust = t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // `might_contain` requires a CONSTANT filter (or scalar subquery) —
+    // the one-row aggregate is driver-held and re-broadcast as a
+    // literal, the codebook discipline (bounded: ~100 KB bitmap).
+    val bf = cust.agg(
+      bloomAgg(xxhash64(col("c_custkey")), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = t(s, d, "orders")
+      .filter(mightContain(lit(bf), xxhash64(col("o_custkey"))))
+    pruned
+      .join(cust, pruned("o_custkey") === cust("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q163Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |            AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5732,5 +5774,6 @@ object Queries {
     QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
     QueryDef("q161_kll_quantiles", q161, None),
     QueryDef("q162_theta_overlap", q162, None),
+    QueryDef("q163_bloom_prune", q163, Some(q163Sql)),
   )
 }

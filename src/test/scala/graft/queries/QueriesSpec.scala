@@ -115,6 +115,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q163 bloom prune: the might_contain prefilter is in the plan " +
+      "and pruning loses no rows") {
+    val df = run("q163_bloom_prune")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+    // exact reference without the bloom stage: plain semi join
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val plain = spark.read.parquet(s"$sf/orders.parquet")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == plain)
+  }
+
   test("every declared query runs and matches its declared column set") {
     Queries.all.foreach { q =>
       val df = q.fn(spark, sf)
