@@ -235,4 +235,14 @@ object HashFunctions {
     Bridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         Bridge.expression(bloom), Bridge.expression(hashed)))
+
+  /** Spark's internal bounded-priority-queue collect, exposed for
+    * explicit grouped top-k: ONE hash aggregate with a k-item heap per
+    * group (map-side combinable) — no per-group sort, no window, no
+    * one-reducer-per-group. `reverse = false` keeps the LARGEST k by
+    * the child's type ordering (struct = lexicographic; negate a field
+    * for a mixed direction), `true` the smallest. Result array arrives
+    * ordered best-first. */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    Bridge.collectTopK(c, k, reverse)
 }

@@ -5597,6 +5597,50 @@ object Queries {
       |                    WHERE c_mktsegment = 'BUILDING')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------ q164 heap top-k per group
+
+  /** Grouped top-k via a bounded-heap aggregate (Spark's internal
+    * `CollectTopK`, exposed through the HashFunctions facade) — the
+    * scale answer to "top 3 orders per segment": ONE hash aggregate
+    * holding a k-item heap per group, map-side combinable — no window,
+    * no per-group sort, no one-reducer-per-group. Tie-break inside the
+    * heap via a negated orderkey field (struct ordering is
+    * lexicographic), so the result is exact and deterministic; the
+    * oracle is the ROW_NUMBER window spelling of the same cut. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+      .join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"),
+        col("o_orderkey"))
+    orders.groupBy(col("c_mktsegment"))
+      .agg(graft.functions.HashFunctions.collectTopK(
+        struct(col("cents"), (-col("o_orderkey")).as("nk")), 3,
+        reverse = false).as("tops"))
+      .select(col("c_mktsegment"),
+        posexplode_outer(col("tops")).as(Seq("pos", "top")))
+      .select(col("c_mktsegment"),
+        (col("pos") + 1).cast("int").as("rk"),
+        (-col("top.nk")).as("o_orderkey"),
+        col("top.cents").as("cents"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  private val q164Sql =
+    """WITH ranked AS (
+      |  SELECT c_mktsegment,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |           ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |             DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, cents
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5775,5 +5819,6 @@ object Queries {
     QueryDef("q161_kll_quantiles", q161, None),
     QueryDef("q162_theta_overlap", q162, None),
     QueryDef("q163_bloom_prune", q163, Some(q163Sql)),
+    QueryDef("q164_heap_topk", q164, Some(q164Sql)),
   )
 }

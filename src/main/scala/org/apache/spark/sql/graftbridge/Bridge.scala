@@ -12,6 +12,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Spark's internal bounded-priority-queue collect (`CollectTopK` is
+    * `private[sql]`): one k-item heap per group, map-side combinable. */
+  def collectTopK(c: Column, k: Int, reverse: Boolean): Column =
+    column(org.apache.spark.sql.catalyst.expressions.aggregate
+      .GraftCollectBridge.collectTopK(expression(c), k, reverse))
+
   /** Register a SQL function on a LIVE session (`sessionState` is
     * `private[sql]`; the public path, `SparkSessionExtensions`, only runs
     * at session build). */
