@@ -240,4 +240,28 @@ object StreamOps {
       .groupBy(col(keyCol), org.apache.spark.sql.functions.window(col(tsCol), window))
       .agg(count(lit(1)).as("n"))
       .select(col(keyCol), col("window.start").as("win_start"), col("n"))
+
+  /** Windowed approximate distinct via DataSketches HLL in streaming
+    * state — the unbounded-cardinality answer to "distinct users per
+    * window per segment": the aggregation state per (key, window) is a
+    * BYTE-BOUNDED sketch, not a value set (exact streaming
+    * `count_distinct` keeps every key in state and is disallowed in
+    * append mode anyway). Partials merge map-side and across
+    * micro-batches; the estimate materializes when the watermark closes
+    * the window. Exact below the sketch's dense threshold. */
+  def windowedDistinct(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      distinctCol: String = "user_id",
+      window: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol),
+        org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(expr(s"hll_sketch_estimate(hll_sketch_agg($distinctCol))")
+        .as("est_distinct"))
+      .select(col(keyCol), col("window.start").as("win_start"),
+        col("est_distinct"))
 }

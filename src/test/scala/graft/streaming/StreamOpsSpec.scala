@@ -49,6 +49,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, ts(5), 2L))) // 5 + 20 merge
   }
 
+  test("streaming windowed HLL distinct: sketch state, exact at low card") {
+    val sql = spark
+    import sql.implicits._
+    val dir = Files.createTempDirectory("stream_hll").toString + "/in"
+    // window 10:00-11:00: type a has users {1,2,3} (user 2 twice —
+    // dedup inside the sketch), type b has {7}; window 11:00-12:00:
+    // type a has {4,5}. Sentinel advances the watermark.
+    val rows = Seq(
+      ("a", 1L, ts(0)), ("a", 2L, ts(10)), ("a", 2L, ts(20)),
+      ("a", 3L, ts(30)), ("b", 7L, ts(15)),
+      ("a", 4L, Timestamp.valueOf("2026-01-01 11:05:00")),
+      ("a", 5L, Timestamp.valueOf("2026-01-01 11:45:00")),
+      ("zz", 0L, Timestamp.valueOf("2026-02-01 00:00:00")))
+    rows.toDF("event_type", "user_id", "ts").coalesce(1).write.parquet(dir)
+
+    val stream = spark.readStream
+      .schema("event_type STRING, user_id BIGINT, ts TIMESTAMP")
+      .parquet(dir)
+    val out = StreamOps.windowedDistinct(stream,
+      window = "1 hour", watermark = "0 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("hll_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("hll_out")
+      .filter($"event_type" =!= "zz")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    // HLL is exact in sparse mode at these cardinalities.
+    assert(got == Set(
+      ("a", ts(0), 3L),
+      ("b", ts(0), 1L),
+      ("a", Timestamp.valueOf("2026-01-01 11:00:00"), 2L)))
+  }
+
   test("stream-stream interval join pairs rows within the time bound") {
     val sql = spark
     import sql.implicits._
