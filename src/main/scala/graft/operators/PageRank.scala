@@ -62,4 +62,39 @@ object PageRank {
     }
     r
   }
+
+  /** Personalized (seeded) PageRank: teleport mass flows ONLY to the
+    * seed set, so ranks measure proximity to the seeds instead of
+    * global centrality — the "similar entities to these" graph query.
+    * Same engine-exact integer discipline and iteration shapes as
+    * [[ranks]]; the seed flag rides the checkpointed node frame, so
+    * each iteration stays one join + one aggregate. */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1,100]: $iters")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    val base = nodes
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("s1", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s1"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    var r = base.select(col("node"),
+      (col("is_seed") * lit(1000000L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, col("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr("rank div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = base.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * lit(150000L) +
+            floor(coalesce(col("s"), lit(0L)).cast("double") * 0.85)
+              .cast("long")).as("rank"))
+        .localCheckpoint()
+    }
+    r
+  }
 }

@@ -5641,6 +5641,63 @@ object Queries {
       |FROM ranked WHERE rk <= 3
       |ORDER BY c_mktsegment, rk""".stripMargin
 
+  // ------------------------------------------ q165 personalized PR
+
+  /** Personalized PageRank from the 3 seed customers over the q117
+    * trade graph ([[graft.operators.PageRank.personalized]]): teleport
+    * mass flows only to the seeds, so ranks measure graph proximity —
+    * "suppliers/customers most related to these accounts". Same
+    * engine-exact integer-micro discipline as q117, so the oracle is
+    * the same chained-CTE iteration with a seeded teleport; top-20. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders").select(col("o_orderkey"),
+      col("o_custkey"))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"))
+    val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = s.range(3).select((col("id") * 2).as("node"))
+    graft.operators.PageRank.personalized(edges, seeds, iters = 5)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  private val q165Sql = {
+    val prs = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT b.node,
+         |         CAST(b.is_seed * 150000
+         |              + FLOOR(0.85 * COALESCE(c.s, 0)) AS BIGINT)
+         |           AS rank
+         |  FROM base b LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.rank // d.outdeg) AS s
+         |    FROM pr${i - 1} p
+         |    JOIN edges e ON e.src = p.node
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.node = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM pairs
+       |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |base AS (SELECT node,
+       |                CASE WHEN node IN (0, 2, 4) THEN 1 ELSE 0 END
+       |                  AS is_seed
+       |         FROM nodes),
+       |pr0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank
+       |        FROM base),
+       |$prs
+       |SELECT node, rank FROM pr5
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5820,5 +5877,6 @@ object Queries {
     QueryDef("q162_theta_overlap", q162, None),
     QueryDef("q163_bloom_prune", q163, Some(q163Sql)),
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),
+    QueryDef("q165_personalized_pr", q165, Some(q165Sql)),
   )
 }

@@ -34,6 +34,34 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(r5(1L) > r5(2L) && leaves.map(r5).toSet.size == 1)
   }
 
+  test("personalized: mass stays near the seed; far nodes get less") {
+    // path 1-2-3-4-5 (both directions), seed at node 1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val r = PageRank.personalized(edges, Seq(1L).toDF("node"), 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // seed-proximity bias (mass pulses along a path, so per-hop rank is
+    // NOT monotone — assert the stable facts: the seed's neighbor
+    // dominates every farther node, and the far end is the minimum)
+    assert(r(2L) > r(3L) && r(2L) > r(4L) && r(2L) > r(5L), r.toString)
+    assert(r(5L) < r(3L) && r(5L) < r(4L), r.toString)
+    // hand-check iteration 1: node 1 gets teleport 150000 + floor(0.85 *
+    // (rank2 div outdeg2)) where rank2 after init is 0 -> 150000;
+    // wait: iteration 1 uses INIT ranks (seed 1e6, others 0):
+    //   node 2: 0 teleport + floor(0.85 * (1e6 div 1)) = 850000
+    //   node 1: 150000 + floor(0.85 * (0 div 2)) = 150000
+    val r1 = PageRank.personalized(edges, Seq(1L).toDF("node"), 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1(2L) == 850000L && r1(1L) == 150000L && r1(3L) == 0L)
+    // non-seed teleport is zero: an isolated pair unreachable from the
+    // seed decays to exactly 0
+    val iso = (path ++ path.map(_.swap) ++ Seq((8L, 9L), (9L, 8L)))
+      .toDF("src", "dst")
+    val ri = PageRank.personalized(iso, Seq(1L).toDF("node"), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ri(8L) == 0L && ri(9L) == 0L)
+  }
+
   test("ranks are partitioning-independent (integer arithmetic end to end)") {
     val rnd = new scala.util.Random(3)
     val base = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
