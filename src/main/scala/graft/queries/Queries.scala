@@ -5698,6 +5698,51 @@ object Queries {
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------ q166 hard negatives
+
+  /** Hard-negative mining for contrastive training — for every vector,
+    * the most-similar vector with a DIFFERENT label (the classic
+    * "hardest negative" pair): pair scoring via the native `array_dot`
+    * cosine, then the per-query top-1 through the bounded-heap
+    * aggregate ([[graft.functions.HashFunctions.collectTopK]]) — one
+    * hash aggregate, no window, no per-query sort. Here the query side
+    * broadcasts (brute-force is the oracle-checkable baseline); at
+    * 100 TB the scoring pass swaps to the q41/q103 IVF cell-pruned
+    * index, keeping this exact shape downstream. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val qs = emb.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("e").as("qe"))
+    val scored = emb.join(broadcast(qs), col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        graft.ext.SimilarityOps.cosine(col("e"), col("qe")))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.HashFunctions.collectTopK(
+        struct(col("cos"), (-col("vec_id")).as("nid")), 1,
+        reverse = false).as("tops"))
+      .select(col("query_id"), element_at(col("tops"), 1).as("top"))
+      .select(col("query_id"), (-col("top.nid")).as("neg_id"),
+        round(col("top.cos"), 4).as("cosine"))
+      .orderBy(col("query_id"))
+  }
+
+  private val q166Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |         LIST_COSINE_SIMILARITY(c.e, q.e) AS cos
+      |  FROM e q JOIN e c ON c.label <> q.label),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |               ORDER BY cos DESC, vec_id) AS rk
+      |      FROM scored)
+      |SELECT query_id, vec_id AS neg_id, ROUND(cos, 4) AS cosine
+      |FROM r WHERE rk = 1 ORDER BY query_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5878,5 +5923,6 @@ object Queries {
     QueryDef("q163_bloom_prune", q163, Some(q163Sql)),
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),
     QueryDef("q165_personalized_pr", q165, Some(q165Sql)),
+    QueryDef("q166_hard_negatives", q166, Some(q166Sql)),
   )
 }
