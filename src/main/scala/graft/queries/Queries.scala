@@ -5743,6 +5743,50 @@ object Queries {
       |SELECT query_id, vec_id AS neg_id, ROUND(cos, 4) AS cosine
       |FROM r WHERE rk = 1 ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------ q167 time-weighted avg
+
+  /** Time-weighted average value per user (TWAP) — each event's value
+    * holds until the user's next event, weighted by the holding
+    * interval: the step-function average that plain AVG gets wrong
+    * whenever sampling is irregular. Exact integer arithmetic
+    * throughout (centi-value × interval micros, integer division with
+    * a NULLIF guard — the time-boundary discipline); ONE per-user
+    * window (lead) + one aggregate. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tus"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+      .withColumn("nxt", lead(col("tus"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dt", col("nxt") - col("tus"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_us"),
+        sum(col("vc") * col("dt")).as("wsum"))
+      .withColumn("twap_centi", expr("wsum div nullif(span_us, 0)"))
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        col("twap_centi"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q167Sql =
+    """WITH iv AS (
+      |  SELECT user_id, EPOCH_US(ts) AS tus,
+      |         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+      |         LEAD(EPOCH_US(ts), 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |d AS (SELECT user_id, vc, nxt - tus AS dt FROM iv
+      |      WHERE nxt IS NOT NULL)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |       CAST(SUM(dt) AS BIGINT) AS span_us,
+      |       CAST(SUM(vc * dt) AS BIGINT)
+      |         // NULLIF(CAST(SUM(dt) AS BIGINT), 0) AS twap_centi
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5924,5 +5968,6 @@ object Queries {
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),
     QueryDef("q165_personalized_pr", q165, Some(q165Sql)),
     QueryDef("q166_hard_negatives", q166, Some(q166Sql)),
+    QueryDef("q167_twap", q167, Some(q167Sql)),
   )
 }

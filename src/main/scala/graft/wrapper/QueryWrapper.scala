@@ -198,6 +198,19 @@ final class QueryWrapper private (
         val exported =
           SqlCompat.runExport(spark, SqlCompat.parseExport(stmt).get)
         new QueryResult(stmt, None, Some(exported), None)
+      case _ if SqlCompat.parseParquetImport(stmt)
+          .exists(im => SqlCompat.canHandle(spark, im)) =>
+        // IMPORT … FROM PARQUET: typed columnar ingest (no quarantine —
+        // parquet rows can't be malformed), by-name column alignment.
+        val loaded = SqlCompat.runParquetImport(spark,
+          SqlCompat.parseParquetImport(stmt).get)
+        new QueryResult(stmt, None, Some(loaded), None)
+      case _ if SqlCompat.parseParquetExport(stmt)
+          .exists(ex => SqlCompat.canHandle(spark, ex)) =>
+        // EXPORT … INTO PARQUET: table/query → parquet directory.
+        val exported = SqlCompat.runParquetExport(spark,
+          SqlCompat.parseParquetExport(stmt).get)
+        new QueryResult(stmt, None, Some(exported), None)
       case _ if SqlCompat.handleConnectionDdl(stmt) =>
         // CREATE/DROP CONNECTION: named JDBC endpoints for IMPORT/EXPORT.
         QueryResult.empty(stmt)

@@ -610,6 +610,70 @@ object SqlCompat {
     n
   }
 
+  // ---------------------------------------------- IMPORT/EXPORT via PARQUET
+  // The columnar sibling of the CSV lane, same statement grammar:
+  // `IMPORT INTO t FROM [LOCAL] PARQUET FILE 'p' [FILE 'p2' …]` /
+  // `EXPORT (t|(query)) INTO [LOCAL] PARQUET FILE 'p' [REPLACE]`.
+  // Parquet is typed, so there is no malformed-row quarantine or REJECT
+  // LIMIT; columns align BY NAME with a cast to the target type (loader
+  // semantics — a missing target column fails analysis, extra source
+  // columns are dropped).
+
+  private val ParquetImportRe =
+    ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?" +
+      "parquet\\s+((?:file\\s+'[^']*'\\s*)+)\\s*;?\\s*$").r
+  private val ParquetExportRe =
+    ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+" +
+      "(?:local\\s+)?parquet\\s+file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
+
+  final case class ParquetImport(table: String, paths: Seq[String])
+  final case class ParquetExport(source: Either[String, String],
+      path: String, replace: Boolean)
+
+  def parseParquetImport(sql: String): Option[ParquetImport] =
+    ParquetImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
+      val files = sql.substring(m.start(2), m.end(2))
+      ParquetImport(sql.substring(m.start(1), m.end(1)),
+        FileClauseRe.findAllMatchIn(files).map(_.group(1)).toSeq)
+    }
+
+  def parseParquetExport(sql: String): Option[ParquetExport] =
+    ParquetExportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
+      val opts = sql.substring(m.start(4), m.end(4))
+      val source =
+        if (m.group(1) != null) Left(sql.substring(m.start(1), m.end(1)))
+        else Right(sql.substring(m.start(2), m.end(2)).trim)
+      ParquetExport(source, sql.substring(m.start(3), m.end(3)),
+        replace = ReplaceOptRe.findFirstIn(opts).isDefined)
+    }
+
+  def canHandle(spark: SparkSession, i: ParquetImport): Boolean =
+    tableExists(spark, i.table)
+
+  def canHandle(spark: SparkSession, e: ParquetExport): Boolean =
+    e.source match {
+      case Left(table) => tableExists(spark, table)
+      case Right(query) => isPureQuery(spark, query)
+    }
+
+  def runParquetImport(spark: SparkSession, i: ParquetImport): Long = {
+    val target = spark.table(i.table).schema
+    val src = spark.read.parquet(i.paths: _*)
+    val aligned = src.select(target.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val n = aligned.count()
+    aligned.write.mode("append").insertInto(i.table)
+    n
+  }
+
+  def runParquetExport(spark: SparkSession, e: ParquetExport): Long = {
+    val df = e.source.fold(spark.table, spark.sql)
+    val n = df.count()
+    df.write.mode(if (e.replace) "overwrite" else "errorifexists")
+      .parquet(e.path)
+    n
+  }
+
   // ------------------------------------------------- IMPORT/EXPORT via JDBC
   //
   // Exasol's loader speaks to external databases through the same IMPORT/

@@ -644,6 +644,39 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1) == (("b", "x", "x")))
   }
 
+  test("IMPORT/EXPORT PARQUET: round-trip, REPLACE guard, by-name cast") {
+    val sql = graft.SparkTestBase.spark
+    import sql.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pq_ie").toString
+    spark.sql("DROP TABLE IF EXISTS pq_t")
+    spark.sql("CREATE TABLE pq_t (id BIGINT, name STRING) USING parquet")
+    try {
+      val w = QueryWrapper(spark)
+      // seed + export
+      spark.sql("INSERT INTO pq_t VALUES (1, 'a'), (2, 'b')")
+      val (ok1, r1) = w.query(s"EXPORT pq_t INTO PARQUET FILE '$dir/out'")
+      assert(ok1 && r1.rowsAffected.contains(2L))
+      // existing path fails without REPLACE, REPLACE overwrites
+      w.onError = "continue"
+      val (ok2, _) = w.query(s"EXPORT pq_t INTO PARQUET FILE '$dir/out'")
+      assert(!ok2)
+      val (ok3, _) = w.query(
+        s"EXPORT (SELECT id, name FROM pq_t WHERE id = 1) " +
+          s"INTO PARQUET FILE '$dir/out' REPLACE")
+      assert(ok3)
+      // import appends with by-name alignment + cast (id written as INT)
+      Seq((7, "z")).toDF("id", "name").write
+        .parquet(s"$dir/in") // INT id -> cast to BIGINT on import
+      val (ok4, r4) = w.query(
+        s"IMPORT INTO pq_t FROM PARQUET FILE '$dir/in'")
+      assert(ok4, r4.error)
+      assert(r4.rowsAffected.contains(1L))
+      val rows = spark.table("pq_t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (7L, "z")))
+    } finally spark.sql("DROP TABLE IF EXISTS pq_t")
+  }
+
   test("RATIO_TO_REPORT translates to a SUM window division") {
     assert(SqlCompat.translateRatioToReport(
       "SELECT g, RATIO_TO_REPORT(x) OVER (PARTITION BY g) AS r FROM t") ==
