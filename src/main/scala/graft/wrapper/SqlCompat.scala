@@ -373,12 +373,14 @@ object SqlCompat {
   private val NullOptRe = "(?is)\\bnull\\s*=\\s*'([^']*)'".r
   private val RowSepOptRe = "(?is)row\\s+separator\\s*=\\s*'([^']*)'".r
   private val RejectLimitRe = "(?is)reject\\s+limit\\s+(\\d+|unlimited)".r
+  private val ErrorsIntoRe = "(?is)errors\\s+into\\s+([\\w.`]+)".r
   private val ReplaceOptRe = "(?is)\\breplace\\b".r
   private val WithColNamesRe = "(?is)with\\s+column\\s+names".r
 
   final case class CsvImport(table: String, paths: Seq[String], sep: String,
       skip: Int, encoding: String, nullValue: Option[String],
-      rowSep: Option[String], rejectLimit: Option[Long]) {
+      rowSep: Option[String], rejectLimit: Option[Long],
+      errorsInto: Option[String] = None) {
     /** SKIP = 1 is the header-row case — let the CSV reader consume it. */
     def header: Boolean = skip == 1
     def path: String = paths.head
@@ -423,7 +425,8 @@ object SqlCompat {
         rejectLimit = RejectLimitRe.findFirstMatchIn(opts).flatMap { r =>
           if (r.group(1).equalsIgnoreCase("unlimited")) None
           else Some(r.group(1).toLong)
-        })
+        },
+        errorsInto = ErrorsIntoRe.findFirstMatchIn(opts).map(_.group(1)))
     }
 
   /** Exasol `EXPORT t INTO [LOCAL] CSV FILE 'path' [REPLACE]
@@ -523,6 +526,15 @@ object SqlCompat {
       i.rejectLimit.foreach { cap =>
         require(bad <= cap,
           s"IMPORT: $bad malformed row(s) exceed REJECT LIMIT $cap")
+      }
+      // Exasol `ERRORS INTO t`: rejected raw lines land in an errors
+      // table instead of (only) the in-memory quarantine lane. The table
+      // is created on first use, host-engine style.
+      i.errorsInto.foreach { et =>
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $et " +
+          "(raw_record STRING) USING parquet")
+        if (bad > 0)
+          res.quarantined.write.mode("append").insertInto(et)
       }
       res.good.write.mode("append").insertInto(i.table)
       (loaded, bad)

@@ -644,6 +644,34 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1) == (("b", "x", "x")))
   }
 
+  test("IMPORT ERRORS INTO: rejected raw lines land in the errors table") {
+    val dir = java.nio.file.Files.createTempDirectory("err_into").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "1,a\n2,b\nnot-a-number,c\n")
+    spark.sql("DROP TABLE IF EXISTS ei2_t")
+    spark.sql("DROP TABLE IF EXISTS ei2_err")
+    spark.sql("CREATE TABLE ei2_t (id BIGINT, name STRING) USING parquet")
+    try {
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"IMPORT INTO ei2_t FROM CSV FILE '$dir/in.csv' ERRORS INTO ei2_err")
+      assert(ok, res.error)
+      assert(res.rowsAffected.contains(2L))
+      val errs = spark.table("ei2_err").collect().map(_.getString(0)).toSeq
+      assert(errs == Seq("not-a-number,c"))
+      // a clean re-import appends nothing to the errors table
+      val (ok2, _) = w.query(
+        s"IMPORT INTO ei2_t FROM CSV FILE '$dir/in.csv' " +
+          "ERRORS INTO ei2_err REJECT LIMIT 5")
+      assert(ok2)
+      assert(spark.table("ei2_err").count() == 2L) // same bad line again
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ei2_t")
+      spark.sql("DROP TABLE IF EXISTS ei2_err")
+    }
+  }
+
   test("IMPORT/EXPORT PARQUET: round-trip, REPLACE guard, by-name cast") {
     val sql = graft.SparkTestBase.spark
     import sql.implicits._
