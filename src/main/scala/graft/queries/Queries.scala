@@ -5787,6 +5787,140 @@ object Queries {
       |         // NULLIF(CAST(SUM(dt) AS BIGINT), 0) AS twap_centi
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------ q168 KS two-sample test
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the purchase
+    * and click value distributions — the distribution-drift test PSI's
+    * fixed bins can miss: D = max |F1(x) − F2(x)| evaluated at every
+    * distinct value, computed in EXACT integers (cross-multiplied
+    * cumulative counts — no float CDFs). Scale shape: collapse to
+    * per-distinct-value counts FIRST (input to the prefix is bounded by
+    * the value domain, not the event count), then BOTH cumulative
+    * counts ride ONE bounded-memory global prefix
+    * ([[graft.ext.ShardOps.withGlobalPrefixSum]], one range shuffle —
+    * never a one-reducer window) by packing (cnt1, cnt2) into a single
+    * long (cnt1·2³² + cnt2; counts < 2³¹ so the lanes cannot carry). */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    val perValue = ev.groupBy(col("vc"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c2"))
+      .withColumn("packed",
+        col("c1") * lit(4294967296L) + col("c2"))
+    val prefixed = graft.ext.ShardOps.withGlobalPrefixSum(
+      perValue, Seq(col("vc").asc), "packed")
+    prefixed
+      .withColumn("cum1", expr("__rsum div 4294967296"))
+      .withColumn("cum2", expr("__rsum % 4294967296"))
+      .crossJoin(broadcast(ev.groupBy()
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n2"))))
+      .withColumn("gap", abs(col("cum1") * col("n2")
+        - col("cum2") * col("n1")))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("gap")).as("d_num"))
+      .withColumn("d_micro",
+        expr("d_num * 1000000 div (n1 * n2)"))
+      .select(col("n1"), col("n2"), col("d_num"), col("d_micro"))
+  }
+
+  private val q168Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |pv AS (
+      |  SELECT vc,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |                       ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+      |                       ELSE 0 END) AS BIGINT) AS c2
+      |  FROM ev GROUP BY vc),
+      |cum AS (
+      |  SELECT CAST(SUM(c1) OVER (ORDER BY vc
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+      |         CAST(SUM(c2) OVER (ORDER BY vc
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+      |  FROM pv),
+      |n AS (
+      |  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |                       ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+      |                       ELSE 0 END) AS BIGINT) AS n2
+      |  FROM ev)
+      |SELECT n1, n2,
+      |       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+      |       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT)
+      |         * 1000000 // (n1 * n2) AS d_micro
+      |FROM cum CROSS JOIN n
+      |GROUP BY n1, n2""".stripMargin
+
+  // ------------------------------------------ q169 chi-square test
+
+  /** Chi-square independence test between event type and hour-of-day —
+    * "is traffic mix time-invariant": χ² = Σ (O·N − R·C)² / (N·R·C)
+    * over the contingency cells (the cross-multiplied form — expected
+    * counts never materialize as floats). Per-cell contributions floor
+    * to integer micros BEFORE the sum (the q104 discipline: integer
+    * addition is order-independent ⇒ cross-engine hash-match); the
+    * per-cell double ops are the same IEEE expression on both engines.
+    * Everything after the first aggregate runs on ≤ types×24 rows. */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("hr")).agg(sum(col("o")).as("c"))
+    val nT = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "hr")
+      .crossJoin(broadcast(nT))
+      .withColumn("diff", col("o") * col("n") - col("r") * col("c"))
+      .withColumn("contrib_micro",
+        floor(col("diff").cast("double") * col("diff").cast("double")
+          / (col("n").cast("double") * col("r") * col("c"))
+          * lit(1e6)))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("event_type")) - 1)
+          * (countDistinct(col("hr")) - 1)).as("dof"),
+        sum(col("contrib_micro")).as("chi2_micro"))
+  }
+
+  private val q169Sql =
+    """WITH cells AS (
+      |  SELECT event_type, HOUR(ts) AS hr,
+      |         CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |ct AS (SELECT hr, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |x AS (
+      |  SELECT cells.o * nt.n - rt.r * ct.c AS diff,
+      |         rt.r AS r, ct.c AS c, nt.n AS n,
+      |         cells.event_type, cells.hr
+      |  FROM cells
+      |  JOIN rt ON cells.event_type = rt.event_type
+      |  JOIN ct ON cells.hr = ct.hr
+      |  CROSS JOIN nt)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |       CAST((COUNT(DISTINCT event_type) - 1)
+      |            * (COUNT(DISTINCT hr) - 1) AS BIGINT) AS dof,
+      |       CAST(SUM(CAST(FLOOR(
+      |           CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE)
+      |           / (CAST(n AS DOUBLE) * r * c) * 1000000)
+      |         AS BIGINT)) AS BIGINT) AS chi2_micro
+      |FROM x""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -5969,5 +6103,7 @@ object Queries {
     QueryDef("q165_personalized_pr", q165, Some(q165Sql)),
     QueryDef("q166_hard_negatives", q166, Some(q166Sql)),
     QueryDef("q167_twap", q167, Some(q167Sql)),
+    QueryDef("q168_ks_test", q168, Some(q168Sql)),
+    QueryDef("q169_chi_square", q169, Some(q169Sql)),
   )
 }
