@@ -5921,6 +5921,85 @@ object Queries {
       |         AS BIGINT)) AS BIGINT) AS chi2_micro
       |FROM x""".stripMargin
 
+  // ------------------------------------------ q170 Mann–Whitney U
+
+  /** Mann–Whitney U rank-sum test (purchase vs click values) — the
+    * nonparametric location test completing the drift family (KS q168,
+    * χ² q169). Midranks stay EXACT integers by working in doubled
+    * units: for a distinct value with `m` total observations after
+    * `cb` smaller ones, 2·midrank = 2·cb + m + 1, so the rank sum and
+    * U statistic are integer-exact with ties handled correctly. The
+    * tie-corrected z-score is ONE shared final double expression over
+    * those integers. Same scale shape as q168: per-distinct-value
+    * collapse first, one bounded-memory global prefix. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("vc"))
+    val perValue = ev.groupBy(col("vc"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c1"),
+        count(lit(1)).as("m"))
+    val prefixed = graft.ext.ShardOps.withGlobalPrefixSum(
+      perValue, Seq(col("vc").asc), "m")
+      .withColumn("cb", col("__rsum") - col("m"))
+      .withColumn("contrib_x2",
+        col("c1") * (lit(2L) * col("cb") + col("m") + 1L))
+      .withColumn("tie_t", col("m") * (col("m") * col("m") - 1L))
+    prefixed
+      .agg(sum(col("c1")).as("n1"),
+        (sum(col("m")) - sum(col("c1"))).as("n2"),
+        sum(col("contrib_x2")).as("r1_x2"),
+        sum(col("tie_t")).as("tie_t"))
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1L))
+      .withColumn("z_micro", expr(
+        """CAST(FLOOR(
+          |  (CAST(u1_x2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+          |  / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+          |         * ((n1 + n2 + 1)
+          |            - CAST(tie_t AS DOUBLE)
+          |              / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))))
+          |  * 1000000) AS BIGINT)""".stripMargin))
+      .select(col("n1"), col("n2"), col("u1_x2"), col("tie_t"),
+        col("z_micro"))
+  }
+
+  private val q170Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |pv AS (
+      |  SELECT vc,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |                       ELSE 0 END) AS BIGINT) AS c1,
+      |         CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM ev GROUP BY vc),
+      |pr AS (
+      |  SELECT c1, m,
+      |         CAST(SUM(m) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) - m AS cb
+      |  FROM pv),
+      |agg AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |         CAST(SUM(m) - SUM(c1) AS BIGINT) AS n2,
+      |         CAST(SUM(c1 * (2 * cb + m + 1)) AS BIGINT) AS r1_x2,
+      |         CAST(SUM(m * (m * m - 1)) AS BIGINT) AS tie_t
+      |  FROM pr),
+      |u AS (SELECT n1, n2, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_t
+      |      FROM agg)
+      |SELECT n1, n2, u1_x2, tie_t,
+      |       CAST(FLOOR(
+      |         (CAST(u1_x2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+      |         / SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+      |                * ((n1 + n2 + 1)
+      |                   - CAST(tie_t AS DOUBLE)
+      |                     / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))))
+      |         * 1000000) AS BIGINT) AS z_micro
+      |FROM u""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6105,5 +6184,6 @@ object Queries {
     QueryDef("q167_twap", q167, Some(q167Sql)),
     QueryDef("q168_ks_test", q168, Some(q168Sql)),
     QueryDef("q169_chi_square", q169, Some(q169Sql)),
+    QueryDef("q170_mann_whitney", q170, Some(q170Sql)),
   )
 }
