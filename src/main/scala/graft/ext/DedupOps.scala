@@ -218,6 +218,19 @@ object DedupOps {
       .select(col(idCol).as("id"),
         hashShingles(wordTokens(col(textCol))).as("hs"))
       .select(col("id"), simhashExpr("hs").as("fp"))
+    fingerprintPairs(fp, maxHamming, maxBucket)
+  }
+
+  /** Banded Hamming-distance pairs over ANY 64-bit fingerprint frame
+    * (`id: long, fp: long`) — the bucketed engine behind
+    * [[simhashPairs]], reused by perceptual-hash image dedup
+    * ([[MultimodalOps.dHash]]): four 16-bit bands, pairs generated only
+    * inside ≤`maxBucket` buckets, never all-pairs. By the pigeonhole
+    * principle any pair within Hamming ≤ 3 shares at least one band. */
+  def fingerprintPairs(
+      fp: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     val banded = fp.select(col("id"), col("fp"),
       posexplode_outer(expr(
         "transform(sequence(0, 3), b -> (shiftright(fp, CAST(b * 16 AS INT))) & 65535)"))

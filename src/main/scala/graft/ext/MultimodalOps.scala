@@ -294,4 +294,32 @@ object MultimodalOps {
         "i -> substring(bytes, i, 1)))")
         .as("frames"))
   }
+
+  /** Perceptual difference hash (dHash, Krawetz 2013) over a media
+    * payload: box-resample the byte grid to 9×8 through [[resizePooled]]
+    * (the pooled-average path — resize-invariant by construction), then
+    * one bit per horizontal neighbor pair (left < right). Near-duplicate
+    * IMAGES then ride the same banded Hamming engine as text SimHash
+    * ([[DedupOps.fingerprintPairs]]) — per-payload work is constant,
+    * pairs appear only inside hash buckets. Output: (id, fp). */
+  def dHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    resizePooled(media, 9, 8).map { r =>
+      var h = 0L
+      var bit = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (r.pixels(y * 9 + x) < r.pixels(y * 9 + x + 1))
+            h |= (1L << bit)
+          bit += 1
+          x += 1
+        }
+        y += 1
+      }
+      (r.doc_id, h)
+    }.toDF("id", "fp")
+  }
 }

@@ -6000,6 +6000,27 @@ object Queries {
       |         * 1000000) AS BIGINT) AS z_micro
       |FROM u""".stripMargin
 
+  // ------------------------------------------ q171 perceptual hash
+
+  /** Perceptual-hash near-duplicate detection over media payloads —
+    * dHash (9×8 pooled resample → 64 neighbor-comparison bits,
+    * [[graft.ext.MultimodalOps.dHash]]) fed into the SAME banded
+    * Hamming engine as text SimHash
+    * ([[graft.ext.DedupOps.fingerprintPairs]]): constant per-payload
+    * work, pairs only inside 16-bit-band buckets — the image-dedup
+    * sibling of q31. Resize semantics aren't SQL-expressible (no
+    * oracle); MultimodalOpsSpec pins determinism, duplicate-payload
+    * zero-distance, and the pigeonhole band guarantee. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val media = graft.ext.MultimodalOps.asMedia(t(s, d, "documents"))
+    val fp = graft.ext.MultimodalOps.dHash(media)
+    graft.ext.DedupOps.fingerprintPairs(fp, maxHamming = 3)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("id1")).as("min_id1"),
+        max(col("id2")).as("max_id2"))
+      .orderBy(col("hamming"))
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6185,5 +6206,6 @@ object Queries {
     QueryDef("q168_ks_test", q168, Some(q168Sql)),
     QueryDef("q169_chi_square", q169, Some(q169Sql)),
     QueryDef("q170_mann_whitney", q170, Some(q170Sql)),
+    QueryDef("q171_phash_neardup", q171, None),
   )
 }

@@ -176,4 +176,32 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.out_w == 4 && r.out_h == 2)
     assert(r.pixels.toSeq == Seq(100f, 100f, 200f, 200f, 100f, 100f, 200f, 200f))
   }
+
+  test("dHash: deterministic; identical payloads collide; 64-bit shape") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (3L, "a completely different text payload with other bytes"))
+      .toDF("doc_id", "text")
+    val fp = MultimodalOps.dHash(MultimodalOps.asMedia(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L)) // identical payloads -> identical hash
+    assert(fp(1L) != fp(3L)) // different payloads separate
+    // re-run is bit-identical (pooled resample + comparisons only)
+    val fp2 = MultimodalOps.dHash(MultimodalOps.asMedia(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == fp2)
+  }
+
+  test("dHash + fingerprintPairs: duplicate payloads surface at hamming 0") {
+    val docs = Seq(
+      (1L, "shared payload body shared payload body shared payload"),
+      (2L, "shared payload body shared payload body shared payload"),
+      (3L, "unrelated bytes entirely: zzzzzz qqqqqq wwwwww eeeeee"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.fingerprintPairs(
+      MultimodalOps.dHash(MultimodalOps.asMedia(docs)), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
 }
