@@ -6021,6 +6021,37 @@ object Queries {
       .orderBy(col("hamming"))
   }
 
+  // ------------------------------------------ q172 BPE coverage
+
+  /** Tokenizer-coverage report — train a small BPE merge table on the
+    * corpus ([[graft.ext.BpeOps.trainMergesBatched]]: top-k
+    * token-disjoint merges per corpus pass, never one driver round-trip
+    * per merge), apply it, and report per-source compression
+    * (post-merge tokens per 1M words): the "how well does the tokenizer
+    * fit each source" audit run before weighting a training mix. The
+    * merge table is driver-held (bounded: nMerges rows) and applied as
+    * a pure projection; everything else is two aggregates. Training is
+    * a driver loop (not SQL-expressible — no oracle); QueriesSpec pins
+    * determinism and the merge-only-shrinks invariant. */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val (merges, _, _) =
+      graft.ext.BpeOps.trainMergesBatched(docs, nMerges = 10, batch = 5)
+    val applied = graft.ext.BpeOps.applyMerges(docs,
+      merges.map(m => (m._1, m._2)))
+    applied
+      .select(col("source"),
+        size(graft.ext.DedupOps.wordTokens(col("text"))).as("n_words"),
+        size(col("tokens")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("compression_micro",
+        expr("sum_tokens * 1000000 div sum_words"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6207,5 +6238,6 @@ object Queries {
     QueryDef("q169_chi_square", q169, Some(q169Sql)),
     QueryDef("q170_mann_whitney", q170, Some(q170Sql)),
     QueryDef("q171_phash_neardup", q171, None),
+    QueryDef("q172_bpe_coverage", q172, None),
   )
 }

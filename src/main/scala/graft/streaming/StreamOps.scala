@@ -241,6 +241,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col(keyCol), col("window.start").as("win_start"), col("n"))
 
+  /** Stream enrichment against a REFRESHABLE dimension — the
+    * foreachBatch pattern for dims that change while the stream runs: a
+    * plain stream-static join freezes the static plan at query start,
+    * so dim updates (new files, compactions, SCD closes) are invisible;
+    * re-reading the snapshot INSIDE each micro-batch picks up the
+    * current state, and the broadcast keeps the join shuffle-free on
+    * the stream side. `sink` receives the enriched batch (left join —
+    * unmatched stream rows survive with NULL dim columns). */
+  def enrichStream(stream: DataFrame, dimPath: String, joinKey: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val dim = batch.sparkSession.read.parquet(dimPath)
+      sink(batch.join(broadcast(dim), Seq(joinKey), "left"), id)
+    }
+
   /** Windowed approximate distinct via DataSketches HLL in streaming
     * state — the unbounded-cardinality answer to "distinct users per
     * window per segment": the aggregation state per (key, window) is a

@@ -133,6 +133,20 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == plain)
   }
 
+  test("q172 BPE coverage: merges only shrink; two runs bit-identical") {
+    val a = run("q172_bpe_coverage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    a.foreach { case (src, _, words, tokens, comp) =>
+      assert(tokens <= words, s"$src: merged $tokens > words $words")
+      assert(comp <= 1000000L, s"$src: compression $comp")
+    }
+    val b = run("q172_bpe_coverage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("every declared query runs and matches its declared column set") {
     Queries.all.foreach { q =>
       val df = q.fn(spark, sf)

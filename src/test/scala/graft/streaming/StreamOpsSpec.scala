@@ -49,6 +49,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, ts(5), 2L))) // 5 + 20 merge
   }
 
+  test("enrichStream: dim refresh between runs is visible per micro-batch") {
+    val sql = spark
+    import sql.implicits._
+    val base = Files.createTempDirectory("enrich").toString
+    val inDir = s"$base/in"
+    val dimDir = s"$base/dim"
+    Seq((1L, "US")).toDF("user_id", "country").write.parquet(dimDir)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "v")
+      .coalesce(1).write.parquet(inDir)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var runNo = 0
+    def runOnce(): Unit = {
+      runNo += 1
+      val stream = spark.readStream
+        .schema("user_id BIGINT, v DOUBLE").parquet(inDir)
+      val q = StreamOps.enrichStream(stream, dimDir, "user_id") {
+        (batch, _) =>
+          out ++= batch.collect().map(r =>
+            (r.getLong(0), Option(r.getString(2)).getOrElse("?")))
+          ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt_$runNo")
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    assert(out.sorted.toSeq == Seq((1L, "US"), (2L, "?")))
+    // dim gains user 2 — the next run's batches see the NEW snapshot
+    out.clear()
+    Seq((1L, "US"), (2L, "DE")).toDF("user_id", "country")
+      .write.mode("overwrite").parquet(dimDir)
+    runOnce()
+    assert(out.sorted.toSeq == Seq((1L, "US"), (2L, "DE")))
+  }
+
   test("streaming windowed HLL distinct: sketch state, exact at low card") {
     val sql = spark
     import sql.implicits._
