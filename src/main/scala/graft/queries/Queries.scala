@@ -6052,6 +6052,40 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------ q173 curation funnel
+
+  /** The curation-funnel report — per-source survival through the
+    * standard training-data pipeline stages (the report a data team
+    * reads before weighting a mix): raw → length floor → exact dedup
+    * (content hash, keep-min-id via a hash-keyed aggregate + semi
+    * join — no per-hash window) → MinHash near-dup drop
+    * ([[graft.ext.DedupOps.dropNearDups]]: LSH candidates, exact-
+    * Jaccard verified). All-integer output with survival in micros.
+    * The near-dup stage rides custom hash expressions (no SQL oracle);
+    * QueriesSpec pins stage monotonicity and agreement with the
+    * individual operators. */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val kept = docs.filter(
+      size(graft.ext.DedupOps.wordTokens(col("text"))) >= 5)
+    val keepIds = kept
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = kept.join(keepIds, "doc_id")
+    val curated = graft.ext.DedupOps.dropNearDups(deduped)
+    def stage(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    stage(docs, "n_raw")
+      .join(stage(kept, "n_len"), Seq("source"), "left")
+      .join(stage(deduped, "n_exact"), Seq("source"), "left")
+      .join(stage(curated, "n_near"), Seq("source"), "left")
+      .na.fill(0L, Seq("n_len", "n_exact", "n_near"))
+      .withColumn("survival_micro",
+        expr("n_near * 1000000 div n_raw"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6239,5 +6273,6 @@ object Queries {
     QueryDef("q170_mann_whitney", q170, Some(q170Sql)),
     QueryDef("q171_phash_neardup", q171, None),
     QueryDef("q172_bpe_coverage", q172, None),
+    QueryDef("q173_curation_funnel", q173, None),
   )
 }

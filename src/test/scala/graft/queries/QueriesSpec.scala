@@ -147,6 +147,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("q173 funnel: stages monotone; totals agree with the raw ops") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q173_curation_funnel").collect()
+    rows.foreach { r =>
+      val (raw, len, ex, near) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= len && len >= ex && ex >= near && near >= 0,
+        s"${r.getString(0)}: $raw/$len/$ex/$near not monotone")
+    }
+    // total raw count matches the table; per-source sums match a direct
+    // length-floor recount
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val lenDirect = docs.filter(
+      size(graft.ext.DedupOps.wordTokens(col("text"))) >= 5).count()
+    assert(rows.map(_.getLong(2)).sum == lenDirect)
+  }
+
   test("every declared query runs and matches its declared column set") {
     Queries.all.foreach { q =>
       val df = q.fn(spark, sf)
