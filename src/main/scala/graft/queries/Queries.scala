@@ -6086,6 +6086,89 @@ object Queries {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------ q174 file provenance
+
+  /** Row-provenance audit from the scan's hidden `_metadata` struct —
+    * which physical file contributed which key range and how many rows:
+    * the replay/audit primitive (a bad upstream file is then excisable
+    * by provenance, not by value heuristics). Pure scan + one
+    * aggregate; `_metadata` costs nothing extra (constant per
+    * split). The oracle harness exposes tables as views (no filename
+    * column), so the oracle pins the name as a literal — valid because
+    * the fixture contract is ONE parquet file per table — and fully
+    * checks the per-file aggregate; the extraction itself is also
+    * covered by the Ingest provenance specs. */
+  private def q174(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+          .as("file_name"))
+      .groupBy(col("file_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("file_name"))
+
+  private val q174Sql =
+    """SELECT 'orders.parquet' AS file_name,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY 1 ORDER BY file_name""".stripMargin
+
+  // ------------------------------------------ q175 Benford conformity
+
+  /** Per-segment Benford conformity χ² — ranks event types by how far
+    * their value first-digit distribution sits from Benford's law (the
+    * per-segment drill-down of q126's global digit histogram; the
+    * fraud/synthetic-data audit). Expected shares are
+    * `log10(1 + 1/d)` — the same IEEE expression both engines — and
+    * per-digit χ² contributions floor to integer micros BEFORE the sum
+    * (order-independent ⇒ hash-match). Everything after the first
+    * aggregate runs on ≤ types×9 rows. */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val digits = t(s, d, "events")
+      .filter(col("value") > 0)
+      .select(col("event_type"),
+        expr("CAST(substring(CAST(CAST(FLOOR(value * 100 + 0.5) AS" +
+          " BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("o"))
+    val totals = digits.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n"))
+    digits.join(broadcast(totals), "event_type")
+      .withColumn("p", expr("log10(1 + 1.0 / digit)"))
+      .withColumn("contrib_micro", floor(
+        (col("o") - col("n") * col("p")) * (col("o") - col("n") * col("p"))
+          / (col("n") * col("p")) * lit(1e6)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).as("n_digits"),
+        sum(col("contrib_micro")).as("chi2_micro"))
+      .orderBy(col("chi2_micro").desc, col("event_type"))
+  }
+
+  private val q175Sql =
+    """WITH dg AS (
+      |  SELECT event_type,
+      |         CAST(SUBSTRING(CAST(CAST(FLOOR(value * 100 + 0.5)
+      |           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |         CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events WHERE value > 0 GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+      |      FROM dg GROUP BY 1),
+      |x AS (
+      |  SELECT dg.event_type, dg.o, t.n,
+      |         LOG10(1 + 1.0 / dg.digit) AS p
+      |  FROM dg JOIN t ON dg.event_type = t.event_type)
+      |SELECT event_type, MAX(n) AS n,
+      |       CAST(COUNT(*) AS BIGINT) AS n_digits,
+      |       CAST(SUM(CAST(FLOOR(
+      |           (o - n * p) * (o - n * p) / (n * p) * 1000000)
+      |         AS BIGINT)) AS BIGINT) AS chi2_micro
+      |FROM x GROUP BY event_type
+      |ORDER BY chi2_micro DESC, event_type""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6274,5 +6357,7 @@ object Queries {
     QueryDef("q171_phash_neardup", q171, None),
     QueryDef("q172_bpe_coverage", q172, None),
     QueryDef("q173_curation_funnel", q173, None),
+    QueryDef("q174_file_provenance", q174, Some(q174Sql)),
+    QueryDef("q175_benford_by_segment", q175, Some(q175Sql)),
   )
 }
