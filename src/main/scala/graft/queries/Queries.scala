@@ -6169,6 +6169,115 @@ object Queries {
       |FROM x GROUP BY event_type
       |ORDER BY chi2_micro DESC, event_type""".stripMargin
 
+  // ------------------------------------------ q176 survival curve
+
+  /** User-lifetime survival curve — S(t) = fraction of users still
+    * active ≥ t days after their first event (lifetime = last−first
+    * active day): the churn curve product teams read next to q92's
+    * cohort retention grid. All-integer: lifetimes in whole days, the
+    * curve as a reversed cumulative count over the ≤ calendar-bounded
+    * distinct-lifetime rows (descending prefix via ascending prefix of
+    * the total — no second sort), survival in micros. */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val lt = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(datediff(max(col("ts").cast("date")),
+        min(col("ts").cast("date"))).as("lifetime_days"))
+    val perT = lt.groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("ended_here"))
+    val prefixed = graft.ext.ShardOps.withGlobalPrefixSum(
+      perT, Seq(col("lifetime_days").asc), "ended_here")
+    prefixed
+      .crossJoin(broadcast(lt.agg(count(lit(1)).as("n_users"))))
+      // users with lifetime >= t = total - (cumulative ended BELOW t)
+      .withColumn("surviving",
+        col("n_users") - (col("__rsum") - col("ended_here")))
+      .select(col("lifetime_days"), col("ended_here"), col("surviving"),
+        expr("surviving * 1000000 div n_users").as("survival_micro"))
+      .orderBy(col("lifetime_days"))
+  }
+
+  private val q176Sql =
+    """WITH lt AS (
+      |  SELECT user_id,
+      |         CAST(DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+      |                        MAX(CAST(ts AS DATE))) AS INTEGER)
+      |           AS lifetime_days
+      |  FROM events GROUP BY user_id),
+      |pt AS (SELECT lifetime_days, CAST(COUNT(*) AS BIGINT) AS ended_here
+      |       FROM lt GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lt),
+      |c AS (
+      |  SELECT lifetime_days, ended_here,
+      |         CAST(SUM(ended_here) OVER (ORDER BY lifetime_days
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - ended_here
+      |           AS ended_below
+      |  FROM pt)
+      |SELECT lifetime_days, ended_here,
+      |       n_users - ended_below AS surviving,
+      |       (n_users - ended_below) * 1000000 // n_users
+      |         AS survival_micro
+      |FROM c CROSS JOIN n ORDER BY lifetime_days""".stripMargin
+
+  // ------------------------------------------ q177 assortativity
+
+  /** Degree assortativity of the trade graph — Pearson correlation of
+    * endpoint degrees over the edge list (Newman 2002): do high-degree
+    * accounts trade with each other (assortative) or with the
+    * periphery (disassortative)? Rides [[graft.ext.ProfileOps
+    * .groupedCorr]]'s BIGINT sufficient statistics with ONE shared
+    * final double expression (reproducible where native `corr` is
+    * not). Two degree joins on the edge list — broadcastable degree
+    * side, no new shuffle family. */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders").select(col("o_orderkey"),
+      col("o_custkey"))
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_suppkey"))
+    val pairs = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges
+      .join(broadcast(deg.select(col("src").as("s1"),
+        col("deg").as("dx"))), col("src") === col("s1"))
+      .join(broadcast(deg.select(col("src").as("s2"),
+        col("deg").as("dy"))), col("dst") === col("s2"))
+      .withColumn("g", lit("trade"))
+    graft.ext.ProfileOps.groupedCorr(ed, "g", "dx", "dy")
+  }
+
+  private val q177Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |        FROM edges GROUP BY src),
+      |ed AS (
+      |  SELECT d1.deg AS x, d2.deg AS y
+      |  FROM edges e
+      |  JOIN deg d1 ON e.src = d1.src
+      |  JOIN deg d2 ON e.dst = d2.src),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(y) AS BIGINT) AS sy,
+      |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |         CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM ed)
+      |SELECT 'trade' AS g, n,
+      |       FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+      |             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+      |             * 1000000) / 1000000 AS corr_r
+      |FROM a""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6359,5 +6468,7 @@ object Queries {
     QueryDef("q173_curation_funnel", q173, None),
     QueryDef("q174_file_provenance", q174, Some(q174Sql)),
     QueryDef("q175_benford_by_segment", q175, Some(q175Sql)),
+    QueryDef("q176_survival_curve", q176, Some(q176Sql)),
+    QueryDef("q177_assortativity", q177, Some(q177Sql)),
   )
 }
