@@ -6278,6 +6278,76 @@ object Queries {
       |             * 1000000) / 1000000 AS corr_r
       |FROM a""".stripMargin
 
+  // ------------------------------------------ q178 dispersion index
+
+  /** Arrival overdispersion per event type — the variance-to-mean
+    * (Fano) index of per-minute event counts: ≈1 for a Poisson
+    * arrival process, ≫1 for bursty traffic (the load-model sanity
+    * check before capacity planning). BIGINT sufficient statistics
+    * over calendar-bounded per-minute cells, ONE shared final double
+    * expression (the q109/q177 discipline). */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    val perMin = t(s, d, "events")
+      .groupBy(col("event_type"),
+        expr("date_trunc('minute', ts)").as("minute"))
+      .agg(count(lit(1)).as("c"))
+    perMin.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_minutes"),
+        sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_minutes") > 1)
+      .withColumn("fano_micro", floor(
+        (col("n_minutes") * col("scc") - col("sc") * col("sc"))
+          .cast("double")
+          / ((col("n_minutes") - 1) * col("sc")).cast("double")
+          * lit(1e6)))
+      .select(col("event_type"), col("n_minutes"), col("sc").as("n_events"),
+        col("fano_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q178Sql =
+    """WITH pm AS (
+      |  SELECT event_type, DATE_TRUNC('minute', ts) AS minute,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+      |         CAST(SUM(c) AS BIGINT) AS sc,
+      |         CAST(SUM(c * c) AS BIGINT) AS scc
+      |  FROM pm GROUP BY 1)
+      |SELECT event_type, n_minutes, sc AS n_events,
+      |       CAST(FLOOR(CAST(n_minutes * scc - sc * sc AS DOUBLE)
+      |                  / CAST((n_minutes - 1) * sc AS DOUBLE)
+      |                  * 1000000) AS BIGINT) AS fano_micro
+      |FROM a WHERE n_minutes > 1 ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------ q179 dup-cluster sizes
+
+  /** Duplicate-cluster size distribution — the dedup audit read before
+    * choosing a near-dup strategy: group documents by exact content
+    * hash, then histogram the group sizes (how much of the corpus sits
+    * in 2-copy / 3-copy / … clusters and how many rows dedup would
+    * remove). Two hash aggregates — a scan shape at any size; exact
+    * integers. */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val groups = t(s, d, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("copies"))
+    groups.groupBy(col("copies"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("copies")) - count(lit(1))).as("removable"))
+      .orderBy(col("copies"))
+  }
+
+  private val q179Sql =
+    """WITH g AS (
+      |  SELECT MD5(text) AS h, CAST(COUNT(*) AS BIGINT) AS copies
+      |  FROM documents GROUP BY 1)
+      |SELECT copies, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |       CAST(SUM(copies) - COUNT(*) AS BIGINT) AS removable
+      |FROM g GROUP BY copies ORDER BY copies""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6470,5 +6540,7 @@ object Queries {
     QueryDef("q175_benford_by_segment", q175, Some(q175Sql)),
     QueryDef("q176_survival_curve", q176, Some(q176Sql)),
     QueryDef("q177_assortativity", q177, Some(q177Sql)),
+    QueryDef("q178_dispersion_index", q178, Some(q178Sql)),
+    QueryDef("q179_dup_cluster_sizes", q179, Some(q179Sql)),
   )
 }
