@@ -6348,6 +6348,95 @@ object Queries {
       |       CAST(SUM(copies) - COUNT(*) AS BIGINT) AS removable
       |FROM g GROUP BY copies ORDER BY copies""".stripMargin
 
+  // ------------------------------------------ q180 purchase gaps
+
+  /** Inter-purchase gap distribution — consecutive order-date gaps per
+    * customer, histogrammed in whole weeks: the repeat-purchase cadence
+    * read next to q176's survival curve. One per-customer lag window
+    * (partitioned on the key — never global), one bounded histogram
+    * aggregate; all-integer. */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .withColumn("prev", lag(col("od"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_weeks",
+        expr("CAST(datediff(od, prev) AS BIGINT) div 7"))
+      .groupBy(col("gap_weeks"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("gap_weeks"))
+  }
+
+  private val q180Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+      |  FROM orders),
+      |l AS (
+      |  SELECT o_custkey,
+      |         CAST(DATE_DIFF('day',
+      |           LAG(od, 1) OVER (PARTITION BY o_custkey
+      |                            ORDER BY od, o_orderkey), od)
+      |           AS BIGINT) AS gap_days
+      |  FROM o)
+      |SELECT gap_days // 7 AS gap_weeks,
+      |       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM l WHERE gap_days IS NOT NULL
+      |GROUP BY 1 ORDER BY gap_weeks""".stripMargin
+
+  // ------------------------------------------ q181 revenue HHI
+
+  /** Revenue-concentration (Herfindahl–Hirschman) index per market
+    * segment — "is this segment's revenue a few whales or a long
+    * tail": HHI = Σ shareᵢ² over each segment's customers, shares from
+    * exact integer cents, per-customer contributions floored to
+    * integer micros BEFORE the sum (order-independent ⇒ cross-engine
+    * hash-match). Two key-family aggregates; the window-free shape. */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val perCust = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .as("cents"))
+    val seg = perCust.groupBy(col("c_mktsegment"))
+      .agg(sum(col("cents")).as("seg_cents"),
+        count(lit(1)).as("n_customers"))
+    perCust.join(broadcast(seg), "c_mktsegment")
+      .withColumn("contrib_micro", floor(
+        col("cents").cast("double") * col("cents").cast("double")
+          / (col("seg_cents").cast("double") * col("seg_cents"))
+          * lit(1e6)))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n_customers")).as("n_customers"),
+        max(col("seg_cents")).as("seg_cents"),
+        sum(col("contrib_micro")).as("hhi_micro"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q181Sql =
+    """WITH pc AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |seg AS (
+      |  SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS seg_cents,
+      |         CAST(COUNT(*) AS BIGINT) AS n_customers
+      |  FROM pc GROUP BY 1)
+      |SELECT pc.c_mktsegment, MAX(seg.n_customers) AS n_customers,
+      |       MAX(seg.seg_cents) AS seg_cents,
+      |       CAST(SUM(CAST(FLOOR(
+      |           CAST(pc.cents AS DOUBLE) * CAST(pc.cents AS DOUBLE)
+      |           / (CAST(seg.seg_cents AS DOUBLE) * seg.seg_cents)
+      |           * 1000000) AS BIGINT)) AS BIGINT) AS hhi_micro
+      |FROM pc JOIN seg ON pc.c_mktsegment = seg.c_mktsegment
+      |GROUP BY pc.c_mktsegment ORDER BY pc.c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6542,5 +6631,7 @@ object Queries {
     QueryDef("q177_assortativity", q177, Some(q177Sql)),
     QueryDef("q178_dispersion_index", q178, Some(q178Sql)),
     QueryDef("q179_dup_cluster_sizes", q179, Some(q179Sql)),
+    QueryDef("q180_purchase_gaps", q180, Some(q180Sql)),
+    QueryDef("q181_revenue_hhi", q181, Some(q181Sql)),
   )
 }
