@@ -231,6 +231,12 @@ object DedupOps {
       fp: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 64): DataFrame = {
+    // 4 bands of 16 bits guarantee recall only up to Hamming 3 (4 diff
+    // bits can straddle all 4 bands); a larger maxHamming would silently
+    // drop pairs, so refuse it loudly (r9 ADVICE).
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"fingerprintPairs: the 4x16-bit band scheme guarantees recall only " +
+        s"for maxHamming <= 3, got $maxHamming")
     val banded = fp.select(col("id"), col("fp"),
       posexplode_outer(expr(
         "transform(sequence(0, 3), b -> (shiftright(fp, CAST(b * 16 AS INT))) & 65535)"))

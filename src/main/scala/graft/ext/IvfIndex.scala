@@ -92,6 +92,58 @@ object IvfIndex {
     IvfAppendStats(s.getLong(0), s.getLong(1).toInt, s.getDouble(2))
   }
 
+  /** Top-k per query for a LARGE query set — up to the corpus itself
+    * (hard-negative mining, all-corpus kNN graphs). Same probe
+    * semantics as [[query]], different physics: [[query]] broadcasts
+    * the probe frame, which is only sound while `queries × nProbe`
+    * stays driver-bounded; here NOTHING unbounded broadcasts —
+    *
+    *  1. probe selection is one bounded-heap hash aggregate per query
+    *     (`collectTopK` over the `nCells`-row centroid cross — no
+    *     window, no per-query sort);
+    *  2. the posting join is keyed on `cell`, a co-partitioned SHUFFLE
+    *     join: both sides scale out, per-reducer work is bounded by
+    *     cell size × probes landing in that cell, and per-query work
+    *     by its nProbe cells — never all-pairs (candidate volume is
+    *     N·k after the heap, N·|cell|·nProbe/nCells during scoring);
+    *  3. the per-query top-k is the same map-side-combinable
+    *     `collectTopK` heap as q164/q166.
+    *
+    * Ties break exactly like [[query]]: (cos DESC, vec_id ASC) for
+    * candidates, (ccos DESC, cell ASC) for probes. Output schema is
+    * [[query]]'s (query_id, rk, vec_id, cosine·4dp). */
+  def batchQuery(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import graft.functions.HashFunctions.collectTopK
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", SimilarityOps.cosine(col("qvec"), col("centroid")))
+      .groupBy(col("query_id"))
+      .agg(
+        collectTopK(struct(col("ccos"), (-col("cell")).as("nc")), nProbe,
+          reverse = false).as("tops"),
+        // every row of the group carries the same qvec — first() is
+        // deterministic here
+        first(col("qvec")).as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(col("tops")).as("t"))
+      .select(col("query_id"), col("qvec"),
+        (-col("t.nc")).cast("int").as("cell"))
+    val posting = spark.read.parquet(s"$path/cells")
+    posting.join(probes, "cell") // shuffle join on cell — NO broadcast
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("qvec")))
+      .groupBy(col("query_id"))
+      .agg(collectTopK(struct(col("cos"), (-col("vec_id")).as("nid")), k,
+        reverse = false).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rk"),
+        (-col("t.nid")).as("vec_id"), round(col("t.cos"), 4).as("cosine"))
+  }
+
   /** Top-k per query against a built index. Reads ONLY the probed cell
     * partitions. */
   def query(spark: SparkSession, path: String, queries: DataFrame,

@@ -127,6 +127,20 @@ object ShardOps {
     withGroupPrefix(df.withColumn("__gall", lit(true)), "__gall", sortCols,
       valueCol = Some(valueCol), outCol = "__rsum").drop("__gall")
 
+  /** 1-based inclusive running SUM of `valueCol` (integral) over
+    * `sortCols` WITHIN `groupCol` — the per-group sibling of
+    * [[withGlobalPrefixSum]] ([[withGroupRank]] : [[withGlobalRank]] ::
+    * this : that). Replaces the `SUM OVER (PARTITION BY g ORDER BY v)`
+    * window wherever a group could hold an unbounded value domain:
+    * same two-phase bounded-memory construction, ONE range shuffle, no
+    * reducer ever holds more than an input-split of any group. Include
+    * a unique tie-breaker in `sortCols` for full determinism. Adds
+    * `__grsum`. */
+  def withGroupPrefixSum(df: DataFrame, groupCol: String,
+      sortCols: Seq[Column], valueCol: String): DataFrame =
+    withGroupPrefix(df, groupCol, sortCols, valueCol = Some(valueCol),
+      outCol = "__grsum")
+
   /** Assigns every row a shard in [0, nShards) balanced by `sizeCol`,
     * deterministically: size-ranked round-robin over
     * (sizeCol DESC, tieBreaker ASC). Output = input columns + `shard`. */

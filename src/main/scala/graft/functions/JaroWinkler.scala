@@ -16,7 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `jaro_winkler_similarity` so oracle rows can hash-compare exactly:
   * match window `max(|a|,|b|)/2 - 1`, transpositions halved, prefix
   * scale 0.1 over at most 4 chars, boost applied only when the Jaro
-  * score exceeds 0.7. Comparison is over Unicode code points.
+  * score exceeds 0.7. Comparison is over UTF-16 code units
+  * (`String.charAt`): for BMP-only strings that is exactly code points
+  * and hash-matches the DuckDB oracle (q154 compares over ASCII names);
+  * a supplementary character counts as its two surrogate halves —
+  * documented divergence from code-point JW, same spirit as the
+  * empty-vs-empty convention below.
   */
 object JaroWinklerAlgo {
 

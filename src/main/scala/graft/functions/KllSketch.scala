@@ -121,9 +121,16 @@ final case class KllMergeAgg(
 
 /** Static eval target for [[KllQuantile]]'s codegen. */
 object KllQuantileAlgo {
-  def quantile(bytes: Array[Byte], rank: Double): Double =
-    KllFloatsSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(rank, QuantileSearchCriteria.INCLUSIVE).toDouble
+  /** An EMPTY sketch (an all-NULL group still aggregates to serialized
+    * empty-sketch bytes — the agg itself is non-nullable) has no
+    * quantiles; DataSketches would throw at runtime, so return NaN
+    * instead, the IEEE "no value" a double column can carry (r9
+    * ADVICE). */
+  def quantile(bytes: Array[Byte], rank: Double): Double = {
+    val sk = KllFloatsSketch.heapify(Memory.wrap(bytes))
+    if (sk.isEmpty) Double.NaN
+    else sk.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE).toDouble
+  }
 }
 
 /** `kll_quantile(sketch, rank)` → double: the rank-`rank` quantile of a

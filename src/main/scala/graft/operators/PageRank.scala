@@ -68,7 +68,14 @@ object PageRank {
     * global centrality — the "similar entities to these" graph query.
     * Same engine-exact integer discipline and iteration shapes as
     * [[ranks]]; the seed flag rides the checkpointed node frame, so
-    * each iteration stays one join + one aggregate. */
+    * each iteration stays one join + one aggregate.
+    *
+    * Precondition (mirrors the dst-appears-as-src note on [[ranks]]):
+    * the node universe is built from edge SOURCES, so every seed must
+    * appear as a source of at least one edge — a seed with no
+    * out-edges drops out of the node frame and its teleport mass
+    * silently vanishes (r9 ADVICE). Callers with possibly-dangling
+    * seeds should add self-loops or filter seeds against `src` first. */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100]: $iters")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

@@ -4112,8 +4112,9 @@ object Queries {
     * corpus reference day), frequency (orders), monetary (exact cents)
     * per customer, each quintile-binned by the q143 EXACT equi-depth
     * definition (bin = cum_prev·5 div n over DISTINCT metric values —
-    * ties never split, the window is metric-DOMAIN-bounded, not
-    * customer-scaled), then the segment rollup. The per-customer base
+    * ties never split; the cumulative count runs through the q146
+    * two-phase prefix sum, never a single reducer), then the segment
+    * rollup. The per-customer base
     * is checkpointed once and feeds the three bin maps AND the final
     * classification joins (value-keyed equi-joins against bin maps
     * that are broadcast-tiny). */
@@ -4130,14 +4131,18 @@ object Queries {
         datediff(col("ref_day"), col("last_ord").cast("date")).cast("long"))
       .select(col("o_custkey"), col("r"), col("f"), col("m"))
       .localCheckpoint() // feeds 3 bin maps + the classification joins
+    // The cumulative count over distinct metric values rides the q146
+    // two-phase prefix construction — the metric domain (monetary cents
+    // especially) is value-bounded, not row-bounded, so a bare
+    // `SUM OVER (ORDER BY v)` would still be a data-scaled single
+    // reducer at 100 TB (r9 verdict #2).
     def binMap(metric: String): DataFrame = {
       val counts = rfm.groupBy(col(metric).as("v"))
         .agg(count(lit(1)).as("c"))
       val n = counts.agg(sum(col("c")).as("n"))
-      counts.crossJoin(broadcast(n))
-        .withColumn("cum", sum(col("c")).over(
-          Window.orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      graft.ext.ShardOps.withGlobalPrefixSum(counts, Seq(col("v")), "c")
+        .withColumnRenamed("__rsum", "cum")
+        .crossJoin(broadcast(n))
         .select(col("v"),
           least(lit(4L), expr("(cum - c) * 5 div n")).as(s"${metric}_bin"))
     }
@@ -4319,18 +4324,21 @@ object Queries {
     * equal as ties allow — a deterministic integer definition, not a
     * sampled approximation (Spark's `QuantileDiscretizer` is
     * approximate by design). Same bounded machinery as q137: counts
-    * per (distinct cent), a running-total window over distinct values
-    * — DOMAIN-bounded, never a row sort — then a 10-row aggregate. */
+    * per (distinct cent), then the running total over distinct values
+    * through [[graft.ext.ShardOps.withGlobalPrefixSum]] — the q146
+    * two-phase construction, ONE range shuffle, never a single-reducer
+    * `SUM OVER (ORDER BY)` (the value domain is ~1e7 distinct cents at
+    * scale — too wide to entrust to one reducer; r9 verdict #2) — then
+    * a 10-row aggregate. */
   private def q143(s: SparkSession, d: String): DataFrame = {
     val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
     val counts = t(s, d, "lineitem").select(cents.as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // consumed by the total AND the ranked window
+      .localCheckpoint() // consumed by the total AND the prefix pass
     val n = counts.agg(sum(col("c")).as("n"))
-    counts.crossJoin(broadcast(n))
-      .withColumn("cum", sum(col("c")).over(
-        Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.ext.ShardOps.withGlobalPrefixSum(counts, Seq(col("v")), "c")
+      .withColumnRenamed("__rsum", "cum")
+      .crossJoin(broadcast(n))
       .withColumn("bin",
         least(lit(9L), expr("(cum - c) * 10 div n")))
       .groupBy(col("bin"))
@@ -4501,10 +4509,11 @@ object Queries {
   /** Winsorized group mean — the outlier-robust pricing mean with clip
     * points as EXACT order statistics (rank (n−1)·p/100 + 1, the q128
     * convention) computed from (group, DISTINCT-cent) counts: the
-    * running-total window ranges over distinct price points, bounded by
-    * the price DOMAIN (~1e7 cents) rather than row count, so the small
-    * group cardinality never becomes a data-scaled one-reducer sort
-    * (the ExactQuantile discipline, q47). The clipped sum re-aggregates
+    * running total over distinct price points rides the two-phase
+    * grouped prefix sum ([[graft.ext.ShardOps.withGroupPrefixSum]] —
+    * the ExactQuantile/q146 discipline), so neither row count NOR the
+    * ~1e7-cent price domain ever serializes one reducer per group.
+    * The clipped sum re-aggregates
     * the distinct-value counts — no second row-level pass — and every
     * emitted number is BIGINT (mean in milli-cents by integer
     * division over positive sums). */
@@ -4519,10 +4528,16 @@ object Queries {
     // ONE ranked pass: both clip points fall out of a single conditional
     // aggregate over the cumulative counts (min value whose running total
     // reaches the rank threshold) — not one filtered window pass per bound.
-    val bounds = counts.join(n, Seq("g"))
-      .withColumn("cum", sum(col("c")).over(
-        Window.partitionBy(col("g")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // The per-group cumulative count rides ShardOps.withGroupPrefixSum
+    // (range-partitioned two-phase prefix) rather than a
+    // `SUM OVER (PARTITION BY g ORDER BY v)` window: the handful of
+    // groups each span the full price DOMAIN (~1e7 distinct cents at
+    // scale), so the window would route a data-scaled value set through
+    // one reducer per group (r9 verdict #2).
+    val bounds = graft.ext.ShardOps
+      .withGroupPrefixSum(counts, "g", Seq(col("v")), "c")
+      .withColumnRenamed("__grsum", "cum")
+      .join(n, Seq("g"))
       .groupBy(col("g"), col("n"))
       .agg(
         min(when(col("cum") >= expr("(n - 1) * 5 div 100 + 1"), col("v")))
@@ -5706,9 +5721,11 @@ object Queries {
     * cosine, then the per-query top-1 through the bounded-heap
     * aggregate ([[graft.functions.HashFunctions.collectTopK]]) — one
     * hash aggregate, no window, no per-query sort. Here the query side
-    * broadcasts (brute-force is the oracle-checkable baseline); at
-    * 100 TB the scoring pass swaps to the q41/q103 IVF cell-pruned
-    * index, keeping this exact shape downstream. */
+    * broadcasts (brute-force is the oracle-checkable baseline and the
+    * recall reference for the index path); the SCALE path is the
+    * declared sibling [[q166b]] — the same mining through the
+    * persisted IVF index's cell-co-partitioned batch scorer, nothing
+    * all-pairs, nothing unboundedly broadcast. */
   private def q166(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings").select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
@@ -5742,6 +5759,35 @@ object Queries {
       |      FROM scored)
       |SELECT query_id, vec_id AS neg_id, ROUND(cos, 4) AS cosine
       |FROM r WHERE rk = 1 ORDER BY query_id""".stripMargin
+
+  /** Hard-negative mining at scale — q166's semantics scored through
+    * the PERSISTED IVF index ([[graft.ext.IvfIndex.batchQuery]]): every
+    * vector probes only its nProbe nearest cells (cell-co-partitioned
+    * shuffle join — the query side never broadcasts, unlike [[q166]]'s
+    * deliberately-brute oracle baseline), candidates heap-capped at k
+    * per query, then ONE linear label join pair filters same-label
+    * candidates before the q166 top-1 tie-break (cos DESC, vec_id ASC).
+    * Approximate by construction (a query whose k nearest IVF
+    * candidates all share its label emits no row) — no SQL oracle;
+    * HardNegativesIvfSpec pins a ≥0.8 top-1 agreement floor vs q166
+    * and the no-broadcast/no-cartesian plan shape. */
+  private def q166b(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val cands = graft.ext.IvfIndex.batchQuery(
+      s, ivfIndexDir(s, d), emb, k = 16, nProbe = 8)
+    cands
+      .join(labels.withColumnRenamed("label", "clabel"), Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+      .filter(col("clabel") =!= col("qlabel"))
+      .groupBy(col("query_id"))
+      .agg(max_by(struct(col("vec_id"), col("cosine")),
+        struct(col("cosine"), -col("vec_id"))).as("top"))
+      .select(col("query_id"), col("top.vec_id").as("neg_id"),
+        col("top.cosine").as("cosine"))
+      .orderBy(col("query_id"))
+  }
 
   // ------------------------------------------ q167 time-weighted avg
 
@@ -6618,6 +6664,7 @@ object Queries {
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),
     QueryDef("q165_personalized_pr", q165, Some(q165Sql)),
     QueryDef("q166_hard_negatives", q166, Some(q166Sql)),
+    QueryDef("q166b_hard_negatives_ivf", q166b, None),
     QueryDef("q167_twap", q167, Some(q167Sql)),
     QueryDef("q168_ks_test", q168, Some(q168Sql)),
     QueryDef("q169_chi_square", q169, Some(q169Sql)),
