@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * wide 1-row result is then unpivoted driver-side via `stack` into one row
   * per column. Exact `count_distinct` over several columns in one pass uses
   * Spark's expand — for very wide tables swap `approxDistinct = true` to
-  * HLL sketches (bounded memory, one pass, no expand).
+  * bottom-k KMV sketches ([[graft.functions.KmvDistinctAgg]]: bounded
+  * memory, one pass, no expand — and deterministic exact-integer
+  * estimates a SQL oracle reproduces, unlike HLL).
   *
   * min/max are computed on the string cast — byte-wise UTF-8 comparison,
   * identical in Spark and DuckDB (both compare varchar binary), so the
@@ -27,7 +29,9 @@ object ProfileOps {
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        (if (approxDistinct) approx_count_distinct(col(c))
+        (if (approxDistinct)
+           graft.functions.HashFunctions.kmvDistinct(
+             graft.functions.HashFunctions.md5Hash60(col(c)), 1024)
          else count_distinct(col(c))).as(s"${c}__distinct"),
         min(s).as(s"${c}__min"),
         max(s).as(s"${c}__max"))

@@ -236,6 +236,26 @@ object HashFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         Bridge.expression(bloom), Bridge.expression(hashed)))
 
+  /** Portable 60-bit hash: the first 15 hex chars of `md5(value as
+    * string)` parsed as an unsigned integer — uniform in [0, 2^60) and
+    * reproducible in ANY engine with md5 + hex parsing (DuckDB:
+    * `CAST('0x' || SUBSTR(MD5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)`).
+    * The q100/q112 md5-derivation discipline packaged as the hash
+    * behind [[kmvDistinct]] and the portable SimHash oracle (q31);
+    * NULL in → NULL out. */
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  }
+
+  /** Bottom-k (KMV) approximate COUNT(DISTINCT) over a pre-hashed long
+    * column ([[md5Hash60]]) — deterministic, exact-integer estimate a
+    * SQL engine reproduces verbatim (see [[KmvDistinctAgg]]). Relative
+    * error ~1/√(k−2) once past k distinct values; exact below k. */
+  def kmvDistinct(hashed: Column, k: Int = 1024): Column =
+    Bridge.column(
+      KmvDistinctAgg(Bridge.expression(hashed), k).toAggregateExpression())
+
   /** Spark's internal bounded-priority-queue collect, exposed for
     * explicit grouped top-k: ONE hash aggregate with a k-item heap per
     * group (map-side combinable) — no per-group sort, no window, no

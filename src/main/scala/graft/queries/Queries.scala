@@ -906,14 +906,33 @@ object Queries {
     """SELECT event_type, COUNT(*) AS n FROM events
       |WHERE user_id < 50 GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Approximate COUNT(DISTINCT) via HyperLogLog++ — the sketch that
-    * replaces q17's exact two-phase distinct at 100 TB (fixed-size partial
-    * state instead of a distinct shuffle). Accuracy vs q17 asserted in
-    * QueriesSpec; no oracle (DuckDB's approx sketch differs). */
-  private def q17b(s: SparkSession, d: String): DataFrame =
+  /** Approximate COUNT(DISTINCT) via the bottom-k (KMV) sketch
+    * ([[graft.functions.KmvDistinctAgg]]) — the sketch that replaces
+    * q17's exact two-phase distinct at 100 TB (fixed ~8 KiB mergeable
+    * partial state instead of a distinct shuffle). Unlike the r9 HLL++
+    * spelling, the KMV estimate is deterministic exact-integer
+    * arithmetic over portable md5-60-bit hashes, so this row is now a
+    * hash-matched DuckDB oracle (`ORDER BY h LIMIT k` + one HUGEINT
+    * division — r9 ask #5) on top of the QueriesSpec accuracy floor. */
+  private def q17b(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions.{kmvDistinct, md5Hash60}
     t(s, d, "lineitem").agg(
-      approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
-      approx_count_distinct(col("l_suppkey")).as("n_supps_approx"))
+      kmvDistinct(md5Hash60(col("l_partkey")), 1024).as("n_parts_approx"),
+      kmvDistinct(md5Hash60(col("l_suppkey")), 1024).as("n_supps_approx"))
+  }
+
+  private val q17bSql = {
+    def kmv(c: String) =
+      s"""(WITH h AS (SELECT DISTINCT CAST('0x' || SUBSTR(MD5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |            FROM lineitem WHERE $c IS NOT NULL),
+         |      o AS (SELECT h FROM h ORDER BY h LIMIT 1024),
+         |      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS c, MAX(h) AS hk FROM o)
+         | SELECT CASE WHEN c < 1024 THEN c
+         |             ELSE CAST(1023 * CAST(1152921504606846976 AS HUGEINT) // hk AS BIGINT) END
+         | FROM s)""".stripMargin
+    s"SELECT ${kmv("l_partkey")} AS n_parts_approx, " +
+      s"${kmv("l_suppkey")} AS n_supps_approx"
+  }
 
   /** GROUP BY CUBE — the full grouping-sets lattice (rollup's sibling). */
   private def q18b(s: SparkSession, d: String): DataFrame =
@@ -962,15 +981,50 @@ object Queries {
   private def q30(s: SparkSession, d: String): DataFrame =
     graft.ext.DedupOps.nearDupPairs(t(s, d, "documents")).limit(20)
 
-  /** 64-bit SimHash fingerprint per document (token-hash sign votes). */
+  /** 64-bit SimHash fingerprint per document — per-token sign votes
+    * packed by the native codegen'd [[graft.functions.SimHash64]]
+    * expression, fed PORTABLE md5-60-bit token hashes
+    * ([[graft.functions.HashFunctions.md5Hash60]]) so the fingerprint
+    * is engine-reproducible: DuckDB rebuilds the identical votes in SQL
+    * and the row hash-matches (r9 ask #5 — previously `no_oracle` under
+    * xxhash64, which no other engine implements). Hash bits 60–63 are
+    * always 0, so those fingerprint positions vote all-negative and
+    * pack 0 on both engines; NULL text → NULL fingerprint, zero tokens
+    * → fingerprint 0. The xxhash64 fast path remains the engine for
+    * [[graft.ext.DedupOps.simhashPairs]]/q30 (planted-dup +
+    * pigeonhole-property specs in DedupOpsSpec). */
   private def q31(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     docs.select(col("doc_id"),
-        graft.ext.DedupOps.hashShingles(
-          graft.ext.DedupOps.wordTokens(col("text"))).as("hs"))
+        transform(graft.ext.DedupOps.wordTokens(col("text")),
+          t => graft.functions.HashFunctions.md5Hash60(t)).as("hs"))
       .select(col("doc_id"), graft.ext.DedupOps.simhashExpr("hs").as("simhash"))
       .orderBy(col("doc_id"))
   }
+
+  private val q31Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                            t -> LEN(t) > 0)) AS t
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |             CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) AS h
+      |      FROM tok),
+      |v AS (SELECT doc_id, j.j,
+      |             SUM(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |      FROM h CROSS JOIN (SELECT UNNEST(RANGE(0, 60)) AS j) j
+      |      GROUP BY 1, 2),
+      |fp AS (SELECT doc_id,
+      |              CAST(SUM(CASE WHEN s > 0
+      |                            THEN (CAST(1 AS BIGINT) << j)
+      |                            ELSE 0 END) AS BIGINT) AS fp
+      |       FROM v GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CASE WHEN d.text IS NULL THEN NULL
+      |            ELSE COALESCE(fp.fp, 0) END AS simhash
+      |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Character-set Jaccard for all pairs among doc_id < 25 — matches
     * DuckDB's JACCARD() semantics exactly, giving the near-dup family an
@@ -1701,14 +1755,37 @@ object Queries {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
-  /** The 100 TB profile path: HLL-sketch distincts — no expand, bounded
-    * memory regardless of column cardinality (exact q73 carries a 5-way
-    * expand whose shuffle scales with the text column; the q47/q47b
-    * exact-vs-sketch pairing). Spec: within 5% of exact per column. */
+  /** The 100 TB profile path: bottom-k KMV sketch distincts — no
+    * expand, bounded memory regardless of column cardinality (exact q73
+    * carries a 5-way expand whose shuffle scales with the text column;
+    * the q47/q47b exact-vs-sketch pairing). The KMV estimate is
+    * deterministic integer arithmetic over portable md5-60-bit hashes,
+    * so since r10 this row ALSO hash-matches a DuckDB oracle (r9 ask
+    * #5) on top of the QueriesSpec accuracy floor vs exact q73. */
   private def q73b(s: SparkSession, d: String): DataFrame =
     graft.ext.ProfileOps.profile(t(s, d, "documents"),
       Seq("doc_id", "lang", "source", "n_chars", "text"),
       approxDistinct = true)
+
+  private val q73bSql = {
+    def kmv(c: String) =
+      s"""(WITH hh AS (SELECT DISTINCT CAST('0x' || SUBSTR(MD5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |             FROM documents WHERE $c IS NOT NULL),
+         |      oo AS (SELECT h FROM hh ORDER BY h LIMIT 1024),
+         |      ss AS (SELECT CAST(COUNT(*) AS BIGINT) AS c, MAX(h) AS hk FROM oo)
+         | SELECT CASE WHEN c < 1024 THEN c
+         |             ELSE CAST(1023 * CAST(1152921504606846976 AS HUGEINT) // hk AS BIGINT) END
+         | FROM ss)""".stripMargin
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+         |       ${kmv(c)} AS n_distinct,
+         |       MIN(CAST($c AS VARCHAR)) AS min_s,
+         |       MAX(CAST($c AS VARCHAR)) AS max_s
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars", "text")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 
   /** Word-bigram Jaccard over the q32 pair subset — the n-gram-granularity
     * sibling of the character Jaccard (and the exact verify metric of the
@@ -6504,7 +6581,7 @@ object Queries {
     QueryDef("q15_intersect", q15, Some(q15Sql)),
     QueryDef("q16_except", q16, Some(q16Sql)),
     QueryDef("q17_count_distinct", q17, Some(q17Sql)),
-    QueryDef("q17b_approx_distinct", q17b, None),
+    QueryDef("q17b_approx_distinct", q17b, Some(q17bSql)),
     QueryDef("q18_rollup", q18, Some(q18Sql)),
     QueryDef("q18b_cube", q18b, Some(q18bSql)),
     QueryDef("q19_string_funcs", q19, Some(q19Sql)),
@@ -6522,7 +6599,7 @@ object Queries {
     QueryDef("q28_param_identifier", q28, Some(q28Sql)),
     QueryDef("q29_wrapper_lifecycle", q29, None),
     QueryDef("q30_minhash_neardup", q30, None),
-    QueryDef("q31_simhash", q31, None),
+    QueryDef("q31_simhash", q31, Some(q31Sql)),
     QueryDef("q32_jaccard_chars", q32, Some(q32Sql)),
     QueryDef("q33_lang_id", q33, Some(q33Sql)),
     QueryDef("q34_quality_score", q34, Some(q34Sql)),
@@ -6567,7 +6644,7 @@ object Queries {
     QueryDef("q71_scd2_intervals", q71, Some(q71Sql)),
     QueryDef("q72_shard_assign", q72, Some(q72Sql)),
     QueryDef("q73_dq_profile", q73, Some(q73Sql)),
-    QueryDef("q73b_dq_profile_approx", q73b, None),
+    QueryDef("q73b_dq_profile_approx", q73b, Some(q73bSql)),
     QueryDef("q74_ngram_jaccard", q74, Some(q74Sql)),
     QueryDef("q75_kmeans_assign", q75, Some(q75Sql)),
     QueryDef("q76_token_rarity", q76, Some(q76Sql)),
