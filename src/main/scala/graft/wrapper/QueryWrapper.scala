@@ -217,9 +217,12 @@ final class QueryWrapper private (
       case _ if SqlCompat.parseJdbcImport(stmt)
           .exists(im => SqlCompat.canHandle(spark, im)) =>
         // Exasol IMPORT … FROM JDBC: external database → local table;
-        // each STATEMENT clause is its own parallel cursor.
-        val loaded =
+        // each STATEMENT clause is its own parallel cursor. Cast
+        // failures ride the CSV lane's quarantine (+ ERRORS INTO /
+        // REJECT LIMIT).
+        val (loaded, bad) =
           SqlCompat.runJdbcImport(spark, SqlCompat.parseJdbcImport(stmt).get)
+        if (bad > 0) log("WARNING", s"IMPORT quarantined $bad malformed row(s)")
         new QueryResult(stmt, None, Some(loaded), None)
       case _ if SqlCompat.parseJdbcExport(stmt)
           .exists(ex => SqlCompat.canHandle(spark, ex)) =>
@@ -227,6 +230,21 @@ final class QueryWrapper private (
         val exported =
           SqlCompat.runJdbcExport(spark, SqlCompat.parseJdbcExport(stmt).get)
         new QueryResult(stmt, None, Some(exported), None)
+      case _ if SqlCompat.parseExecuteScript(stmt)
+          .exists(e => ScriptRegistry.lookup(e.name).isDefined) =>
+        // B16 end-to-end: `EXECUTE SCRIPT name(args)` (RM:35-37, 69)
+        // dispatches a registered EtlJob — a FRESH wrapper + job_log
+        // registration, like the host engine spawning the script's own
+        // session; the result is the finished job's messages table
+        // (RETURNS TABLE analog). Shares this wrapper's log store and
+        // clock, so script runs land in the same job_log.
+        val e = SqlCompat.parseExecuteScript(stmt).get
+        val sc = ScriptRegistry.lookup(e.name).get
+        val df = EtlJob.execute(spark, logStore, e.name.replace("`", ""),
+          sc.steps(e.args), sc.onError, clock)
+        val res = QueryResult.success(stmt, df, None)
+        res.normalizedRowCount
+        res
       case _ if SqlCompat.parseAsOf(stmt)
           .exists(q => SqlCompat.canHandle(spark, q)) =>
         // ASOF [LEFT] JOIN dialect → the single-shuffle as-of operator.

@@ -768,7 +768,8 @@ object SqlCompat {
     }
   }
   final case class JdbcImport(table: String, at: JdbcEndpoint,
-      source: Either[String, Seq[String]]) // Left = remote table, Right = STATEMENTs
+      source: Either[String, Seq[String]], // Left = remote table, Right = STATEMENTs
+      rejectLimit: Option[Long] = None, errorsInto: Option[String] = None)
   final case class JdbcExport(source: Either[String, String], // table | query
       at: JdbcEndpoint, target: String, replace: Boolean, truncate: Boolean)
 
@@ -796,9 +797,16 @@ object SqlCompat {
         val stmts = StatementClauseRe.findAllMatchIn(opts)
           .map(_.group(1).replace("''", "'")).toSeq
         val tbl = TableClauseRe.findFirstMatchIn(opts).map(_.group(1))
+        val reject = RejectLimitRe.findFirstMatchIn(opts).flatMap { r =>
+          if (r.group(1).equalsIgnoreCase("unlimited")) None
+          else Some(r.group(1).toLong)
+        }
+        val errs = ErrorsIntoRe.findFirstMatchIn(opts).map(_.group(1))
         (tbl, stmts) match {
-          case (Some(t), Seq()) => Some(JdbcImport(m.group(1), ep, Left(t)))
-          case (None, s) if s.nonEmpty => Some(JdbcImport(m.group(1), ep, Right(s)))
+          case (Some(t), Seq()) =>
+            Some(JdbcImport(m.group(1), ep, Left(t), reject, errs))
+          case (None, s) if s.nonEmpty =>
+            Some(JdbcImport(m.group(1), ep, Right(s), reject, errs))
           case _ => None
         }
       }
@@ -835,8 +843,16 @@ object SqlCompat {
 
   /** Append the remote rows to the local table. Columns map by POSITION with
     * a cast to the target type — the host loader's rule. Multiple STATEMENT
-    * cursors read concurrently (one jdbc partition each) and union. */
-  def runJdbcImport(spark: SparkSession, i: JdbcImport): Long = {
+    * cursors read concurrently (one jdbc partition each) and union.
+    *
+    * Same quarantine lane as the CSV loader (r9 verdict #4): a row whose
+    * non-NULL source value fails its target-type cast quarantines (the
+    * whole source row JSON-serialized as `raw_record`) instead of failing
+    * the scan under ANSI cast; an explicit `REJECT LIMIT n` fails the
+    * statement BEFORE any write once exceeded, and `ERRORS INTO t` lands
+    * the quarantined rows in an errors table created on first use.
+    * Returns (loaded, quarantined). */
+  def runJdbcImport(spark: SparkSession, i: JdbcImport): (Long, Long) = {
     val target = spark.table(i.table).schema
     val df = i.source match {
       case Left(remote) =>
@@ -850,18 +866,39 @@ object SqlCompat {
     require(df.schema.length == target.length,
       s"IMPORT JDBC: source has ${df.schema.length} column(s), " +
         s"target ${i.table} has ${target.length}")
-    val aligned = df.select(df.columns.zip(target).map { case (c, f) =>
-      col(Params.quote(c)).cast(f.dataType).as(f.name)
-    }: _*)
-    // persist before count+write: the source is an EXTERNAL database —
-    // without it the count and the append would each open fresh cursors
-    // and read the remote side twice.
-    aligned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = df.columns.zip(target).map { case (c, f) =>
+      val src = col(Params.quote(c))
+      // try_cast: NULL on a malformed value (ANSI cast would fail the
+      // whole scan); the bad-row predicate turns that NULL into a
+      // quarantine instead — the FBV lane's rule.
+      (src.try_cast(f.dataType).as(f.name),
+        src.isNotNull && src.try_cast(f.dataType).isNull)
+    }
+    val parsed = df
+      .withColumn("__bad", pairs.map(_._2).reduce(_ || _))
+      // persist before count+write: the source is an EXTERNAL database —
+      // without it each action would open fresh remote cursors.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = aligned.count()
-      aligned.write.mode("append").insertInto(i.table)
-      n
-    } finally { aligned.unpersist(); () }
+      val good = parsed.filter(!col("__bad")).select(pairs.map(_._1): _*)
+      val quarantined = parsed.filter(col("__bad"))
+        .select(to_json(struct(df.columns.map(c =>
+          col(Params.quote(c))): _*)).as("raw_record"))
+      val loaded = good.count()
+      val bad = quarantined.count()
+      i.rejectLimit.foreach { cap =>
+        require(bad <= cap,
+          s"IMPORT: $bad malformed row(s) exceed REJECT LIMIT $cap")
+      }
+      i.errorsInto.foreach { et =>
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $et " +
+          "(raw_record STRING) USING parquet")
+        if (bad > 0)
+          quarantined.write.mode("append").insertInto(et)
+      }
+      good.write.mode("append").insertInto(i.table)
+      (loaded, bad)
+    } finally { parsed.unpersist(); () }
   }
 
   /** Write the table/query to the remote table via df.write.jdbc. */
@@ -873,6 +910,43 @@ object SqlCompat {
       .option("truncate", e.truncate.toString) // TRUNCATE keeps remote DDL
       .jdbc(e.at.url, e.target, e.at.properties)
     n
+  }
+
+  // -------------------------------------------------------- EXECUTE SCRIPT
+
+  private val ExecScriptRe =
+    "(?is)^\\s*execute\\s+script\\s+([\\w.`]+)\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
+
+  final case class ExecScript(name: String, args: Seq[Any])
+
+  /** `EXECUTE SCRIPT name[(arg, …)]` (reference RM:35–37, 69; QW:22) —
+    * args are SQL literals: 'string' (with `''` escape), integer,
+    * decimal, TRUE/FALSE, NULL. Dispatches against [[ScriptRegistry]];
+    * an unregistered name does NOT parse as this dialect statement (it
+    * falls through to `spark.sql`, which raises the host-style parse
+    * error). */
+  def parseExecuteScript(sql: String): Option[ExecScript] =
+    ExecScriptRe.findFirstMatchIn(maskOptions(sql)).map { m =>
+      val name = sql.substring(m.start(1), m.end(1))
+      val args =
+        if (m.group(2) == null) Seq.empty[Any]
+        else splitTopLevel(sql.substring(m.start(2), m.end(2)))
+          .map(parseScriptArg)
+      ExecScript(name, args)
+    }
+
+  private def parseScriptArg(raw: String): Any = {
+    val t = raw.trim
+    if (t.equalsIgnoreCase("null")) null
+    else if (t.equalsIgnoreCase("true")) true
+    else if (t.equalsIgnoreCase("false")) false
+    else if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.matches("[+-]?\\d+")) t.toLong
+    else if (t.matches("[+-]?(\\d*\\.\\d+|\\d+\\.\\d*)([eE][+-]?\\d+)?"))
+      t.toDouble
+    else throw new IllegalArgumentException(
+      s"EXECUTE SCRIPT: unsupported argument literal: $t")
   }
 
   // --------------------------------------------------------------- QUALIFY
@@ -927,11 +1001,43 @@ object SqlCompat {
   /** One parsed `ASOF JOIN` statement (supported subset, see
     * [[parseAsOf]]). `keys` pairs are (leftCol, rightCol); `forward` is the
     * match direction (false = backward: latest right with
-    * rightTime <= leftTime). */
+    * rightTime <= leftTime). `ctes` is the statement's top-level WITH
+    * prologue — either joined side may name a CTE instead of a table. */
   final case class AsOfQuery(selectList: String, leftTable: String,
       leftAlias: String, rightTable: String, rightAlias: String,
       leftJoin: Boolean, keys: Seq[(String, String)], leftTime: String,
-      rightTime: String, forward: Boolean, tail: String)
+      rightTime: String, forward: Boolean, tail: String,
+      ctes: Seq[(String, String)] = Seq.empty)
+
+  private val WithHeadRe = "(?is)^\\s*with\\s+".r
+  private val CteNameAsRe = "(?is)^\\s*([\\w`]+)\\s+as\\s*\\(".r
+
+  /** Split a statement's top-level `WITH name AS (…), …` prologue into
+    * (name → body) pairs + the main-query offset, balancing parens on the
+    * MASKED text (maskNonTopLevel blanks nested paren interiors, so the
+    * FIRST close after each open is the balanced one). Returns None when
+    * the statement has no WITH prologue or it doesn't parse cleanly. */
+  private def parseCtes(sql: String,
+      masked: String): Option[(Seq[(String, String)], Int)] = {
+    val h = WithHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    val ctes = Seq.newBuilder[(String, String)]
+    var pos = h.end
+    var more = true
+    while (more) {
+      val m = CteNameAsRe.findFirstMatchIn(masked.substring(pos))
+        .getOrElse(return None)
+      val name = sql.substring(pos + m.start(1), pos + m.end(1))
+      val open = pos + m.end - 1
+      val close = balancedClose(masked, open)
+      if (close < 0) return None
+      ctes += name -> sql.substring(open + 1, close)
+      pos = close + 1
+      while (pos < masked.length && masked(pos).isWhitespace) pos += 1
+      if (pos < masked.length && masked(pos) == ',') pos += 1
+      else more = false
+    }
+    Some((ctes.result(), pos))
+  }
 
   /** DuckDB-grammar `ASOF JOIN` → [[graft.operators.AsOfJoin]].
     *
@@ -952,9 +1058,16 @@ object SqlCompat {
     // maskNonTopLevel (not maskOptions): string literals blank out, so an
     // 'asof join' / 'order by' / 'limit' INSIDE a literal can neither
     // trigger the grammar nor mis-cut the tail keywords.
-    val masked = maskNonTopLevel(sql)
+    val masked0 = maskNonTopLevel(sql)
+    // Optional top-level WITH prologue (r9 ask #7, "ASOF under a CTE"):
+    // strip it, parse the main query, carry the CTEs for [[runAsOf]] to
+    // resolve either joined side against.
+    val (ctes, sqlM, masked) = parseCtes(sql, masked0) match {
+      case Some((cs, start)) => (cs, sql.substring(start), masked0.substring(start))
+      case None => (Seq.empty[(String, String)], sql, masked0)
+    }
     AsOfHeadRe.findFirstMatchIn(masked).flatMap { m =>
-      val rest = sql.substring(m.end) // ON conjunction + optional tail
+      val rest = sqlM.substring(m.end) // ON conjunction + optional tail
       val maskedRest = masked.substring(m.end)
       // The ON conjunction ends at the first top-level WHERE/ORDER/GROUP kw.
       val tailKw = "(?is)\\b(where|order\\s+by|group\\s+by|limit)\\b".r
@@ -962,8 +1075,8 @@ object SqlCompat {
         .getOrElse(maskedRest.length)
       val onText = rest.substring(0, cut)
       val tail = rest.substring(cut).replaceAll("[;\\s]+$", "")
-      val la = Option(m.group(3)).getOrElse(sql.substring(m.start(2), m.end(2)))
-      val ra = Option(m.group(6)).getOrElse(sql.substring(m.start(5), m.end(5)))
+      val la = Option(m.group(3)).getOrElse(sqlM.substring(m.start(2), m.end(2)))
+      val ra = Option(m.group(6)).getOrElse(sqlM.substring(m.start(5), m.end(5)))
       val conjuncts = splitTopLevelAnd(onText).map {
         case AsOfCmpRe(a1, c1, op, a2, c2) => Some((a1, c1, op, a2, c2))
         case _ => None
@@ -984,27 +1097,38 @@ object SqlCompat {
         if (oriented.length != cs.length || ineqs.length != 1) None
         else {
           val (lt, op, rt) = ineqs.head
-          Some(AsOfQuery(sql.substring(m.start(1), m.end(1)),
-            sql.substring(m.start(2), m.end(2)), la,
-            sql.substring(m.start(5), m.end(5)), ra,
+          Some(AsOfQuery(sqlM.substring(m.start(1), m.end(1)),
+            sqlM.substring(m.start(2), m.end(2)), la,
+            sqlM.substring(m.start(5), m.end(5)), ra,
             leftJoin = m.group(4) != null,
             keys = eqs, leftTime = lt, rightTime = rt,
-            forward = op == "<=" || op == "<", tail = tail))
+            forward = op == "<=" || op == "<", tail = tail, ctes = ctes))
         }
       }
     }
   }
 
-  def canHandle(spark: SparkSession, q: AsOfQuery): Boolean =
-    tableExists(spark, q.leftTable) && tableExists(spark, q.rightTable) &&
-      q.keys.nonEmpty
+  def canHandle(spark: SparkSession, q: AsOfQuery): Boolean = {
+    def resolvable(n: String) =
+      q.ctes.exists(_._1.equalsIgnoreCase(n)) || tableExists(spark, n)
+    resolvable(q.leftTable) && resolvable(q.rightTable) && q.keys.nonEmpty
+  }
 
   /** Execute a parsed ASOF query: rename the right side into a collision-free
     * namespace, run the union+window as-of, then evaluate the SELECT list /
     * tail SQL over the joined view with alias-qualified refs rewritten. */
   def runAsOf(spark: SparkSession, q: AsOfQuery): DataFrame = {
-    val left = spark.table(q.leftTable)
-    val right0 = spark.table(q.rightTable)
+    // A side naming a CTE resolves by running the full prologue against
+    // that name — no temp-view state, analysis resolves eagerly, and
+    // earlier CTEs are in scope for later ones exactly as written.
+    def rel(name: String): DataFrame =
+      if (q.ctes.exists(_._1.equalsIgnoreCase(name))) {
+        val prologue = q.ctes.map { case (n, b) => s"$n AS ($b)" }
+          .mkString("WITH ", ", ", " ")
+        spark.sql(s"${prologue}SELECT * FROM $name")
+      } else spark.table(name)
+    val left = rel(q.leftTable)
+    val right0 = rel(q.rightTable)
     // right keys take the left key's name (AsOfJoin keys are same-named);
     // every other right column moves to a collision-free prefixed name.
     val keyMap = q.keys.map { case (l, r) => r -> l }.toMap

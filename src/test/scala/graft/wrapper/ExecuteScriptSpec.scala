@@ -1,0 +1,116 @@
+package graft.wrapper
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** `EXECUTE SCRIPT name(args)` as SQL text (reference RM:35–37, 69) —
+  * the B16 story end-to-end: a registered multi-step job dispatched from
+  * `wrapper.query`, its own job_log registration, golden-checked
+  * job_details rows, literal-argument binding, and host-style fallthrough
+  * for unregistered names. */
+class ExecuteScriptSpec extends AnyFunSuite with SparkTestBase {
+
+  private val clock: () => Instant = () => Instant.parse("2026-01-02T03:04:05Z")
+
+  test("a registered multi-step job runs end-to-end through SQL text") {
+    val dir = Files.createTempDirectory("exec_script").toString
+    val store = new LogStore(spark, dir, clock)
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("es_region")
+    ScriptRegistry.register("etl.load_regions") { args =>
+      val minKey = args.head.asInstanceOf[Long]
+      val tag = args(1).asInstanceOf[String]
+      Seq(
+        "count_regions" -> (w => w.query(
+          "SELECT count(*) FROM es_region WHERE r_regionkey >= :MINKEY",
+          QueryOptions(params = Some(Map("MINKEY" -> minKey))))),
+        "note" -> (w => w.log("MY_LOG", s"tagged $tag")))
+    }
+    try {
+      val outer = QueryWrapper(spark, Some(store), "outer_job", clock)
+      val (ok, res) = outer.query(
+        "EXECUTE SCRIPT etl.load_regions(2, 'it''s nightly')")
+      assert(ok, res.error)
+      // The statement's result is the script's messages table
+      // (RETURNS TABLE analog): START/INFO per step + the custom level.
+      val msgs = res.dataFrame.get.collect().map(r => (r.getString(2), r.getString(3)))
+      assert(msgs.exists(_ == ("START", "Entering function count_regions")))
+      assert(msgs.exists(_ == ("INFO", "Finished function count_regions")))
+      // the '' escape reached the step as a single quote
+      assert(msgs.exists(_ == ("MY_LOG", "tagged it's nightly")))
+
+      // Golden job_details: the script ran as its OWN registered job in
+      // the SHARED log store (the host engine's job_log shape).
+      val details = store.jobDetails.orderBy("detail_id").collect()
+        .map(r => (r.getLong(1), r.getString(3), r.getString(4)))
+      val scriptRuns = store.jobLog.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(scriptRuns.exists { case (_, name, status) =>
+        name == "etl.load_regions" && status == "FINISHED SUCCESSFULLY" })
+      val runId = scriptRuns
+        .find(_._2 == "etl.load_regions").get._1
+      val scriptDetails = details.filter(_._1 == runId).map(d => (d._2, d._3))
+      assert(scriptDetails.contains(("START", "Entering function count_regions")))
+      assert(scriptDetails.contains(("MY_LOG", "tagged it's nightly")))
+      outer.finish()
+    } finally ScriptRegistry.drop("etl.load_regions")
+  }
+
+  test("name lookup is case-insensitive and argument-free calls work") {
+    ScriptRegistry.register("NOARG.JOB") { _ =>
+      Seq("only" -> (w => w.log("L", "ran")))
+    }
+    try {
+      val w = QueryWrapper(spark, None, "outer2", clock)
+      val (ok1, r1) = w.query("EXECUTE SCRIPT noarg.job()")
+      val (ok2, r2) = w.query("EXECUTE SCRIPT noarg.job")
+      assert(ok1 && ok2)
+      assert(r1.dataFrame.get.collect().exists(_.getString(3) == "ran"))
+      assert(r2.dataFrame.get.collect().exists(_.getString(3) == "ran"))
+    } finally ScriptRegistry.drop("NOARG.JOB")
+  }
+
+  test("literal binding covers numbers, decimals, booleans and NULL") {
+    @volatile var seen: Seq[Any] = null
+    ScriptRegistry.register("argcheck") { args =>
+      seen = args
+      Seq("noop" -> (w => w.log("L", "ok")))
+    }
+    try {
+      val w = QueryWrapper(spark, None, "outer3", clock)
+      val (ok, _) = w.query(
+        "EXECUTE SCRIPT argcheck(-5, 2.5, TRUE, false, NULL, 'x')")
+      assert(ok)
+      assert(seen == Seq(-5L, 2.5, true, false, null, "x"))
+    } finally ScriptRegistry.drop("argcheck")
+  }
+
+  test("an unregistered script name falls through to the host-style error") {
+    val w = QueryWrapper(spark, None, "outer4", clock)
+    w.onError = "continue"
+    val (ok, res) = w.query("EXECUTE SCRIPT no.such_script(1)")
+    assert(!ok)
+    assert(res.error.isDefined)
+  }
+
+  test("a failing script step closes ITS job WITH ERROR and fails the " +
+      "statement under the outer wrapper's error policy") {
+    val dir = Files.createTempDirectory("exec_script_err").toString
+    val store = new LogStore(spark, dir, clock)
+    ScriptRegistry.register("failing.job") { _ =>
+      Seq("boom" -> (_ => throw new RuntimeException("step failed")))
+    }
+    try {
+      val outer = QueryWrapper(spark, Some(store), "outer5", clock)
+      outer.onError = "continue"
+      val (ok, _) = outer.query("EXECUTE SCRIPT failing.job()")
+      assert(!ok)
+      assert(store.jobLog.collect().exists(r =>
+        r.getString(1) == "failing.job" &&
+          r.getString(2) == "FINISHED WITH ERROR"))
+    } finally ScriptRegistry.drop("failing.job")
+  }
+}

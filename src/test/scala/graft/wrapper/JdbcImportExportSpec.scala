@@ -172,6 +172,89 @@ class JdbcImportExportSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE je_t")
   }
 
+  test("a poisoned source row quarantines into ERRORS INTO instead of " +
+      "failing the load; REJECT LIMIT caps it") {
+    // Remote rows land by POSITION with a cast: 'abc' cannot cast to the
+    // target INT column — under ANSI that would fail the whole scan; the
+    // quarantine lane routes the row to the errors table instead (the CSV
+    // lane's semantics, r9 verdict #4).
+    withRemote { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE src_q") catch { case _: Exception => () }
+      st.execute("CREATE TABLE src_q (id INT, amount VARCHAR(16))")
+      st.execute("INSERT INTO src_q VALUES (1, '10'), (2, 'abc'), (3, '30')")
+      st.close()
+    }
+    val loc = Files.createTempDirectory("jdbc-quar").toString
+    spark.sql(s"CREATE TABLE jq_t (id BIGINT, amount INT) USING parquet LOCATION '$loc/t'")
+    spark.sql(s"CREATE TABLE jq_e (raw_record STRING) USING parquet LOCATION '$loc/e'")
+    try {
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"IMPORT INTO jq_t FROM JDBC AT '$url' TABLE src_q " +
+          "ERRORS INTO jq_e REJECT LIMIT 5")
+      assert(ok, res.error.map(_.message).getOrElse(""))
+      assert(res.rowsAffected.contains(2L)) // loaded = good rows only
+      assert(spark.table("jq_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+        Seq((1L, 10), (3L, 30)))
+      // the poisoned ROW (json of the full source row) is in the errors table
+      val errs = spark.table("jq_e").collect().map(_.getString(0))
+      assert(errs.length == 1 && errs.head.contains("abc"), errs.toSeq)
+      // the quarantine was logged on the wrapper
+      assert(w.messages.exists(m =>
+        m.msgType == "WARNING" && m.message.contains("quarantined 1")))
+
+      // REJECT LIMIT 0 fails the statement BEFORE any write
+      val w2 = QueryWrapper(spark)
+      w2.onError = "continue"
+      val before = spark.table("jq_t").count()
+      val (ok2, res2) = w2.query(
+        s"IMPORT INTO jq_t FROM JDBC AT '$url' TABLE src_q REJECT LIMIT 0")
+      assert(!ok2)
+      assert(res2.error.exists(_.message.contains("REJECT LIMIT")))
+      assert(spark.table("jq_t").count() == before)
+    } finally {
+      spark.sql("DROP TABLE jq_t"); spark.sql("DROP TABLE jq_e")
+    }
+  }
+
+  test("IMPORT FROM JDBC into a hive-partitioned target appends only the " +
+      "touched partitions") {
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.isFile).filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    withRemote { c =>
+      val st = c.createStatement()
+      try st.execute("DROP TABLE src_part") catch { case _: Exception => () }
+      st.execute("CREATE TABLE src_part (id INT, name VARCHAR(16), day INT)")
+      st.execute("INSERT INTO src_part VALUES (20, 'new2', 2)")
+      st.close()
+    }
+    val loc = Files.createTempDirectory("jdbc-part").toString + "/t"
+    spark.sql("CREATE TABLE jpt (id BIGINT, name STRING, day INT) " +
+      s"USING parquet PARTITIONED BY (day) LOCATION '$loc'")
+    try {
+      spark.sql(
+        "INSERT INTO jpt VALUES (1, 'a', 0), (2, 'b', 1), (3, 'c', 2)")
+      val before0 = fileState(s"$loc/day=0")
+      val before1 = fileState(s"$loc/day=1")
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(
+        s"IMPORT INTO jpt FROM JDBC AT '$url' TABLE src_part")
+      assert(ok, res.error.map(_.message).getOrElse(""))
+      assert(res.rowsAffected.contains(1L))
+      // remote rows reached only their own partition; day 0/1 files
+      // stayed byte-identical (append, never a full overwrite)
+      assert(fileState(s"$loc/day=0") == before0)
+      assert(fileState(s"$loc/day=1") == before1)
+      assert(spark.table("jpt").filter("day = 2").count() == 2L)
+    } finally spark.sql("DROP TABLE jpt")
+  }
+
   test("column-count mismatch fails the statement before any write") {
     freshRemoteTable("src_m", Seq(1 -> "a"))
     val loc = Files.createTempDirectory("jdbc-mis").toString

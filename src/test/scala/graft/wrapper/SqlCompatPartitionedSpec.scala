@@ -242,6 +242,27 @@ class SqlCompatPartitionedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IMPORT FROM PARQUET into a partitioned target appends only the " +
+      "touched partitions (untouched partition bytes identical)") {
+    withPartTable("pimp") { loc =>
+      val before0 = fileState(s"$loc/day=0")
+      val before1 = fileState(s"$loc/day=1")
+      // source parquet holds only day=2 rows → only day=2 may change
+      val src = Files.createTempDirectory("pimp_src").toString + "/s"
+      Seq((10L, "j2", 2)).toDF("id", "v", "day").write.parquet(src)
+      val w = QueryWrapper(spark)
+      val (ok, res) = w.query(s"IMPORT INTO pimp FROM PARQUET FILE '$src'")
+      assert(ok, res.error.map(_.message).getOrElse(""))
+      assert(res.rowsAffected.contains(1L))
+      assert(fileState(s"$loc/day=0") == before0,
+        "untouched partition day=0 was rewritten")
+      assert(fileState(s"$loc/day=1") == before1,
+        "untouched partition day=1 was rewritten")
+      assert(spark.table("pimp").filter($"day" === 2).count() == 2L)
+      assert(spark.table("pimp").count() == 6L)
+    }
+  }
+
   test("the pruned read of a catalog table carries PartitionFilters") {
     withPartTable("pplan") { _ =>
       val touched = spark.table("pplan").filter($"day" === 1)
