@@ -39,17 +39,19 @@ object SamplingOps {
     * groups whose addition order could differ between engines.
     *
     * Output: (source, n_docs, rel_weight·4dp) ordered by source. The
-    * per-source aggregate is map-side combined; the max arrives via a
-    * window over the #sources-row aggregate — driver-tiny. */
+    * per-source aggregate is map-side combined; the max arrives as a
+    * broadcast 1-row aggregate cross (the q143-total pattern — no
+    * unpartitioned window anywhere in the library since r10). */
   def sourceMixWeights(df: DataFrame, sourceCol: String = "source",
       alpha: Double = 0.5): DataFrame = {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
-    val wAll = Window.partitionBy()
-    val ratio = col("n_docs").cast("double") /
-      max(col("n_docs")).over(wAll).cast("double")
+      .localCheckpoint() // consumed by the max AND the weight projection
+    val mx = counts.agg(max(col("n_docs")).as("__nmax"))
+    val ratio = col("n_docs").cast("double") / col("__nmax").cast("double")
     val weight = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(alpha))
-    counts
+    counts.crossJoin(broadcast(mx))
       .withColumn("rel_weight", floor(weight * 10000 + lit(0.5)) / 10000)
+      .drop("__nmax")
       .orderBy(col(sourceCol))
   }
 
@@ -128,10 +130,11 @@ object SamplingOps {
   def epochUpsample(df: DataFrame, sourceCol: String = "source",
       alpha: Double = 0.5, cap: Int = 8): DataFrame = {
     require(cap >= 1)
-    val wAll = Window.partitionBy()
-    val inv = max(col("n_docs")).over(wAll).cast("double") /
-      col("n_docs").cast("double")
-    val plan = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // consumed by the max AND the copy plan
+    val mx = counts.agg(max(col("n_docs")).as("__nmax"))
+    val inv = col("__nmax").cast("double") / col("n_docs").cast("double")
+    val plan = counts.crossJoin(broadcast(mx))
       .withColumn("n_copies",
         least(floor(pow(inv, lit(alpha)) + lit(0.5)).cast("int"), lit(cap)))
       .select(col(sourceCol), col("n_copies"))

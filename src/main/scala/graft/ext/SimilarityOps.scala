@@ -158,9 +158,12 @@ object SimilarityOps {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
-    var centroids = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(k)
-      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+    // cell ids 0..k-1 over the k seed rows via the bounded two-phase rank
+    // (k rows, but keeps the no-unpartitioned-window discipline uniform)
+    var centroids = ShardOps.withGlobalRank(
+        vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k),
+        Seq(col("vec_id")))
+      .select((col("__rn") - 1).cast("int").as("cell"),
         col("vec").as("centroid"))
     (1 to iters).foreach { _ =>
       centroids = assignCells(vecs, centroids)

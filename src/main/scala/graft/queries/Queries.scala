@@ -4808,24 +4808,35 @@ object Queries {
 
   /** 7-observed-day moving revenue with day-over-day delta — the KPI
     * smoothing report. Daily sums are exact integer cents (half-up
-    * per row, BEFORE the sum — order-independent); the moving frame is
-    * ROWS 6 PRECEDING over the day-ordered aggregate, so the only
-    * unpartitioned window runs over #days rows — calendar-bounded, the
-    * q135 discipline — and the moving mean is integer milli-cents (sum
-    * and count over the frame, one integer division). */
+    * per row, BEFORE the sum — order-independent). The ROWS 6 PRECEDING
+    * frame is spelled as PREFIX DIFFERENCES since r10: a global rank +
+    * prefix sum over the day-ordered aggregate (two bounded range
+    * shuffles, [[graft.ext.ShardOps]]), then `sum7 = ps(rn) − ps(rn−7)`
+    * and `lag = rev(rn−1)` via rank-keyed equi self-joins — hash joins,
+    * no unpartitioned window, the construction that survives even a
+    * non-calendar-bounded order column. Moving mean stays integer
+    * milli-cents (frame sum and count, one integer division). */
   private def q140(s: SparkSession, d: String): DataFrame = {
     val daily = t(s, d, "events")
       .select(col("ts").cast("date").as("day"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy(col("day")).agg(sum(col("cents")).as("rev_cents"))
-    val w = Window.orderBy(col("day"))
-    val w7 = w.rowsBetween(-6, Window.currentRow)
-    daily
-      .withColumn("sum7", sum(col("rev_cents")).over(w7))
-      .withColumn("cnt7", count(lit(1)).over(w7))
+    val base = graft.ext.ShardOps.withGlobalPrefixSum(
+        graft.ext.ShardOps.withGlobalRank(daily, Seq(col("day"))),
+        Seq(col("day")), "rev_cents")
+      .select(col("day"), col("rev_cents"), col("__rn").as("rn"),
+        col("__rsum").as("ps"))
+      .localCheckpoint() // feeds the two rank-offset self-joins
+    val off7 = base.select((col("rn") + 7).as("rn"), col("ps").as("ps7"))
+    val off1 = base.select((col("rn") + 1).as("rn"),
+      col("rev_cents").as("prev_rev"))
+    base
+      .join(off7, Seq("rn"), "left")
+      .join(off1, Seq("rn"), "left")
+      .withColumn("sum7", col("ps") - coalesce(col("ps7"), lit(0L)))
+      .withColumn("cnt7", least(col("rn"), lit(7L)))
       .withColumn("ma7_milli", expr("sum7 * 1000 div cnt7"))
-      .withColumn("delta_cents",
-        col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_rev"))
       .select(col("day"), col("rev_cents"), col("ma7_milli"),
         col("delta_cents"))
       .orderBy(col("day"))
@@ -4896,9 +4907,11 @@ object Queries {
     * day)`) engines either reject or execute quadratically. Exact at any
     * scale via first-seen aggregation: distinct (day, user) once, each
     * user's MIN(day) marks them "new" exactly once, and the running sum
-    * of new-user counts IS the cumulative distinct count. The only
-    * window runs over the per-day frame — calendar-bounded (#days rows),
-    * not data-bounded, the q127 k-row-frame discipline. */
+    * of new-user counts IS the cumulative distinct count. The running
+    * sum over the per-day frame rides the two-phase prefix construction
+    * ([[graft.ext.ShardOps.withGlobalPrefixSum]]) — the frame is
+    * calendar-bounded anyway, but the discipline is uniform since r10:
+    * no declared query plans an unpartitioned window. */
   private def q135(s: SparkSession, d: String): DataFrame = {
     val du = t(s, d, "events")
       .select(col("ts").cast("date").as("day"), col("user_id"))
@@ -4906,11 +4919,11 @@ object Queries {
     val active = du.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
     val nu = du.groupBy(col("user_id")).agg(min(col("day")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
-    active.join(nu, Seq("day"), "left")
+    val joined = active.join(nu, Seq("day"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
-      .withColumn("cum_users", sum(col("new_users")).over(
-        Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.ext.ShardOps
+      .withGlobalPrefixSum(joined, Seq(col("day")), "new_users")
+      .withColumnRenamed("__rsum", "cum_users")
       .select(col("day"), col("active_users"), col("new_users"),
         col("cum_users"))
       .orderBy(col("day"))
