@@ -6573,6 +6573,158 @@ object Queries {
       |FROM pc JOIN seg ON pc.c_mktsegment = seg.c_mktsegment
       |GROUP BY pc.c_mktsegment ORDER BY pc.c_mktsegment""".stripMargin
 
+  // ------------------------------------------ q182 Count-Min frequencies
+
+  /** Count-Min point-frequency estimates ([[graft.functions.CmsSketchAgg]]
+    * + [[graft.functions.CmsEstimate]]): ONE pass builds a 4×512 counter
+    * matrix (16 KiB mergeable partial — per-day partials roll up by
+    * element-wise add, history never rescanned), then the probe items
+    * score against the broadcast 1-row sketch. The portable md5-row
+    * hashes make the whole counter matrix engine-reproducible, so the
+    * estimates hash-match the DuckDB oracle — the sketch lane's first
+    * fully oracle-checked member (HLL/KLL/Theta are spec-pinned only).
+    * `exact_cnt` rides along, pinning the CMS ≥-true-count guarantee in
+    * data as well as in CountMinSpec. */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMin.{cmsEstimate, cmsSketch}
+    val li = t(s, d, "lineitem")
+    val sk = li.agg(cmsSketch(col("l_partkey").cast("string")).as("sk"))
+    val probes = li.filter(col("l_partkey") <= 20)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_cnt"))
+    probes.crossJoin(broadcast(sk))
+      .select(col("l_partkey"), col("exact_cnt"),
+        cmsEstimate(col("sk"), col("l_partkey").cast("string"))
+          .as("est_freq"))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val q182Sql =
+    """WITH items AS (SELECT CAST(l_partkey AS VARCHAR) AS item
+      |               FROM lineitem),
+      |rws AS (SELECT UNNEST(RANGE(0, 4)) AS r),
+      |bk AS (SELECT rws.r AS r,
+      |              CAST('0x' || SUBSTR(MD5('cms_' || rws.r || '_' || item),
+      |                                  1, 15) AS BIGINT) % 512 AS b,
+      |              CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM items CROSS JOIN rws GROUP BY 1, 2),
+      |probes AS (SELECT l_partkey, CAST(l_partkey AS VARCHAR) AS item,
+      |                  CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      |           FROM lineitem WHERE l_partkey <= 20 GROUP BY 1, 2)
+      |SELECT p.l_partkey, p.exact_cnt, MIN(bk.c) AS est_freq
+      |FROM probes p CROSS JOIN rws
+      |JOIN bk ON bk.r = rws.r
+      |       AND bk.b = CAST('0x' || SUBSTR(MD5('cms_' || rws.r || '_'
+      |                                          || p.item), 1, 15)
+      |                       AS BIGINT) % 512
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------ q183 hybrid retrieval RRF
+
+  /** Hybrid retrieval — BM25 lexical top-10 ([[graft.ext.CorpusOps
+    * .bm25TopK]]) fused with embedding-cosine top-10 ([[graft.ext
+    * .SimilarityOps.bruteForceKnn]]) by Reciprocal Rank Fusion
+    * (Cormack, Clarke & Büttcher, SIGIR 2009): each arm contributes
+    * `1e6 div (60 + rank)` — exact integer micro-units, so the fused
+    * score is order-independent and engine-exact — and the fused
+    * ranking orders by (score DESC, id ASC). doc_id and vec_id share
+    * the corpus id space, so the two arms fuse by id; each arm keeps
+    * its own scale path (candidate-pruned BM25; ANN-swappable cosine).
+    * One narrow union + one fused aggregate on top of the two arms —
+    * RRF adds no corpus-sized work of its own. */
+  private val q183Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join"),
+    1L -> Seq("window", "merge", "stream"),
+    2L -> Seq("vector", "scan", "slow"))
+
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.ext.CorpusOps
+      .bm25TopK(t(s, d, "documents"), q183Queries, topK = 10)
+      .select(col("query_id"), col("doc_id").as("id"),
+        expr("1000000 div (60 + rk)").as("c"))
+    val emb = t(s, d, "embeddings")
+    val vec = graft.ext.SimilarityOps
+      .bruteForceKnn(emb, emb.filter(col("vec_id") <= 2), k = 10)
+      .select(col("query_id"), col("vec_id").as("id"),
+        expr("1000000 div (60 + rk)").as("c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("id").asc)
+    lex.unionByName(vec)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).as("n_arms"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("id"), col("rrf_micro"),
+        col("n_arms"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  private val q183Sql = {
+    val bm25 =
+      """qt AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, tok FROM (VALUES
+        |    (0, 'hash'), (0, 'join'),
+        |    (1, 'window'), (1, 'merge'), (1, 'stream'),
+        |    (2, 'vector'), (2, 'scan'), (2, 'slow')) AS v(query_id, tok)),
+        |tk AS (
+        |  SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+        |                                    x -> LEN(x) > 0)) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+        |              (SELECT COUNT(*) FROM tk) AS sumdl),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+        |       WHERE tok IN ('hash', 'join', 'window', 'merge', 'stream',
+        |                     'vector', 'scan', 'slow')
+        |       GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |         CAST(SUM(CAST(FLOOR(
+        |             LN(1 + (st.nd - dfq.df + 0.5::DOUBLE)
+        |                    / (dfq.df + 0.5::DOUBLE))
+        |             * (tf.tf * (1.2::DOUBLE + 1))
+        |             / (tf.tf + 1.2::DOUBLE
+        |                * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl.dl
+        |                   / (CAST(st.sumdl AS DOUBLE) / st.nd)))
+        |             * 1000000) AS BIGINT)) AS BIGINT) AS score_un
+        |  FROM tf JOIN qt USING (tok) JOIN dfq USING (tok)
+        |       JOIN dl USING (doc_id) CROSS JOIN st
+        |  GROUP BY qt.query_id, tf.doc_id),
+        |lexarm AS (
+        |  SELECT query_id, doc_id AS id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY score_un DESC, doc_id) AS rk
+        |  FROM sc QUALIFY rk <= 10)""".stripMargin
+    val cosine =
+      """qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |       WHERE vec_id <= 2),
+        |vscored AS (
+        |  SELECT qv.query_id, e.vec_id,
+        |         LIST_COSINE_SIMILARITY(
+        |           LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+        |           LIST_TRANSFORM(qv.qe, x -> CAST(x AS DOUBLE))) AS cos
+        |  FROM embeddings e, qv WHERE e.vec_id <> qv.query_id),
+        |vecarm AS (
+        |  SELECT query_id, vec_id AS id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, vec_id) AS rk
+        |  FROM vscored QUALIFY rk <= 10)""".stripMargin
+    s"""WITH $bm25,
+       |$cosine,
+       |fused AS (
+       |  SELECT query_id, id,
+       |         CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf_micro,
+       |         CAST(COUNT(*) AS BIGINT) AS n_arms
+       |  FROM (SELECT * FROM lexarm UNION ALL SELECT * FROM vecarm)
+       |  GROUP BY 1, 2)
+       |SELECT query_id,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY rrf_micro DESC, id)
+       |            AS INTEGER) AS rk,
+       |       id, rrf_micro, n_arms
+       |FROM fused QUALIFY rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6770,5 +6922,7 @@ object Queries {
     QueryDef("q179_dup_cluster_sizes", q179, Some(q179Sql)),
     QueryDef("q180_purchase_gaps", q180, Some(q180Sql)),
     QueryDef("q181_revenue_hhi", q181, Some(q181Sql)),
+    QueryDef("q182_countmin_freq", q182, Some(q182Sql)),
+    QueryDef("q183_hybrid_retrieval_rrf", q183, Some(q183Sql)),
   )
 }
