@@ -6725,6 +6725,169 @@ object Queries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // ------------------------------------------ q184 revenue Gini
+
+  /** Gini coefficient of customer revenue per market segment — the
+    * Lorenz-curve inequality summary next to q181's HHI and q146's ABC:
+    * `G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` over revenues ranked
+    * ascending. Ranks come from the bounded two-phase group rank
+    * ([[graft.ext.ShardOps.withGroupRank]] — never a per-group
+    * one-reducer window); ties in revenue are rank-permutation-invariant
+    * (equal x under any tie order gives the same Σ i·xᵢ), the custkey
+    * tie-break only pins determinism of the intermediate frame. The
+    * final ratio is exact integer micros over DECIMAL(38,0) (DuckDB
+    * HUGEINT), so the 100 TB-sized numerator cannot overflow. */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val perCust = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(cents).as("cents"))
+    graft.ext.ShardOps.withGroupRank(perCust, "c_mktsegment",
+        Seq(col("cents").asc, col("c_custkey").asc))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("seg_cents"),
+        sum(col("__grn") * col("cents")).as("s2"))
+      .withColumn("gini_micro", expr(
+        """CAST((2 * s2 - (n_customers + 1) * seg_cents) AS DECIMAL(38, 0))
+          | * 1000000 div (CAST(n_customers AS DECIMAL(38, 0)) * seg_cents)
+          |""".stripMargin).cast("long"))
+      .select(col("c_mktsegment"), col("n_customers"), col("seg_cents"),
+        col("gini_micro"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q184Sql =
+    """WITH pc AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_mktsegment, cents,
+      |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY cents, c_custkey) AS rn
+      |  FROM pc)
+      |SELECT c_mktsegment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |       CAST(SUM(cents) AS BIGINT) AS seg_cents,
+      |       CAST((2 * CAST(SUM(rn * cents) AS HUGEINT)
+      |             - (COUNT(*) + 1) * CAST(SUM(cents) AS HUGEINT))
+      |            * 1000000
+      |            // (CAST(COUNT(*) AS HUGEINT) * SUM(cents))
+      |            AS BIGINT) AS gini_micro
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------ q185 score AUC
+
+  /** Exact ROC AUC of the event `value` as a purchase classifier — the
+    * Mann–Whitney U rank statistic with midrank tie handling, the
+    * quality-score calibration check a filter-model pipeline (q112)
+    * runs before trusting a threshold. Spelled as EXACT integers:
+    * per-distinct-score (count, positives) from one aggregate, the
+    * cumulative count through the two-phase prefix sum (never a
+    * one-reducer window), doubled midranks `2·cum_before + c + 1` keep
+    * ties integral, and `AUC = (2·ΣR⁺ − 2·n⁺(n⁺+1)/2) / (2·n⁺·n⁻)` is
+    * one DECIMAL(38,0) division to micro-units. Both engines run the
+    * identical integer pipeline — hash-matched oracle, no float rank
+    * sums anywhere. */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "events")
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("v"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
+    graft.ext.ShardOps.withGlobalPrefixSum(counts, Seq(col("v")), "c")
+      .withColumn("midrank2", (col("__rsum") - col("c")) * 2 + col("c") + 1)
+      .agg(sum(col("c")).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("pos") * col("midrank2")).as("r2pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .withColumn("auc_micro", expr(
+        """CAST((r2pos - n_pos * (n_pos + 1)) AS DECIMAL(38, 0)) * 1000000
+          | div (CAST(2 AS DECIMAL(38, 0)) * n_pos * n_neg)""".stripMargin)
+        .cast("long"))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("auc_micro"))
+  }
+
+  private val q185Sql =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+      |         CAST(COUNT(*) AS BIGINT) AS c,
+      |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS pos
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT c, pos,
+      |         CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |              AS BIGINT) AS cum
+      |  FROM c),
+      |m AS (SELECT c, pos, (cum - c) * 2 + c + 1 AS midrank2 FROM p),
+      |a AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |             CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |             CAST(SUM(pos * midrank2) AS BIGINT) AS r2pos
+      |      FROM m)
+      |SELECT n, n_pos, n - n_pos AS n_neg,
+      |       CAST(CAST(r2pos - n_pos * (n_pos + 1) AS HUGEINT) * 1000000
+      |            // (CAST(2 AS HUGEINT) * n_pos * (n - n_pos))
+      |            AS BIGINT) AS auc_micro
+      |FROM a""".stripMargin
+
+  // ------------------------------------------ q186 PII scrub
+
+  /** PII redaction ([[graft.ext.TextOps.scrubPii]]): emails, IPv4s and
+    * phone-shaped digit runs masked in one three-stage codegen'd
+    * regexp projection — the standard pre-training scrub pass. The
+    * synthetic corpus is PII-free by construction, so the query PLANTS
+    * deterministic PII per document first (doc_id-derived email, phone
+    * and IP appended to the text) — the operator, not the data, is
+    * under test; counts are extracted pre-scrub and the scrubbed text
+    * itself hash-matches the oracle, which runs the IDENTICAL regex
+    * patterns (restricted to the Java∩RE2 common syntax — scrubPii's
+    * contract). */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(
+      coalesce(col("text"), lit("")),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 01"),
+      lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    t(s, d, "documents")
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        // Column-API regexp_extract_all: a SQL-literal spelling would
+        // re-process the pattern's backslashes (\b → backspace)
+        size(regexp_extract_all(col("t"),
+          lit(graft.ext.TextOps.EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"),
+          lit(graft.ext.TextOps.Ipv4Re), lit(0))).as("n_ips"),
+        graft.ext.TextOps.scrubPii(col("t")).as("scrubbed"))
+      .filter(col("doc_id") < 50)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q186Sql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         COALESCE(text, '') || ' contact user' || doc_id
+       |           || '@example.com or +1 555 01'
+       |           || LPAD(CAST(doc_id AS VARCHAR), 4, '0')
+       |           || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(LEN(REGEXP_EXTRACT_ALL(t, '$email')) AS INTEGER)
+       |         AS n_emails,
+       |       CAST(LEN(REGEXP_EXTRACT_ALL(t, '$ip')) AS INTEGER) AS n_ips,
+       |       REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+       |         '$email', '<EMAIL>', 'g'),
+       |         '$ip', '<IP>', 'g'),
+       |         '$phone', '<PHONE>', 'g') AS scrubbed
+       |FROM t WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -6924,5 +7087,8 @@ object Queries {
     QueryDef("q181_revenue_hhi", q181, Some(q181Sql)),
     QueryDef("q182_countmin_freq", q182, Some(q182Sql)),
     QueryDef("q183_hybrid_retrieval_rrf", q183, Some(q183Sql)),
+    QueryDef("q184_revenue_gini", q184, Some(q184Sql)),
+    QueryDef("q185_score_auc", q185, Some(q185Sql)),
+    QueryDef("q186_pii_scrub", q186, Some(q186Sql)),
   )
 }
