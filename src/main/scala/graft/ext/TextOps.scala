@@ -362,27 +362,4 @@ object TextOps {
     }(Encoders.row(outSchema))
   }
 
-  // ------------------------------------------------------------ PII scrub
-
-  /** Conservative PII patterns, deliberately restricted to syntax BOTH
-    * Java regex and RE2 (DuckDB/Go engines) interpret identically — no
-    * backreferences, no lookaround — so scrub results are
-    * engine-reproducible (q186's oracle). Emails before phones: a phone
-    * pass first could eat digit runs inside an address's local part. */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
-
-  /** Masks emails → `<EMAIL>`, IPv4s → `<IP>`, phone-number-shaped digit
-    * runs → `<PHONE>` — the standard pre-training redaction pass. Pure
-    * projection (three codegen'd regexp_replace ops, no shuffle): at
-    * 100 TB this is scan-bound like any tokenize. Order matters and is
-    * part of the contract: EMAIL, then IP (dotted quads would otherwise
-    * match the phone run), then PHONE. */
-  def scrubPii(c: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(c, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
 }

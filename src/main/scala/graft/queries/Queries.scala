@@ -4911,7 +4911,9 @@ object Queries {
     * sum over the per-day frame rides the two-phase prefix construction
     * ([[graft.ext.ShardOps.withGlobalPrefixSum]]) — the frame is
     * calendar-bounded anyway, but the discipline is uniform since r10:
-    * no declared query plans an unpartitioned window. */
+    * no LIBRARY construction plans an unpartitioned window (the only
+    * survivors are q133/q160, whose USER dialect SQL spells the
+    * window itself). */
   private def q135(s: SparkSession, d: String): DataFrame = {
     val du = t(s, d, "events")
       .select(col("ts").cast("date").as("day"), col("user_id"))
@@ -6785,7 +6787,10 @@ object Queries {
   /** Exact ROC AUC of the event `value` as a purchase classifier — the
     * Mann–Whitney U rank statistic with midrank tie handling, the
     * quality-score calibration check a filter-model pipeline (q112)
-    * runs before trusting a threshold. Spelled as EXACT integers:
+    * runs before trusting a threshold. DELIBERATELY rides q170's
+    * doubled-midrank machinery (AUC IS the Mann–Whitney U normalized
+    * by n⁺·n⁻ — q170 takes the same statistic to a drift-test z-score,
+    * this query to the classifier metric). Spelled as EXACT integers:
     * per-distinct-score (count, positives) from one aggregate, the
     * cumulative count through the two-phase prefix sum (never a
     * one-reducer window), doubled midranks `2·cum_before + c + 1` keep
@@ -6833,60 +6838,6 @@ object Queries {
       |            // (CAST(2 AS HUGEINT) * n_pos * (n - n_pos))
       |            AS BIGINT) AS auc_micro
       |FROM a""".stripMargin
-
-  // ------------------------------------------ q186 PII scrub
-
-  /** PII redaction ([[graft.ext.TextOps.scrubPii]]): emails, IPv4s and
-    * phone-shaped digit runs masked in one three-stage codegen'd
-    * regexp projection — the standard pre-training scrub pass. The
-    * synthetic corpus is PII-free by construction, so the query PLANTS
-    * deterministic PII per document first (doc_id-derived email, phone
-    * and IP appended to the text) — the operator, not the data, is
-    * under test; counts are extracted pre-scrub and the scrubbed text
-    * itself hash-matches the oracle, which runs the IDENTICAL regex
-    * patterns (restricted to the Java∩RE2 common syntax — scrubPii's
-    * contract). */
-  private def q186(s: SparkSession, d: String): DataFrame = {
-    val planted = concat(
-      coalesce(col("text"), lit("")),
-      lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 01"),
-      lpad(col("doc_id").cast("string"), 4, "0"),
-      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
-    t(s, d, "documents")
-      .select(col("doc_id"), planted.as("t"))
-      .select(col("doc_id"),
-        // Column-API regexp_extract_all: a SQL-literal spelling would
-        // re-process the pattern's backslashes (\b → backspace)
-        size(regexp_extract_all(col("t"),
-          lit(graft.ext.TextOps.EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("t"),
-          lit(graft.ext.TextOps.Ipv4Re), lit(0))).as("n_ips"),
-        graft.ext.TextOps.scrubPii(col("t")).as("scrubbed"))
-      .filter(col("doc_id") < 50)
-      .orderBy(col("doc_id"))
-  }
-
-  private val q186Sql = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |         COALESCE(text, '') || ' contact user' || doc_id
-       |           || '@example.com or +1 555 01'
-       |           || LPAD(CAST(doc_id AS VARCHAR), 4, '0')
-       |           || ' from 10.0.' || (doc_id % 256) || '.7' AS t
-       |  FROM documents)
-       |SELECT doc_id,
-       |       CAST(LEN(REGEXP_EXTRACT_ALL(t, '$email')) AS INTEGER)
-       |         AS n_emails,
-       |       CAST(LEN(REGEXP_EXTRACT_ALL(t, '$ip')) AS INTEGER) AS n_ips,
-       |       REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
-       |         '$email', '<EMAIL>', 'g'),
-       |         '$ip', '<IP>', 'g'),
-       |         '$phone', '<PHONE>', 'g') AS scrubbed
-       |FROM t WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- export
 
@@ -7089,6 +7040,5 @@ object Queries {
     QueryDef("q183_hybrid_retrieval_rrf", q183, Some(q183Sql)),
     QueryDef("q184_revenue_gini", q184, Some(q184Sql)),
     QueryDef("q185_score_auc", q185, Some(q185Sql)),
-    QueryDef("q186_pii_scrub", q186, Some(q186Sql)),
   )
 }

@@ -38,17 +38,17 @@ class ProfileOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
-  test("approxDistinct swaps exact count_distinct for an HLL sketch") {
+  test("approxDistinct swaps exact count_distinct for the KMV sketch") {
     val sql = spark
     import sql.implicits._
     val df = (1L to 100L).map(i => (i, i % 10)).toDF("a", "b")
     val exact = ProfileOps.profile(df, Seq("b"))
     val approx = ProfileOps.profile(df, Seq("b"), approxDistinct = true)
     assert(exact.collect().head.getLong(3) == 10L)
-    // HLL is exact at this tiny cardinality too, but goes through the sketch.
+    // KMV is exact below k distinct values, and goes through the sketch.
     assert(approx.collect().head.getLong(3) == 10L)
     assert(approx.queryExecution.optimizedPlan.toString
-      .contains("approx_count_distinct"))
+      .contains("kmv_distinct"))
   }
 
   test("groupedMad: lower medians, even/odd groups, NULL group kept") {

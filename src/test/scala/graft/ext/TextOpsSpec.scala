@@ -205,18 +205,4 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(TextOps.gopherFlags(edge).head().getAs[Int]("r_sym") == 0)
   }
 
-  test("scrubPii masks emails, IPs and phone runs; order contract holds") {
-    def scrub(s: String): String =
-      Seq(s).toDF("t").select(TextOps.scrubPii($"t")).head().getString(0)
-    assert(scrub("mail a.b+c@ex-1.org now") == "mail <EMAIL> now")
-    assert(scrub("host 192.168.0.1 up") == "host <IP> up")
-    assert(scrub("call +1 (415) 555-0101 ok") == "call <PHONE> ok")
-    // an IPv4 is masked as <IP>, never half-eaten by the phone pattern
-    assert(scrub("10.0.0.1") == "<IP>")
-    // all three in one string, any order
-    assert(scrub("x@y.co 1.2.3.4 5551234567") == "<EMAIL> <IP> <PHONE>")
-    // non-PII digit-ish text survives
-    assert(scrub("v1.2 costs 42 dollars") == "v1.2 costs 42 dollars")
-    assert(scrub("") == "")
-  }
 }
