@@ -921,18 +921,23 @@ object Queries {
       kmvDistinct(md5Hash60(col("l_suppkey")), 1024).as("n_supps_approx"))
   }
 
-  private val q17bSql = {
-    def kmv(c: String) =
-      s"""(WITH h AS (SELECT DISTINCT CAST('0x' || SUBSTR(MD5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         |            FROM lineitem WHERE $c IS NOT NULL),
-         |      o AS (SELECT h FROM h ORDER BY h LIMIT 1024),
-         |      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS c, MAX(h) AS hk FROM o)
-         | SELECT CASE WHEN c < 1024 THEN c
-         |             ELSE CAST(1023 * CAST(1152921504606846976 AS HUGEINT) // hk AS BIGINT) END
-         | FROM s)""".stripMargin
-    s"SELECT ${kmv("l_partkey")} AS n_parts_approx, " +
-      s"${kmv("l_suppkey")} AS n_supps_approx"
-  }
+  /** The DuckDB spelling of [[graft.functions.KmvDistinctAgg.estimate]]
+    * as a scalar subquery — ONE definition shared by every KMV oracle
+    * (q17b, q73b), so the estimator can never silently diverge between
+    * oracles (review r10 finding): distinct md5-60-bit hashes, bottom-k,
+    * exact HUGEINT floor-division estimate. */
+  private def kmvOracle(table: String, c: String, k: Int = 1024): String =
+    s"""(WITH kh AS (SELECT DISTINCT CAST('0x' || SUBSTR(MD5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |             FROM $table WHERE $c IS NOT NULL),
+       |      ko AS (SELECT h FROM kh ORDER BY h LIMIT $k),
+       |      ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS c, MAX(h) AS hk FROM ko)
+       | SELECT CASE WHEN c < $k THEN c
+       |             ELSE CAST(${k - 1} * CAST(1152921504606846976 AS HUGEINT) // hk AS BIGINT) END
+       | FROM ks)""".stripMargin
+
+  private val q17bSql =
+    s"SELECT ${kmvOracle("lineitem", "l_partkey")} AS n_parts_approx, " +
+      s"${kmvOracle("lineitem", "l_suppkey")} AS n_supps_approx"
 
   /** GROUP BY CUBE — the full grouping-sets lattice (rollup's sibling). */
   private def q18b(s: SparkSession, d: String): DataFrame =
@@ -1768,18 +1773,10 @@ object Queries {
       approxDistinct = true)
 
   private val q73bSql = {
-    def kmv(c: String) =
-      s"""(WITH hh AS (SELECT DISTINCT CAST('0x' || SUBSTR(MD5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS h
-         |             FROM documents WHERE $c IS NOT NULL),
-         |      oo AS (SELECT h FROM hh ORDER BY h LIMIT 1024),
-         |      ss AS (SELECT CAST(COUNT(*) AS BIGINT) AS c, MAX(h) AS hk FROM oo)
-         | SELECT CASE WHEN c < 1024 THEN c
-         |             ELSE CAST(1023 * CAST(1152921504606846976 AS HUGEINT) // hk AS BIGINT) END
-         | FROM ss)""".stripMargin
     def one(c: String) =
       s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |       COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
-         |       ${kmv(c)} AS n_distinct,
+         |       ${kmvOracle("documents", c)} AS n_distinct,
          |       MIN(CAST($c AS VARCHAR)) AS min_s,
          |       MAX(CAST($c AS VARCHAR)) AS max_s
          |FROM documents""".stripMargin
@@ -6750,9 +6747,13 @@ object Queries {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("seg_cents"),
-        sum(col("__grn") * col("cents")).as("s2"))
+        // the rank·cents products and their sum ride DECIMAL(38,0) —
+        // a LongType sum would overflow near ~1e18 long before the
+        // documented scale (review r10 finding)
+        sum(col("__grn").cast("decimal(38,0)") * col("cents")).as("s2"))
       .withColumn("gini_micro", expr(
-        """CAST((2 * s2 - (n_customers + 1) * seg_cents) AS DECIMAL(38, 0))
+        """(CAST(2 AS DECIMAL(38, 0)) * s2
+          | - (CAST(n_customers AS DECIMAL(38, 0)) + 1) * seg_cents)
           | * 1000000 div (CAST(n_customers AS DECIMAL(38, 0)) * seg_cents)
           |""".stripMargin).cast("long"))
       .select(col("c_mktsegment"), col("n_customers"), col("seg_cents"),
@@ -6807,10 +6808,12 @@ object Queries {
     graft.ext.ShardOps.withGlobalPrefixSum(counts, Seq(col("v")), "c")
       .withColumn("midrank2", (col("__rsum") - col("c")) * 2 + col("c") + 1)
       .agg(sum(col("c")).as("n"), sum(col("pos")).as("n_pos"),
-        sum(col("pos") * col("midrank2")).as("r2pos"))
+        // pos·midrank2 sums in DECIMAL(38,0): midrank2 ≈ 2N, so a long
+        // r2pos would overflow near N ≈ 3e9 (review r10 finding)
+        sum(col("pos").cast("decimal(38,0)") * col("midrank2")).as("r2pos"))
       .withColumn("n_neg", col("n") - col("n_pos"))
       .withColumn("auc_micro", expr(
-        """CAST((r2pos - n_pos * (n_pos + 1)) AS DECIMAL(38, 0)) * 1000000
+        """(r2pos - CAST(n_pos AS DECIMAL(38, 0)) * (n_pos + 1)) * 1000000
           | div (CAST(2 AS DECIMAL(38, 0)) * n_pos * n_neg)""".stripMargin)
         .cast("long"))
       .select(col("n"), col("n_pos"), col("n_neg"), col("auc_micro"))

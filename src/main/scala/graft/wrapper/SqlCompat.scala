@@ -793,15 +793,25 @@ object SqlCompat {
   def parseJdbcImport(sql: String): Option[JdbcImport] =
     JdbcImportRe.findFirstMatchIn(sql).flatMap { m =>
       val opts = m.group(4)
-      endpoint(m.group(2), m.group(3), opts).flatMap { ep =>
-        val stmts = StatementClauseRe.findAllMatchIn(opts)
-          .map(_.group(1).replace("''", "'")).toSeq
-        val tbl = TableClauseRe.findFirstMatchIn(opts).map(_.group(1))
-        val reject = RejectLimitRe.findFirstMatchIn(opts).flatMap { r =>
+      val stmts = StatementClauseRe.findAllMatchIn(opts)
+        .map(_.group(1).replace("''", "'")).toSeq
+      // Every OTHER option regex runs with the STATEMENT literals blanked
+      // out: a remote query containing "reject limit 0" / "errors into x"
+      // / "table y" as TEXT must not be read as a loader clause (review
+      // r10 finding). USER/IDENTIFIED BY literals live outside STATEMENT
+      // clauses, so they survive the blanking.
+      val sb = new StringBuilder(opts)
+      StatementClauseRe.findAllMatchIn(opts).foreach { sm =>
+        (sm.start until sm.end).foreach(i => sb.setCharAt(i, ' '))
+      }
+      val optsNoStmt = sb.toString
+      endpoint(m.group(2), m.group(3), optsNoStmt).flatMap { ep =>
+        val tbl = TableClauseRe.findFirstMatchIn(optsNoStmt).map(_.group(1))
+        val reject = RejectLimitRe.findFirstMatchIn(optsNoStmt).flatMap { r =>
           if (r.group(1).equalsIgnoreCase("unlimited")) None
           else Some(r.group(1).toLong)
         }
-        val errs = ErrorsIntoRe.findFirstMatchIn(opts).map(_.group(1))
+        val errs = ErrorsIntoRe.findFirstMatchIn(optsNoStmt).map(_.group(1))
         (tbl, stmts) match {
           case (Some(t), Seq()) =>
             Some(JdbcImport(m.group(1), ep, Left(t), reject, errs))
@@ -917,7 +927,16 @@ object SqlCompat {
   private val ExecScriptRe =
     "(?is)^\\s*execute\\s+script\\s+([\\w.`]+)\\s*(?:\\((.*)\\))?\\s*;?\\s*$".r
 
-  final case class ExecScript(name: String, args: Seq[Any])
+  final case class ExecScript(name: String, rawArgs: Seq[String]) {
+    /** Bind the statement's literal arguments. Deliberately NOT called
+      * during parse: the dispatch guard must stay side-effect- and
+      * throw-free so an unregistered name (whatever its argument text)
+      * falls through to `spark.sql`'s host-style error (review r10
+      * finding); a REGISTERED script with a malformed literal raises
+      * the clear unsupported-literal error through the wrapper's normal
+      * query-failure path instead. */
+    def args: Seq[Any] = rawArgs.map(SqlCompat.parseScriptArg)
+  }
 
   /** `EXECUTE SCRIPT name[(arg, …)]` (reference RM:35–37, 69; QW:22) —
     * args are SQL literals: 'string' (with `''` escape), integer,
@@ -928,11 +947,10 @@ object SqlCompat {
   def parseExecuteScript(sql: String): Option[ExecScript] =
     ExecScriptRe.findFirstMatchIn(maskOptions(sql)).map { m =>
       val name = sql.substring(m.start(1), m.end(1))
-      val args =
-        if (m.group(2) == null) Seq.empty[Any]
+      val raw =
+        if (m.group(2) == null) Seq.empty[String]
         else splitTopLevel(sql.substring(m.start(2), m.end(2)))
-          .map(parseScriptArg)
-      ExecScript(name, args)
+      ExecScript(name, raw)
     }
 
   private def parseScriptArg(raw: String): Any = {
@@ -1121,12 +1139,14 @@ object SqlCompat {
     // A side naming a CTE resolves by running the full prologue against
     // that name — no temp-view state, analysis resolves eagerly, and
     // earlier CTEs are in scope for later ones exactly as written.
+    val prologue =
+      if (q.ctes.isEmpty) ""
+      else q.ctes.map { case (n, b) => s"$n AS ($b)" }
+        .mkString("WITH ", ", ", " ")
     def rel(name: String): DataFrame =
-      if (q.ctes.exists(_._1.equalsIgnoreCase(name))) {
-        val prologue = q.ctes.map { case (n, b) => s"$n AS ($b)" }
-          .mkString("WITH ", ", ", " ")
+      if (q.ctes.exists(_._1.equalsIgnoreCase(name)))
         spark.sql(s"${prologue}SELECT * FROM $name")
-      } else spark.table(name)
+      else spark.table(name)
     val left = rel(q.leftTable)
     val right0 = rel(q.rightTable)
     // right keys take the left key's name (AsOfJoin keys are same-named);
@@ -1166,7 +1186,11 @@ object SqlCompat {
       r.replaceAllIn(afterL, mm => keyMap.getOrElse(mm.group(1),
         finalName.getOrElse(s"__asof_r_${mm.group(1)}", mm.group(1))))
     }
-    spark.sql(s"SELECT ${rewrite(q.selectList)} FROM $view ${rewrite(q.tail)}")
+    // The prologue rides the FINAL statement too: a CTE referenced from
+    // the select list or tail (WHERE … IN (SELECT … FROM cte)) resolves
+    // exactly like the joined sides (review r10 finding).
+    spark.sql(
+      s"${prologue}SELECT ${rewrite(q.selectList)} FROM $view ${rewrite(q.tail)}")
   }
 
   // ----------------------------------------------------------- CONNECT BY

@@ -157,6 +157,36 @@ class DialectCompositionSpec extends AnyFunSuite with SparkTestBase {
     }, trials = 10)
   }
 
+  test("ASOF with a CTE referenced from the TAIL resolves (the prologue " +
+      "rides the final statement, not just the joined sides)") {
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .createOrReplaceTempView("dc_events")
+    val got = run(
+      """WITH p AS (SELECT user_id, ts, MAX(value) AS pval
+        |           FROM dc_events WHERE event_type = 'purchase'
+        |           GROUP BY user_id, ts),
+        |     keep AS (SELECT DISTINCT user_id FROM dc_events
+        |              WHERE user_id < 5)
+        |SELECT a.event_id, b.pval
+        |FROM dc_events a ASOF LEFT JOIN p b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |WHERE a.user_id IN (SELECT user_id FROM keep)
+        |ORDER BY a.event_id""".stripMargin)
+    val ev = spark.table("dc_events")
+    val e = ev.filter(col("user_id") < 5)
+      .select(col("event_id"), col("user_id").as("u"), col("ts").as("lts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pu"), col("ts").as("pts"))
+      .agg(max(col("value")).as("pval"))
+    val expect = e.join(p, col("u") === col("pu") &&
+        col("lts") >= col("pts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("pval"), col("pts")).as("pval"))
+      .orderBy("event_id").collect().toSeq.map(_.toSeq)
+    assert(got == expect)
+  }
+
   test("composition chain order is stable: QUALIFY + GROUP_CONCAT + " +
       "RATIO_TO_REPORT + TO_CHAR all in one statement") {
     val n = nation

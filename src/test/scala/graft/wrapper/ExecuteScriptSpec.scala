@@ -94,6 +94,30 @@ class ExecuteScriptSpec extends AnyFunSuite with SparkTestBase {
     val (ok, res) = w.query("EXECUTE SCRIPT no.such_script(1)")
     assert(!ok)
     assert(res.error.isDefined)
+    // ... even with a NON-LITERAL argument: the dispatch guard must not
+    // throw on the argument text before concluding the name is
+    // unregistered (it falls through to spark.sql's parse error, not an
+    // unsupported-literal error)
+    val (ok2, res2) = w.query("EXECUTE SCRIPT no.such_script(some_ident)")
+    assert(!ok2)
+    assert(res2.error.isDefined)
+    assert(!res2.errorMessage.contains("unsupported argument literal"),
+      res2.errorMessage)
+  }
+
+  test("a REGISTERED script with a malformed literal fails through the " +
+      "wrapper's query-failure path with the clear literal error") {
+    ScriptRegistry.register("litcheck") { _ =>
+      Seq("noop" -> (w => w.log("L", "ok")))
+    }
+    try {
+      val w = QueryWrapper(spark, None, "outer6", clock)
+      w.onError = "continue"
+      val (ok, res) = w.query("EXECUTE SCRIPT litcheck(bad_ident)")
+      assert(!ok)
+      assert(res.errorMessage.contains("unsupported argument literal"),
+        res.errorMessage)
+    } finally ScriptRegistry.drop("litcheck")
   }
 
   test("a failing script step closes ITS job WITH ERROR and fails the " +

@@ -255,6 +255,23 @@ class JdbcImportExportSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE jpt")
   }
 
+  test("loader clauses inside a STATEMENT literal are TEXT, not options") {
+    // "reject limit 0" / "errors into x" / "table y" appearing inside the
+    // remote query literal must not be parsed as loader clauses.
+    val i = SqlCompat.parseJdbcImport(
+      "IMPORT INTO t FROM JDBC AT 'jdbc:derby:memory:x' " +
+        "STATEMENT 'SELECT v FROM r WHERE note = ''reject limit 0'' " +
+        "AND tag <> ''errors into trap'' AND src <> ''table trap'''").get
+    assert(i.rejectLimit.isEmpty, i.rejectLimit)
+    assert(i.errorsInto.isEmpty, i.errorsInto)
+    assert(i.source.isRight && i.source.toOption.get.head.contains("reject limit 0"))
+    // real clauses OUTSIDE the literal still parse
+    val j = SqlCompat.parseJdbcImport(
+      "IMPORT INTO t FROM JDBC AT 'u' STATEMENT 'SELECT 1' " +
+        "ERRORS INTO errs REJECT LIMIT 7").get
+    assert(j.rejectLimit.contains(7L) && j.errorsInto.contains("errs"))
+  }
+
   test("column-count mismatch fails the statement before any write") {
     freshRemoteTable("src_m", Seq(1 -> "a"))
     val loc = Files.createTempDirectory("jdbc-mis").toString
