@@ -6842,6 +6842,113 @@ object Queries {
       |            AS BIGINT) AS auc_micro
       |FROM a""".stripMargin
 
+  // ------------------------------------------ q186 reliability curve
+
+  /** Calibration reliability curve of the q185 score — per value-decile
+    * bucket: observed positive rate (`acc_micro`) vs mean normalized
+    * score (`conf_micro`), the other half of model evaluation next to
+    * q185's AUC (AUC measures discrimination; calibration measures
+    * whether the score's VALUE is trustworthy as a probability — the
+    * check before using a quality score as a sampling weight, q96/q112
+    * style). Buckets are fixed value-domain deciles (`cents·10 div
+    * (max+1)` — NOT q143's equi-depth ranks: a reliability curve wants
+    * interpretable score bands, not equal populations). One aggregate +
+    * a broadcast 1-row max; both ratios ride DECIMAL(38,0) so
+    * bucket-count·1e6 can never overflow a long at scale (the q184/q185
+    * review lesson). */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+      (col("event_type") === "purchase").cast("long").as("y"))
+    val mx = ev.agg(max(col("cents")).as("m"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("bucket", least(lit(9L), expr("cents * 10 div (m + 1)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("cents")).as("sum_cents"), max(col("m")).as("m"))
+      .withColumn("acc_micro",
+        expr("CAST(n_pos AS DECIMAL(38, 0)) * 1000000 div n").cast("long"))
+      .withColumn("conf_micro", expr(
+        """CAST(sum_cents AS DECIMAL(38, 0)) * 1000000
+          | div (CAST(n AS DECIMAL(38, 0)) * m)""".stripMargin).cast("long"))
+      .select(col("bucket"), col("n"), col("n_pos"), col("acc_micro"),
+        col("conf_micro"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q186Sql =
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |m AS (SELECT MAX(cents) AS m FROM e),
+      |b AS (SELECT LEAST(9, cents * 10 // (m.m + 1)) AS bucket, cents, y,
+      |             m.m AS m
+      |      FROM e, m)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(y) AS BIGINT) AS n_pos,
+      |       CAST(CAST(SUM(y) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+      |         AS acc_micro,
+      |       CAST(CAST(SUM(cents) AS HUGEINT) * 1000000
+      |            // (CAST(COUNT(*) AS HUGEINT) * MAX(m)) AS BIGINT)
+      |         AS conf_micro
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------ q187 negative edge sampling
+
+  /** Deterministic negative-edge sampling over the bipartite trade
+    * graph — for every trading customer, k = 4 candidate suppliers
+    * drawn by portable hash (`md5_60("neg_<cust>_<i>") mod nSupp` —
+    * rand()-free, reproducible across runs/engines/partitionings like
+    * every sampling op here), kept iff the pair is NOT a real trade:
+    * the link-prediction training-negative generator (the
+    * uniform-random complement of q166's similarity-HARD negatives).
+    * Scale shape: candidates are customers×k (linear — never the
+    * |C|×|S| complement), one distinct on real pairs, ONE anti-join on
+    * (cust, supp); a collided proposal (real edge) simply drops —
+    * callers wanting exactly-k re-propose with a larger k, documented
+    * rather than hidden by rejection loops. */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val pos = t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+      .localCheckpoint() // feeds the customer universe AND the anti-join
+    val ns = t(s, d, "supplier").agg(count(lit(1)).as("ns"))
+    val cands = pos.select(col("custkey")).distinct()
+      .crossJoin(broadcast(ns))
+      .select(col("custkey"), col("ns"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("neg_suppkey",
+        pmod(graft.functions.HashFunctions.md5Hash60(
+          concat(lit("neg_"), col("custkey"), lit("_"), col("i"))),
+          col("ns")))
+    cands
+      .join(pos.withColumnRenamed("suppkey", "neg_suppkey"),
+        Seq("custkey", "neg_suppkey"), "left_anti")
+      .select(col("custkey"), col("i"), col("neg_suppkey"))
+      .orderBy(col("custkey"), col("i"))
+  }
+
+  private val q187Sql =
+    """WITH pos AS (
+      |  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM supplier),
+      |cand AS (
+      |  SELECT c.custkey, CAST(t.i AS INTEGER) AS i,
+      |         CAST('0x' || SUBSTR(MD5('neg_' || c.custkey || '_' || t.i),
+      |                             1, 15) AS BIGINT) % ns.ns AS neg_suppkey
+      |  FROM (SELECT DISTINCT custkey FROM pos) c
+      |  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) t
+      |  CROSS JOIN ns)
+      |SELECT custkey, i, neg_suppkey
+      |FROM cand
+      |WHERE NOT EXISTS (SELECT 1 FROM pos
+      |                  WHERE pos.custkey = cand.custkey
+      |                    AND pos.suppkey = cand.neg_suppkey)
+      |ORDER BY custkey, i""".stripMargin
+
   // ---------------------------------------------------------------- export
 
   val all: Seq[QueryDef] = Seq(
@@ -7043,5 +7150,7 @@ object Queries {
     QueryDef("q183_hybrid_retrieval_rrf", q183, Some(q183Sql)),
     QueryDef("q184_revenue_gini", q184, Some(q184Sql)),
     QueryDef("q185_score_auc", q185, Some(q185Sql)),
+    QueryDef("q186_reliability_curve", q186, Some(q186Sql)),
+    QueryDef("q187_negative_edges", q187, Some(q187Sql)),
   )
 }
