@@ -133,6 +133,13 @@ object GraftExtensions {
     dialectEntry("kll_sketch_agg", 1)(a => KllSketchAgg(a.head, 200)),
     dialectEntry("kll_merge_agg", 1)(a => KllMergeAgg(a.head, 200)),
     dialectEntry("kll_quantile", 2)(a => KllQuantile(a.head, a(1))),
+    // Deterministic log-bucket quantile histograms (DDSketch family) —
+    // same build/merge/extract triple, merge-order-independent.
+    dialectEntry("log_hist_agg", 1)(a => LogHistAgg(a.head, 0.005)),
+    dialectEntry("log_hist_merge_agg", 1)(a =>
+      LogHistMergeAgg(a.head, 0.005)),
+    dialectEntry("log_hist_quantile", 2)(a =>
+      LogHistQuantile(a.head, a(1))),
     // Theta sketches — the set-operation member of the sketch lane
     // (intersection estimates, which HLL cannot do).
     dialectEntry("theta_sketch_agg", 1)(a => ThetaSketchAgg(a.head)),

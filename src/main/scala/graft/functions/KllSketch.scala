@@ -177,6 +177,20 @@ object SketchFunctions {
     Bridge.column(
       KllQuantile(Bridge.expression(sketch), Bridge.expression(rank)))
 
+  /** Default α=0.005: ≤0.5% relative error per quantile, deterministic
+    * (merge = bucket addition — see [[graft.functions.LogHist]]). */
+  def logHistAgg(c: Column, alpha: Double = 0.005): Column =
+    Bridge.column(
+      LogHistAgg(Bridge.expression(c), alpha).toAggregateExpression())
+
+  def logHistMerge(c: Column, alpha: Double = 0.005): Column =
+    Bridge.column(
+      LogHistMergeAgg(Bridge.expression(c), alpha).toAggregateExpression())
+
+  def logHistQuantile(sketch: Column, rank: Column): Column =
+    Bridge.column(
+      LogHistQuantile(Bridge.expression(sketch), Bridge.expression(rank)))
+
   /** Default lgK=12: 4096 nominal entries — EXACT below that, ~1.6%
     * relative error above. */
   def thetaAgg(c: Column, lgK: Int = 12): Column =

@@ -5598,27 +5598,37 @@ object Queries {
       |                  * 1000000 + 0.5) AS BIGINT) AS share_micro
       |FROM seg ORDER BY c_mktsegment""".stripMargin
 
-  // ------------------------------------------ q161 KLL quantile rollup
+  // ------------------------------------------ q161 quantile sketch rollup
 
-  /** Incremental percentile maintenance via mergeable KLL sketches
-    * ([[graft.functions.KllSketchAgg]], native TypedImperativeAggregate
-    * — live sketch buffers, serialized only at shuffle boundaries): one
-    * byte-bounded partial per (event_type, day), a merge-aggregate per
-    * type, p50/p90/p99 extracted from the merged state. Re-running over
-    * new days merges SKETCHES — history is never rescanned. Estimates
-    * are sketch-specific (no DuckDB oracle); QueriesSpec pins each
-    * estimate's true rank to within KLL k=200's error envelope. */
+  /** Incremental percentile maintenance via DETERMINISTIC mergeable
+    * quantile sketches ([[graft.functions.LogHistAgg]] — log-bucketed
+    * counting histograms, DDSketch family, ≤0.5% relative error per
+    * quantile; native TypedImperativeAggregates, live buffers
+    * serialized only at shuffle boundaries): one byte-bounded partial
+    * per (event_type, day), a merge-aggregate per type, p50/p90/p99
+    * extracted from the merged state. Re-running over new days merges
+    * SKETCHES — history is never rescanned, and because merge is pure
+    * bucket-count addition (a commutative monoid) the result is
+    * bit-identical under ANY partitioning or merge order. r10-late
+    * this replaced the DataSketches KLL rollup here: KLL's randomized
+    * compaction (thread-shared Random) made q161 the one declared
+    * query outside the two-run bit-identity contract; the KLL lane
+    * stays in the library ([[graft.functions.KllSketchAgg]],
+    * KllSketchSpec) for fixed-size-bound use cases. Estimates are
+    * sketch-specific (no DuckDB oracle); QueriesSpec pins each
+    * estimate within the α relative-error envelope of the exact
+    * quantile. */
   private def q161(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SketchFunctions._
     val daily = t(s, d, "events")
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(kllAgg(col("value")).as("sk"))
+      .agg(logHistAgg(col("value")).as("sk"))
     daily.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days"), kllMerge(col("sk")).as("msk"))
+      .agg(count(lit(1)).as("n_days"), logHistMerge(col("sk")).as("msk"))
       .select(col("event_type"), col("n_days"),
-        kllQuantile(col("msk"), lit(0.5)).as("p50"),
-        kllQuantile(col("msk"), lit(0.9)).as("p90"),
-        kllQuantile(col("msk"), lit(0.99)).as("p99"))
+        logHistQuantile(col("msk"), lit(0.5)).as("p50"),
+        logHistQuantile(col("msk"), lit(0.9)).as("p90"),
+        logHistQuantile(col("msk"), lit(0.99)).as("p99"))
       .orderBy(col("event_type"))
   }
 
@@ -7124,7 +7134,7 @@ object Queries {
     QueryDef("q158_bfs_distances", q158, Some(q158Sql)),
     QueryDef("q159_hll_incremental", q159, None),
     QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
-    QueryDef("q161_kll_quantiles", q161, None),
+    QueryDef("q161_quantile_sketch", q161, None),
     QueryDef("q162_theta_overlap", q162, None),
     QueryDef("q163_bloom_prune", q163, Some(q163Sql)),
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),

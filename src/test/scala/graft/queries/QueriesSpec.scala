@@ -72,9 +72,10 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(est == onePass)
   }
 
-  test("q161 KLL quantile estimates land within 5% true rank per type") {
+  test("q161 quantile estimates land within 0.5% RELATIVE error of the " +
+      "exact quantile per type") {
     import org.apache.spark.sql.functions._
-    val est = run("q161_kll_quantiles").collect()
+    val est = run("q161_quantile_sketch").collect()
       .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(2),
         0.9 -> r.getDouble(3), 0.99 -> r.getDouble(4))).toMap
     val ev = Queries.events(spark, sf)
@@ -85,11 +86,14 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     est.foreach { case (t, qs) =>
       val vs = ev(t)
       qs.foreach { case (rank, q) =>
-        // true rank of the estimate (fraction of values <= q, the
-        // INCLUSIVE criterion) must sit within 5% of the target rank
-        val trueRank = vs.count(_ <= q).toDouble / vs.length
-        assert(math.abs(trueRank - rank) < 0.05,
-          s"$t p$rank: est $q has true rank $trueRank")
+        // the log-hist contract (α = 0.005): the estimate is the
+        // midpoint of the bucket CONTAINING the rank-⌈q·n⌉ item, so it
+        // sits within α relative error of that exact quantile value —
+        // a far tighter pin than the old KLL 5% rank envelope
+        val exact = vs(math.max(0,
+          math.ceil(rank * vs.length).toInt - 1))
+        assert(math.abs(q - exact) <= 0.005 * math.abs(exact) + 1e-9,
+          s"$t p$rank: est $q vs exact $exact")
       }
     }
   }
