@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.{FilterExec, GlobalLimitExec, ProjectExec,
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
-/** Dev tool: sweep EVERY declared query's physical plan for the two
+/** Structural plan sweep over EVERY declared query for the two
   * always-a-scale-bug shapes — an unpartitioned `WindowExec` whose
   * input is NOT already row-bounded (one reducer swallows the whole
   * input) and a `CartesianProductExec` (unpartitioned all-pairs;
@@ -13,16 +13,24 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * An empty-partition window fed through `TakeOrderedAndProject` /
   * `GlobalLimit` / `WindowGroupLimit` is accepted: Spark's rank-limit
   * inference already bounded the reducer's input (q133's QUALIFY
-  * top-25 plans this way). Prints one line per offender and exits
-  * non-zero if any are found, so it can gate a round close.
-  * Usage: runMain graft.PlanAudit [sfDir] [queryName ...]
-  * GRAFT_NO_BROADCAST=1 additionally shows what the plans do once no
-  * join side fits a broadcast (the 100 TB join-strategy view). */
+  * top-25 plans this way).
+  *
+  * Runs two ways: `runMain graft.PlanAudit [sfDir] [queryName ...]`
+  * prints offenders and exits non-zero (a round-close gate), and
+  * QueriesSpec runs [[sweep]] as a standing test so a regression
+  * can't land silently. GRAFT_NO_BROADCAST=1 additionally shows what
+  * the plans do once no join side fits a broadcast (the 100 TB
+  * join-strategy view).
+  *
+  * IMPORTANT: the sweep must run with AQE DISABLED —
+  * `AdaptiveSparkPlanExec` has no children, so a `TreeNode.foreach`
+  * over an AQE-wrapped plan silently scans nothing (the r10 lesson:
+  * a vacuous first version of this audit reported a clean sweep). */
 object PlanAudit {
 
   /** Queries allowed to keep a genuinely unpartitioned window, each
     * with the reason the one-reducer input stays bounded at 100 TB. */
-  private val allowedUnpartitioned: Map[String, String] = Map(
+  val allowedUnpartitioned: Map[String, String] = Map(
     "q160_ratio_to_report" ->
       ("the user's RATIO_TO_REPORT(...) OVER () runs post-aggregate " +
         "over the c_mktsegment grouping — a value-DOMAIN-bounded " +
@@ -37,6 +45,38 @@ object PlanAudit {
       boundedInput(n.children.head)
     case _ => false
   }
+
+  /** Sweep `names` (default: every declared query) and return one
+    * "name: problem" line per offender. Caller must ensure
+    * `spark.sql.adaptive.enabled=false` on this session (asserted). */
+  def sweep(spark: SparkSession, sfDir: String,
+      names: Seq[String] = SparkEntry.queries.keys.toSeq.sorted): Seq[String] = {
+    require(spark.conf.get("spark.sql.adaptive.enabled") == "false",
+      "PlanAudit.sweep needs AQE off — an AdaptiveSparkPlanExec wrapper " +
+        "has no children and the tree walk would be vacuous")
+    names.flatMap { name =>
+      try {
+        val plan: SparkPlan =
+          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        val found = Seq.newBuilder[String]
+        plan.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              !boundedInput(w.child) &&
+              !allowedUnpartitioned.contains(name) =>
+            found += s"$name: unpartitioned WindowExec: " +
+              w.windowExpression.map(_.sql).mkString(", ").take(140)
+          case _: CartesianProductExec =>
+            found += s"$name: CartesianProductExec"
+          case _ => ()
+        }
+        found.result()
+      } catch {
+        case e: Throwable =>
+          Seq(s"$name: plan failed: ${String.valueOf(e.getMessage).take(100)}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
@@ -47,9 +87,6 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE's AdaptiveSparkPlanExec wrapper has NO children, so a
-      // TreeNode.foreach over the executed plan would silently scan
-      // nothing; disable it so the sweep walks the real physical tree.
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,34 +94,13 @@ object PlanAudit {
     if (sys.env.get("GRAFT_NO_BROADCAST").contains("1"))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    var offenders = 0
-    def flag(name: String, what: String): Unit = {
-      offenders += 1
-      println(s"FLAG $name: $what")
-    }
-    names.foreach { name =>
-      try {
-        val plan: SparkPlan =
-          SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
-        plan.foreach {
-          case w: WindowExec if w.partitionSpec.isEmpty &&
-              !boundedInput(w.child) =>
-            if (allowedUnpartitioned.contains(name))
-              println(s"ALLOW $name: ${allowedUnpartitioned(name)}")
-            else
-              flag(name, "unpartitioned WindowExec: " +
-                w.windowExpression.map(_.sql).mkString(", ").take(140))
-          case _: CartesianProductExec =>
-            flag(name, "CartesianProductExec")
-          case _ => ()
-        }
-      } catch {
-        case e: Throwable =>
-          flag(name, s"plan failed: ${String.valueOf(e.getMessage).take(100)}")
-      }
-    }
-    println(s"PlanAudit: ${names.size} queries scanned, $offenders flagged")
+    val offenders = sweep(spark, sfDir, names)
+    offenders.foreach(o => println(s"FLAG $o"))
+    println(s"PlanAudit: ${names.size} queries scanned, " +
+      s"${offenders.size} flagged " +
+      s"(${allowedUnpartitioned.keySet.intersect(names.toSet).size} " +
+      "documented allowances)")
     spark.stop()
-    if (offenders > 0) sys.exit(1)
+    if (offenders.nonEmpty) sys.exit(1)
   }
 }

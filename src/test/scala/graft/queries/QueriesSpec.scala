@@ -273,14 +273,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toLowerCase.contains("percentile"))
   }
 
-  test("no declared query plans a CartesianProduct") {
+  test("no declared query plans a CartesianProduct or an unbounded " +
+      "unpartitioned window (structural PlanAudit sweep)") {
     // Broadcast cross joins (BroadcastNestedLoopJoin over a tiny side —
     // centroids, scalar aggregates, query sets) are deliberate; an
-    // unpartitioned CartesianProduct anywhere is always a scale bug.
-    Queries.all.foreach { q =>
-      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), q.name)
-    }
+    // unpartitioned CartesianProduct anywhere is always a scale bug, and
+    // so is a no-PARTITION-BY window whose input isn't limit-bounded.
+    // The sweep needs AQE off: AdaptiveSparkPlanExec has no children, so
+    // a tree walk over an AQE-wrapped plan silently scans NOTHING (the
+    // r10 lesson — the old string-contains check couldn't see window
+    // partition specs at all).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val flagged = graft.PlanAudit.sweep(spark, sf)
+      assert(flagged.isEmpty, flagged.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("q64 vocab top-k plans as TakeOrderedAndProject, never a full sort") {
