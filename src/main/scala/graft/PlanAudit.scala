@@ -37,10 +37,13 @@ object PlanAudit {
         "handful of rows at any data volume"))
 
   /** The window's one reducer is safe if, descending through
-    * row-preserving nodes, its input is already limit-bounded. */
+    * row-preserving nodes, its input is already limit-bounded. Only an
+    * UNpartitioned `WindowGroupLimit` is a GLOBAL row bound — a
+    * PARTITION-BY'd one bounds rows per key, which is still unbounded
+    * input for a global window above it. */
   private def boundedInput(p: SparkPlan): Boolean = p match {
-    case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
-        _: WindowGroupLimitExec => true
+    case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
+    case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
     case n @ (_: ProjectExec | _: FilterExec | _: SortExec) =>
       boundedInput(n.children.head)
     case _ => false
@@ -48,7 +51,13 @@ object PlanAudit {
 
   /** Sweep `names` (default: every declared query) and return one
     * "name: problem" line per offender. Caller must ensure
-    * `spark.sql.adaptive.enabled=false` on this session (asserted). */
+    * `spark.sql.adaptive.enabled=false` on this session (asserted).
+    * Subquery physical plans are swept too — they hang off
+    * expressions, not children, so a plain tree walk would miss a
+    * Cartesian product inside a scalar/IN subquery. An allowance
+    * covers exactly ONE unpartitioned window in its query; any
+    * further one is flagged (the exemption stays as narrow as its
+    * documented reason). */
   def sweep(spark: SparkSession, sfDir: String,
       names: Seq[String] = SparkEntry.queries.keys.toSeq.sorted): Seq[String] = {
     require(spark.conf.get("spark.sql.adaptive.enabled") == "false",
@@ -59,16 +68,17 @@ object PlanAudit {
         val plan: SparkPlan =
           SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
         val found = Seq.newBuilder[String]
-        plan.foreach {
+        var allowanceLeft = if (allowedUnpartitioned.contains(name)) 1 else 0
+        (plan +: plan.subqueriesAll).foreach(_.foreach {
           case w: WindowExec if w.partitionSpec.isEmpty &&
-              !boundedInput(w.child) &&
-              !allowedUnpartitioned.contains(name) =>
-            found += s"$name: unpartitioned WindowExec: " +
+              !boundedInput(w.child) =>
+            if (allowanceLeft > 0) allowanceLeft -= 1
+            else found += s"$name: unpartitioned WindowExec: " +
               w.windowExpression.map(_.sql).mkString(", ").take(140)
           case _: CartesianProductExec =>
             found += s"$name: CartesianProductExec"
           case _ => ()
-        }
+        })
         found.result()
       } catch {
         case e: Throwable =>

@@ -183,7 +183,11 @@ final case class LogHistAgg(
 
 /** Union-aggregate over ALREADY-SERIALIZED log-hist sketches (binary
   * column) — the rollup step over persisted partials. Bucket-count
-  * addition, so any merge tree yields identical bytes. */
+  * addition, so any merge tree yields identical bytes. The buffer
+  * ADOPTS the first non-empty input's alpha (every serialized sketch
+  * carries it), so rolling up sketches built with a non-default alpha
+  * needs no repeated parameter; genuinely mixed-alpha inputs still
+  * fail [[LogHist.mergeIn]]'s check. */
 final case class LogHistMergeAgg(
     child: Expression,
     alpha: Double,
@@ -203,17 +207,21 @@ final case class LogHistMergeAgg(
 
   override def createAggregationBuffer(): LogHist = new LogHist(alpha)
 
+  /** An empty side carries no data — adopt the other wholesale (and
+    * with it, its alpha) instead of requiring parameter agreement. */
+  private def unite(buf: LogHist, other: LogHist): LogHist =
+    if (other.counts.isEmpty) buf
+    else if (buf.counts.isEmpty) other
+    else { buf.mergeIn(other); buf }
+
   override def update(buf: LogHist, row: InternalRow): LogHist = {
     val v = child.eval(row)
-    if (v != null)
-      buf.mergeIn(LogHistAlgo.fromBytes(v.asInstanceOf[Array[Byte]]))
-    buf
+    if (v == null) buf
+    else unite(buf, LogHistAlgo.fromBytes(v.asInstanceOf[Array[Byte]]))
   }
 
-  override def merge(buf: LogHist, other: LogHist): LogHist = {
-    buf.mergeIn(other)
-    buf
-  }
+  override def merge(buf: LogHist, other: LogHist): LogHist =
+    unite(buf, other)
 
   override def eval(buf: LogHist): Any = buf.toBytes
 

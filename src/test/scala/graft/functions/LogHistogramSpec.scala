@@ -88,6 +88,20 @@ class LogHistogramSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] { a.mergeIn(b) }
   }
 
+  test("logHistMerge adopts the inputs' alpha — no repeated parameter") {
+    // Partials built at a NON-default alpha roll up through the
+    // default-parameter merge: the buffer adopts the first non-empty
+    // input's alpha (it is serialized in every sketch) instead of
+    // failing the mergeIn require against the default.
+    val rolled = uniform.withColumn("g", pmod(hash(col("v")), lit(8)))
+      .groupBy(col("g"))
+      .agg(SketchFunctions.logHistAgg(col("v"), alpha = 0.05).as("sk"))
+      .agg(SketchFunctions.logHistMerge(col("sk")).as("msk"))
+      .select(SketchFunctions.logHistQuantile(col("msk"), lit(0.5))).head()
+      .getDouble(0)
+    assert(math.abs(rolled - n / 2.0) <= 0.05 * n / 2.0 + 1.0)
+  }
+
   test("SQL dialect spellings resolve end-to-end") {
     GraftExtensions.register(spark)
     uniform.createOrReplaceTempView("lh_t")

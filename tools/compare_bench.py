@@ -32,15 +32,23 @@ def load(path):
         elif "tail" in d:  # parsed=null: recover from the (possibly
             # head-truncated — the 2000-char capture window) stdout tail
             start = d["tail"].rfind('{"metric"')
+            parsed = None
             if start >= 0:
-                d = json.loads(d["tail"][start:].splitlines()[0])
+                try:  # the line can still be cut at the window edge or
+                    # interleaved with other stdout — fall through to
+                    # the regex recovery rather than dying
+                    parsed = json.loads(d["tail"][start:].splitlines()[0])
+                except json.JSONDecodeError:
+                    parsed = None
+            if parsed is not None:
+                d = parsed
             else:
                 qs = dict((k, float(v)) for k, v in re.findall(
-                    r'"(q[0-9]+[a-z]*(?:_[a-z0-9_]+)?)":([0-9.]+)',
+                    r'"(q[0-9]+[a-z]*(?:_[a-z0-9_]+)?)":\s*([0-9.]+)',
                     d["tail"]))
                 if not qs:
                     raise SystemExit(f"{path}: no bench data in tail")
-                print(f"note: {path} tail is head-truncated; recovered "
+                print(f"note: {path} tail is partial; recovered "
                       f"{len(qs)} per-query entries, totals partial")
                 d = {"queries": qs, "failed": []}
     qs = {k: v for k, v in d.get("queries", {}).items() if v >= 0}
@@ -70,7 +78,7 @@ def main():
     co, cn = sum(old[k] for k in common), sum(new[k] for k in common)
     print(f"old total {old_doc.get('value'):8.2f}s / {len(old)} queries"
           f"   new total {new_doc.get('value'):8.2f}s / {len(new)} queries")
-    if common:
+    if common and co > 0:
         print(f"common subset ({len(common)} queries): "
               f"{co:.2f}s -> {cn:.2f}s  ({cn / co:.2f}x)")
 
@@ -94,4 +102,7 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:  # e.g. piped through `head`
+        sys.exit(0)
