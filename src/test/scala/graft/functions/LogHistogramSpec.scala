@@ -102,6 +102,37 @@ class LogHistogramSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(rolled - n / 2.0) <= 0.05 * n / 2.0 + 1.0)
   }
 
+  test("property: bucket/estimate honors the relative-error and order " +
+      "contracts over random finite doubles") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val alphaGen = Gen.oneOf(0.005, 0.01, 0.05)
+    // Magnitudes across ~30 decades either side of 1, plus sign + zero.
+    val vGen: Gen[Double] = Gen.frequency(
+      (8, for {
+        m <- Gen.chooseNum(-30.0, 30.0)
+        s <- Gen.oneOf(1.0, -1.0)
+        f <- Gen.chooseNum(1.0, 9.999)
+      } yield s * f * math.pow(10.0, m)),
+      (1, Gen.const(0.0)), (1, Gen.const(-0.0)))
+    val p1 = Prop.forAll(vGen, alphaGen) { (v, a) =>
+      // estimate(bucket(v)) within a·|v| of v (exact for zero)
+      val e = LogHistAlgo.estimate(LogHistAlgo.bucket(v, a), a)
+      if (v == 0.0) e == 0.0
+      else math.abs(e - v) <= a * math.abs(v) * (1 + 1e-12)
+    }
+    val p2 = Prop.forAll(vGen, vGen, alphaGen) { (x, y, a) =>
+      // bucketing is monotone: x <= y never reorders the estimates
+      val (lo, hi) = if (x <= y) (x, y) else (y, x)
+      LogHistAlgo.estimate(LogHistAlgo.bucket(lo, a), a) <=
+        LogHistAlgo.estimate(LogHistAlgo.bucket(hi, a), a)
+    }
+    Seq(p1, p2).foreach { p =>
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("SQL dialect spellings resolve end-to-end") {
     GraftExtensions.register(spark)
     uniform.createOrReplaceTempView("lh_t")
