@@ -351,7 +351,7 @@ object CorpusOps {
       .where(col("tok").isNotNull)
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val stats = docs.agg(count(lit(1)).as("nd"))
-      .crossJoin(toks.agg(count(lit(1)).as("sumdl")))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("sumdl"))))
     val tf = toks.filter(col("tok").isin(termSet: _*))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
       // Consumed twice (df below + the scoring join); candidate-sized,

@@ -244,10 +244,10 @@ object ProfileOps {
     // dense frame = groups × OCCUPIED buckets: a group missing a bucket
     // some other group populates still contributes smoothed mass there
     // (corpus-empty buckets are unobservable and by definition excluded)
-    val dense = groups.crossJoin(buckets.select(col("b")))
+    val dense = groups.crossJoin(broadcast(buckets.select(col("b"))))
       .join(counts, Seq(groupCol, "b"), "left")
       .join(buckets, Seq("b"))
-      .crossJoin(nAll)
+      .crossJoin(broadcast(nAll))
       .na.fill(0L, Seq("cg"))
     val pg = (col("cg") + 1).cast("double") /
       (col("ng") + lit(nBuckets)).cast("double")

@@ -56,7 +56,7 @@ object SkewOps {
         max(when(col("tag") === "top", col("k"))).as("top_key"),
         max(when(col("tag") === "p50", col("cnt"))).as("p50_cnt"),
         max(when(col("tag") === "p99", col("cnt"))).as("p99_cnt"))
-    totals.crossJoin(hits)
+    totals.crossJoin(broadcast(hits))
       .withColumn("skew_micro",
         floor(col("max_cnt").cast("double") * col("n_keys") / col("n")
           * lit(1000000.0)).cast("long"))

@@ -1037,7 +1037,8 @@ object Queries {
   private def q32(s: SparkSession, d: String): DataFrame = {
     val small = t(s, d, "documents").filter(col("doc_id") < 25)
       .select(col("doc_id"), array_distinct(split(col("text"), "")).as("cs"))
-    small.as("a").join(small.as("b"), col("a.doc_id") < col("b.doc_id"))
+    small.as("a").join(broadcast(small.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         round(graft.ext.DedupOps.jaccard(col("a.cs"), col("b.cs")), 4).as("jac"))
       .orderBy(col("id1"), col("id2"))
@@ -1795,7 +1796,7 @@ object Queries {
       .select(col("doc_id"), graft.ext.DedupOps.shingles(col("w"), 2).as("bg"))
     val a = base.select(col("doc_id").as("id1"), col("bg").as("bg1"))
     val b = base.select(col("doc_id").as("id2"), col("bg").as("bg2"))
-    a.join(b, col("id1") < col("id2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         (floor(graft.ext.DedupOps.jaccard(col("bg1"), col("bg2")) * 10000
           + lit(0.5)) / 10000).as("jac"))
@@ -3679,7 +3680,7 @@ object Queries {
     s.range(1, 10).select(col("id").as("d"))
       .join(obs, Seq("d"), "left")
       .na.fill(0L, Seq("obs"))
-      .crossJoin(n)
+      .crossJoin(broadcast(n))
       .withColumn("e", e)
       .select(col("d"), col("obs"),
         floor(col("e") * lit(1000000.0)).cast("long").as("exp_micro"),
