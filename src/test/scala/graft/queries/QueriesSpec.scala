@@ -284,11 +284,24 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // r10 lesson — the old string-contains check couldn't see window
     // partition specs at all).
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val flagged = graft.PlanAudit.sweep(spark, sf)
       assert(flagged.isEmpty, flagged.mkString("\n"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      // Second pass with auto-broadcast OFF — the at-scale join-strategy
+      // view: every tiny-side cross/non-equi join must carry an explicit
+      // broadcast() hint (hints survive any threshold), or it degrades
+      // to a CartesianProduct on a cluster whose threshold differs
+      // (r10-late caught eight such queries).
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val flaggedNoBc = graft.PlanAudit.sweep(spark, sf)
+      assert(flaggedNoBc.isEmpty,
+        "with auto-broadcast disabled:\n" + flaggedNoBc.mkString("\n"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
   }
 
   test("q64 vocab top-k plans as TakeOrderedAndProject, never a full sort") {
