@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, StringInstr, StringLocate, TimestampAdd, TimestampDiff, ToNumber}
-import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType}
 
 /** SQL surface for the native sketch expressions: registers
   * `minhash_signature(hashes, k)` and `simhash64(hashes)` so pass-through
@@ -134,10 +134,9 @@ object GraftExtensions {
     dialectEntry("kll_merge_agg", 1)(a => KllMergeAgg(a.head, 200)),
     dialectEntry("kll_quantile", 2)(a => KllQuantile(a.head, a(1))),
     // Deterministic log-bucket quantile histograms (DDSketch family) —
-    // same build/merge/extract triple, merge-order-independent.
-    dialectEntry("log_hist_agg", 1)(a => LogHistAgg(a.head, 0.005)),
-    dialectEntry("log_hist_merge_agg", 1)(a =>
-      LogHistMergeAgg(a.head, 0.005)),
+    // same build/merge/extract triple, merge-order-independent. The agg
+    // spellings are variadic (optional alpha literal, default 0.005) —
+    // see variadicDialectFunctions below.
     dialectEntry("log_hist_quantile", 2)(a =>
       LogHistQuantile(a.head, a(1))),
     // Theta sketches — the set-operation member of the sketch lane
@@ -156,8 +155,38 @@ object GraftExtensions {
   // (the ETL-common one; numeric TRUNC(n, d) is out of scope) and 1-arg
   // TO_NUMBER yields DOUBLE (Exasol infers an exact DECIMAL — documented
   // divergence; use CAST for an explicit decimal).
+  /** Extract a literal double (SQL numeric literals parse as DECIMAL)
+    * for pre-analysis builder parameters like the log-hist alpha. */
+  private def litDouble(e: Expression, fn: String): Double = e match {
+    case Literal(v: Decimal, _: DecimalType) => v.toDouble
+    case Literal(v: java.lang.Double, DoubleType) => v
+    case Literal(v: java.lang.Integer, IntegerType) => v.toDouble
+    case _ => throw new IllegalArgumentException(
+      s"$fn: alpha must be a numeric literal, got ${e.sql}")
+  }
+
   private lazy val variadicDialectFunctions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // LOG_HIST_AGG(v [, alpha]) / LOG_HIST_MERGE_AGG(sk [, alpha]) —
+    // the deterministic quantile-histogram build/rollup with the same
+    // optional relative-accuracy parameter the Column API takes
+    // (default 0.005; the merge side adopts its inputs' alpha anyway).
+    (FunctionIdentifier("log_hist_agg"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "log_hist_agg"),
+      { args: Seq[Expression] => args match {
+        case Seq(v) => LogHistAgg(v, 0.005)
+        case Seq(v, a) => LogHistAgg(v, litDouble(a, "log_hist_agg"))
+        case _ => throw new IllegalArgumentException(
+          s"log_hist_agg(value[, alpha]) takes 1-2 arguments, got ${args.length}")
+      }}),
+    (FunctionIdentifier("log_hist_merge_agg"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "log_hist_merge_agg"),
+      { args: Seq[Expression] => args match {
+        case Seq(v) => LogHistMergeAgg(v, 0.005)
+        case Seq(v, a) => LogHistMergeAgg(v, litDouble(a, "log_hist_merge_agg"))
+        case _ => throw new IllegalArgumentException(
+          s"log_hist_merge_agg(sketch[, alpha]) takes 1-2 arguments, got ${args.length}")
+      }}),
     // INSTR(string, search [, position]) — Oracle/Exasol semantics: the
     // returned index is absolute; 3-arg starts the search at `position`.
     // 2-arg IS Spark's builtin instr; 3-arg is Spark's locate arg order.

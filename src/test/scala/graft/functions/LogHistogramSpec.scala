@@ -142,5 +142,13 @@ class LogHistogramSpec extends AnyFunSuite with SparkTestBase {
         |  GROUP BY CAST(v AS BIGINT) % 4)""".stripMargin)
       .head().getDouble(0)
     assert(math.abs(got - n / 2.0) <= 0.005 * n / 2.0 + 1.0)
+    // The optional alpha literal (SQL numerics parse as DECIMAL —
+    // litDouble handles the conversion) matches the Column API.
+    val loose = spark.sql(
+      """SELECT log_hist_quantile(log_hist_merge_agg(sk), 0.9d) AS p90 FROM (
+        |  SELECT log_hist_agg(v, 0.05) AS sk FROM lh_t
+        |  GROUP BY CAST(v AS BIGINT) % 4)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(loose - 0.9 * n) <= 0.05 * 0.9 * n + 1.0)
   }
 }
