@@ -156,14 +156,35 @@ object GraftExtensions {
   // TO_NUMBER yields DOUBLE (Exasol infers an exact DECIMAL — documented
   // divergence; use CAST for an explicit decimal).
   /** Extract a literal double (SQL numeric literals parse as DECIMAL)
-    * for pre-analysis builder parameters like the log-hist alpha. */
-  private def litDouble(e: Expression, fn: String): Double = e match {
-    case Literal(v: Decimal, _: DecimalType) => v.toDouble
-    case Literal(v: java.lang.Double, DoubleType) => v
-    case Literal(v: java.lang.Integer, IntegerType) => v.toDouble
-    case _ => throw new IllegalArgumentException(
-      s"$fn: alpha must be a numeric literal, got ${e.sql}")
+    * for pre-analysis builder parameters like the log-hist alpha, and
+    * range-check it HERE so a bad value fails at analysis with a clean
+    * message instead of inside a (cluster-retried) executor task. */
+  private def litDouble(e: Expression, fn: String): Double = {
+    val v = e match {
+      case Literal(d: Decimal, _: DecimalType) => d.toDouble
+      case Literal(d: java.lang.Double, DoubleType) => d.doubleValue()
+      case Literal(i: java.lang.Integer, IntegerType) => i.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"$fn: alpha must be a numeric literal, got ${e.sql}")
+    }
+    require(v >= 1e-4 && v < 1.0,
+      s"$fn: alpha must be in [1e-4, 1), got $v")
+    v
   }
+
+  /** Shared scaffold for the alpha-parameterized sketch spellings:
+    * `name(value)` uses the 0.005 default, `name(value, alpha)` takes
+    * a validated numeric literal. */
+  private def alphaEntry(name: String, signature: String)(
+      ctor: (Expression, Double) => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      { args: Seq[Expression] => args match {
+        case Seq(v) => ctor(v, 0.005)
+        case Seq(v, a) => ctor(v, litDouble(a, name))
+        case _ => throw new IllegalArgumentException(
+          s"$name($signature) takes 1-2 arguments, got ${args.length}")
+      }})
 
   private lazy val variadicDialectFunctions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -171,22 +192,9 @@ object GraftExtensions {
     // the deterministic quantile-histogram build/rollup with the same
     // optional relative-accuracy parameter the Column API takes
     // (default 0.005; the merge side adopts its inputs' alpha anyway).
-    (FunctionIdentifier("log_hist_agg"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "log_hist_agg"),
-      { args: Seq[Expression] => args match {
-        case Seq(v) => LogHistAgg(v, 0.005)
-        case Seq(v, a) => LogHistAgg(v, litDouble(a, "log_hist_agg"))
-        case _ => throw new IllegalArgumentException(
-          s"log_hist_agg(value[, alpha]) takes 1-2 arguments, got ${args.length}")
-      }}),
-    (FunctionIdentifier("log_hist_merge_agg"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "log_hist_merge_agg"),
-      { args: Seq[Expression] => args match {
-        case Seq(v) => LogHistMergeAgg(v, 0.005)
-        case Seq(v, a) => LogHistMergeAgg(v, litDouble(a, "log_hist_merge_agg"))
-        case _ => throw new IllegalArgumentException(
-          s"log_hist_merge_agg(sketch[, alpha]) takes 1-2 arguments, got ${args.length}")
-      }}),
+    alphaEntry("log_hist_agg", "value[, alpha]")(LogHistAgg(_, _)),
+    alphaEntry("log_hist_merge_agg", "sketch[, alpha]")(
+      LogHistMergeAgg(_, _)),
     // INSTR(string, search [, position]) — Oracle/Exasol semantics: the
     // returned index is absolute; 3-arg starts the search at `position`.
     // 2-arg IS Spark's builtin instr; 3-arg is Spark's locate arg order.
