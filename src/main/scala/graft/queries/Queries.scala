@@ -357,7 +357,13 @@ object Queries {
   /** Approximate percentiles (q47's scale path): `approx_percentile` keeps
     * a bounded GK sketch per group — exact `percentile` holds every
     * distinct value in memory, which a 100 TB hot group cannot. Accuracy
-    * bound 1/1000; the companion spec checks it against exact q47. */
+    * bound 1/1000; the companion spec checks it against exact q47.
+    * Determinism note: GK summary merges are order-SENSITIVE in
+    * principle, so this builtin's bit-stability is observed (every
+    * determinism pair to date) rather than guaranteed; a pipeline
+    * needing by-construction bit-identity at 1000 executors should use
+    * the q161 lane (`log_hist_agg`, functions/LogHistogram.scala),
+    * whose bucket-addition merge is order-independent by algebra. */
   private def q47b(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(col("o_orderstatus"))
