@@ -111,9 +111,14 @@ object IvfIndex {
     *
     * Ties break exactly like [[query]]: (cos DESC, vec_id ASC) for
     * candidates, (ccos DESC, cell ASC) for probes. Output schema is
-    * [[query]]'s (query_id, rk, vec_id, cosine·4dp). */
+    * [[query]]'s (query_id, rk, vec_id, cosine·4dp); `exactCos = true`
+    * leaves `cosine` UNROUNDED so a downstream re-ranker (q166b's
+    * same-label filter + top-1) can tie-break at full precision exactly
+    * like the brute path, rounding only in ITS final projection —
+    * candidates tied at 4dp but distinct beyond it must not flip the
+    * winner between the exact and indexed lanes (ADVICE r10). */
   def batchQuery(spark: SparkSession, path: String, queries: DataFrame,
-      k: Int = 10, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nProbe: Int = 4, exactCos: Boolean = false): DataFrame = {
     import graft.functions.HashFunctions.collectTopK
     val centroids = spark.read.parquet(s"$path/centroids")
     val probes = queries
@@ -141,7 +146,9 @@ object IvfIndex {
         reverse = false).as("tops"))
       .select(col("query_id"), posexplode(col("tops")).as(Seq("i", "t")))
       .select(col("query_id"), (col("i") + 1).cast("int").as("rk"),
-        (-col("t.nid")).as("vec_id"), round(col("t.cos"), 4).as("cosine"))
+        (-col("t.nid")).as("vec_id"),
+        (if (exactCos) col("t.cos") else round(col("t.cos"), 4))
+          .as("cosine"))
   }
 
   /** Top-k per query against a built index. Reads ONLY the probed cell

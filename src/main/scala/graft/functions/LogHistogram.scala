@@ -145,6 +145,14 @@ final case class LogHistAgg(
   extends TypedImperativeAggregate[LogHist]
   with UnaryLike[Expression] {
 
+  // Same domain check as the LogHist constructor, but at PLAN
+  // construction: a bad alpha through the Column API must fail on the
+  // driver with a clear message, not inside (cluster-retried) executor
+  // tasks at buffer creation (ADVICE r10). The SQL spelling already
+  // validates at analysis via litDouble.
+  require(alpha >= 1e-4 && alpha < 1.0,
+    s"log_hist_agg: alpha must be in [1e-4, 1), got $alpha")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -195,6 +203,10 @@ final case class LogHistMergeAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[LogHist]
   with UnaryLike[Expression] {
+
+  // Driver-side domain check, mirroring LogHistAgg (ADVICE r10).
+  require(alpha >= 1e-4 && alpha < 1.0,
+    s"log_hist_merge_agg: alpha must be in [1e-4, 1), got $alpha")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -62,6 +62,14 @@ object Queries {
     * (binary-value rounding) at representational midpoints like x.745. */
   private def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
 
+  /** 6dp variant of [[round2]] for sketch estimates whose α-error envelope
+    * is far below cents: wide enough to absorb the ≤2-ulp `ln`/`pow`
+    * divergence between JVM and DuckDB libm (the only non-IEEE-identical
+    * ops in the log-hist lane), tight enough that the rounded value stays
+    * inside the sketch's own accuracy contract. */
+  private def round6(c: Column): Column =
+    floor(c * 1000000 + lit(0.5)) / 1000000
+
   // ---------------------------------------------------------------- q01–q05
 
   /** COUNT(*) scan+agg — the README's per-table count pattern (README.md:46). */
@@ -354,23 +362,65 @@ object Queries {
       |       FLOOR(QUANTILE_CONT(o_totalprice, 0.9) * 100 + 0.5) / 100 AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
-  /** Approximate percentiles (q47's scale path): `approx_percentile` keeps
-    * a bounded GK sketch per group — exact `percentile` holds every
-    * distinct value in memory, which a 100 TB hot group cannot. Accuracy
-    * bound 1/1000; the companion spec checks it against exact q47.
-    * Determinism note: GK summary merges are order-SENSITIVE in
-    * principle, so this builtin's bit-stability is observed (every
-    * determinism pair to date) rather than guaranteed; a pipeline
-    * needing by-construction bit-identity at 1000 executors should use
-    * the q161 lane (`log_hist_agg`, functions/LogHistogram.scala),
-    * whose bucket-addition merge is order-independent by algebra. */
-  private def q47b(s: SparkSession, d: String): DataFrame =
+  /** Approximate percentiles (q47's scale path): a bounded-memory sketch
+    * per group — exact `percentile` holds every distinct value in memory,
+    * which a 100 TB hot group cannot. Since r11 this rides the house
+    * log-hist sketch (`log_hist_agg`, functions/LogHistogram.scala —
+    * α = 0.5% relative error, bucket-addition merge, bit-deterministic
+    * under ANY partitioning by algebra), which also makes the row
+    * DuckDB-oracle-checkable: the bucket map is a pure integer function
+    * of the data, so the oracle rebuilds the sketch in SQL (q161's
+    * rebuild on the orders table; VERDICT r10 #1). Spark's builtin
+    * `approx_percentile` (GK summaries — deterministic but neither
+    * SQL-expressible nor merge-order-independent in principle) remains
+    * covered as a library lane by ApproxPercentileBuiltinSpec.
+    * Cent-rounded like q47, whose spec pins the ≤0.5% accuracy vs the
+    * exact two-phase rank-select. */
+  private def q47b(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SketchFunctions._
     t(s, d, "orders")
       .groupBy(col("o_orderstatus"))
-      .agg(
-        (floor(expr("approx_percentile(o_totalprice, 0.5, 1000)") * 100 + lit(0.5)) / 100).as("p50"),
-        (floor(expr("approx_percentile(o_totalprice, 0.9, 1000)") * 100 + lit(0.5)) / 100).as("p90"))
+      .agg(logHistAgg(col("o_totalprice")).as("sk"))
+      .select(col("o_orderstatus"),
+        round2(logHistQuantile(col("sk"), lit(0.5))).as("p50"),
+        round2(logHistQuantile(col("sk"), lit(0.9))).as("p90"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** q161's SQL sketch rebuild, on orders — see [[q161Sql]] for the
+    * bucket/estimate/walk derivation and the IEEE-identical-ops rules. */
+  private val q47bSql =
+    """WITH gg AS (SELECT CAST(1.005 AS DOUBLE) / CAST(0.995 AS DOUBLE) AS g),
+      |bk AS (
+      |  SELECT o_orderstatus,
+      |         CASE WHEN o_totalprice = 0 THEN 0
+      |              WHEN o_totalprice > 0 THEN 1 ELSE -1 END AS sgn,
+      |         CASE WHEN o_totalprice = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(CEIL(LN(ABS(o_totalprice)) / LN(g)) AS BIGINT)
+      |              END AS k,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders CROSS JOIN gg
+      |  WHERE o_totalprice IS NOT NULL AND NOT ISNAN(o_totalprice)
+      |    AND NOT ISINF(o_totalprice)
+      |  GROUP BY 1, 2, 3),
+      |est AS (
+      |  SELECT o_orderstatus, c,
+      |         CASE WHEN sgn = 0 THEN CAST(0 AS DOUBLE)
+      |              ELSE sgn * (2 * POW(g, k) / (g + 1)) END AS e
+      |  FROM bk CROSS JOIN gg),
+      |cum AS (
+      |  SELECT o_orderstatus, e, c,
+      |         SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY e) AS cum,
+      |         SUM(c) OVER (PARTITION BY o_orderstatus) AS total
+      |  FROM est)
+      |SELECT o_orderstatus,
+      |       FLOOR(MIN(e) FILTER (WHERE cum >= GREATEST(1,
+      |           CEIL(CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE))))
+      |         * 100 + 0.5) / 100 AS p50,
+      |       FLOOR(MIN(e) FILTER (WHERE cum >= GREATEST(1,
+      |           CEIL(CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE))))
+      |         * 100 + 0.5) / 100 AS p90
+      |FROM cum GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
   /** Correlated scalar subquery — exercises Catalyst decorrelation (the
     * subquery rewrites to an outer join + aggregate). */
@@ -5621,10 +5671,15 @@ object Queries {
     * compaction (thread-shared Random) made q161 the one declared
     * query outside the two-run bit-identity contract; the KLL lane
     * stays in the library ([[graft.functions.KllSketchAgg]],
-    * KllSketchSpec) for fixed-size-bound use cases. Estimates are
-    * sketch-specific (no DuckDB oracle); QueriesSpec pins each
-    * estimate within the α relative-error envelope of the exact
-    * quantile. */
+    * KllSketchSpec) for fixed-size-bound use cases. Because the bucket
+    * map is a pure integer function of the data (`bucket = ⌈log_γ v⌉`,
+    * estimate = bucket midpoint, quantile = a cumulative walk), DuckDB
+    * rebuilds the WHOLE sketch in SQL — the same flip q182 made for
+    * Count-Min — so since r11 this row is driver-hash-checked, not
+    * just spec-pinned. Outputs are [[round6]]-rounded on both engines:
+    * `ln`/`pow` are the lane's only non-IEEE-identical ops (≤2 ulp
+    * apart between libms), and 6dp absorbs that while staying far
+    * inside the α = 0.5% accuracy contract that QueriesSpec pins. */
   private def q161(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SketchFunctions._
     val daily = t(s, d, "events")
@@ -5633,11 +5688,59 @@ object Queries {
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"), logHistMerge(col("sk")).as("msk"))
       .select(col("event_type"), col("n_days"),
-        logHistQuantile(col("msk"), lit(0.5)).as("p50"),
-        logHistQuantile(col("msk"), lit(0.9)).as("p90"),
-        logHistQuantile(col("msk"), lit(0.99)).as("p99"))
+        round6(logHistQuantile(col("msk"), lit(0.5))).as("p50"),
+        round6(logHistQuantile(col("msk"), lit(0.9))).as("p90"),
+        round6(logHistQuantile(col("msk"), lit(0.99))).as("p99"))
       .orderBy(col("event_type"))
   }
+
+  /** DuckDB rebuild of the log-hist sketch (functions/LogHistogram.scala):
+    * bucket on (sign, k=⌈log_γ|v|⌉) — grouping on the pair instead of the
+    * packed odd/even id because DuckDB's `//` truncates where the JVM's
+    * `>>1` floors — midpoint estimates, cumulative walk to
+    * target = max(1, ⌈rank·total⌉). γ and the targets are computed with
+    * explicit DOUBLE casts so both engines run the identical IEEE ops. */
+  private val q161Sql =
+    """WITH gg AS (SELECT CAST(1.005 AS DOUBLE) / CAST(0.995 AS DOUBLE) AS g),
+      |bk AS (
+      |  SELECT event_type,
+      |         CASE WHEN value = 0 THEN 0 WHEN value > 0 THEN 1
+      |              ELSE -1 END AS sgn,
+      |         CASE WHEN value = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(CEIL(LN(ABS(value)) / LN(g)) AS BIGINT)
+      |              END AS k,
+      |         CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events CROSS JOIN gg
+      |  WHERE value IS NOT NULL AND NOT ISNAN(value) AND NOT ISINF(value)
+      |  GROUP BY 1, 2, 3),
+      |est AS (
+      |  SELECT event_type, c,
+      |         CASE WHEN sgn = 0 THEN CAST(0 AS DOUBLE)
+      |              ELSE sgn * (2 * POW(g, k) / (g + 1)) END AS e
+      |  FROM bk CROSS JOIN gg),
+      |cum AS (
+      |  SELECT event_type, e, c,
+      |         SUM(c) OVER (PARTITION BY event_type ORDER BY e) AS cum,
+      |         SUM(c) OVER (PARTITION BY event_type) AS total
+      |  FROM est),
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      |       FROM (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+      |             FROM events)
+      |       GROUP BY 1),
+      |q AS (
+      |  SELECT event_type,
+      |         MIN(e) FILTER (WHERE cum >= GREATEST(1,
+      |           CEIL(CAST(0.5 AS DOUBLE) * CAST(total AS DOUBLE)))) AS p50r,
+      |         MIN(e) FILTER (WHERE cum >= GREATEST(1,
+      |           CEIL(CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE)))) AS p90r,
+      |         MIN(e) FILTER (WHERE cum >= GREATEST(1,
+      |           CEIL(CAST(0.99 AS DOUBLE) * CAST(total AS DOUBLE)))) AS p99r
+      |  FROM cum GROUP BY 1)
+      |SELECT q.event_type, nd.n_days,
+      |       FLOOR(p50r * 1000000 + 0.5) / 1000000 AS p50,
+      |       FLOOR(p90r * 1000000 + 0.5) / 1000000 AS p90,
+      |       FLOOR(p99r * 1000000 + 0.5) / 1000000 AS p99
+      |FROM q JOIN nd USING (event_type) ORDER BY event_type""".stripMargin
 
   // ------------------------------------------ q162 theta overlap
 
@@ -5880,8 +5983,12 @@ object Queries {
   private def q166b(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val labels = emb.select(col("vec_id"), col("label"))
+    // exactCos: the top-1 tie-break below must see the UNROUNDED cosine
+    // (exactly like q166's heap) — rounding happens only in the final
+    // projection, so 4dp-tied-but-distinct candidates can't flip the
+    // winner between the exact and indexed lanes (ADVICE r10).
     val cands = graft.ext.IvfIndex.batchQuery(
-      s, ivfIndexDir(s, d), emb, k = 16, nProbe = 8)
+      s, ivfIndexDir(s, d), emb, k = 16, nProbe = 8, exactCos = true)
     cands
       .join(labels.withColumnRenamed("label", "clabel"), Seq("vec_id"))
       .join(labels.select(col("vec_id").as("query_id"),
@@ -5891,7 +5998,7 @@ object Queries {
       .agg(max_by(struct(col("vec_id"), col("cosine")),
         struct(col("cosine"), -col("vec_id"))).as("top"))
       .select(col("query_id"), col("top.vec_id").as("neg_id"),
-        col("top.cosine").as("cosine"))
+        round(col("top.cosine"), 4).as("cosine"))
       .orderBy(col("query_id"))
   }
 
@@ -6915,7 +7022,8 @@ object Queries {
 
   /** Deterministic negative-edge sampling over the bipartite trade
     * graph — for every trading customer, k = 4 candidate suppliers
-    * drawn by portable hash (`md5_60("neg_<cust>_<i>") mod nSupp` —
+    * drawn by portable hash (`md5_60("neg_<cust>_<i>") mod nSupp + 1`,
+    * landing in the 1-based s_suppkey domain —
     * rand()-free, reproducible across runs/engines/partitionings like
     * every sampling op here), kept iff the pair is NOT a real trade:
     * the link-prediction training-negative generator (the
@@ -6936,10 +7044,14 @@ object Queries {
       .crossJoin(broadcast(ns))
       .select(col("custkey"), col("ns"),
         explode(sequence(lit(0), lit(3))).as("i"))
+      // `pmod(...) + 1` maps the hash into the REAL key domain: TPC-H
+      // s_suppkey is 1-based [1, nSupp], so a bare `mod nSupp` could
+      // emit the nonexistent supplier 0 and never sample supplier
+      // nSupp (ADVICE r10). The oracle applies the same `% ns + 1`.
       .withColumn("neg_suppkey",
         pmod(graft.functions.HashFunctions.md5Hash60(
           concat(lit("neg_"), col("custkey"), lit("_"), col("i"))),
-          col("ns")))
+          col("ns")) + lit(1L))
     cands
       .join(pos.withColumnRenamed("suppkey", "neg_suppkey"),
         Seq("custkey", "neg_suppkey"), "left_anti")
@@ -6955,7 +7067,7 @@ object Queries {
       |cand AS (
       |  SELECT c.custkey, CAST(t.i AS INTEGER) AS i,
       |         CAST('0x' || SUBSTR(MD5('neg_' || c.custkey || '_' || t.i),
-      |                             1, 15) AS BIGINT) % ns.ns AS neg_suppkey
+      |                             1, 15) AS BIGINT) % ns.ns + 1 AS neg_suppkey
       |  FROM (SELECT DISTINCT custkey FROM pos) c
       |  CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i) t
       |  CROSS JOIN ns)
@@ -7023,7 +7135,7 @@ object Queries {
     QueryDef("q45_window_range", q45, Some(q45Sql)),
     QueryDef("q46_window_analytics", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
-    QueryDef("q47b_approx_percentiles", q47b, None),
+    QueryDef("q47b_approx_percentiles", q47b, Some(q47bSql)),
     QueryDef("q48_scalar_subquery", q48, Some(q48Sql)),
     QueryDef("q49_pivot", q49, Some(q49Sql)),
     QueryDef("q50_recursive_cte", q50, Some(q50Sql)),
@@ -7141,7 +7253,7 @@ object Queries {
     QueryDef("q158_bfs_distances", q158, Some(q158Sql)),
     QueryDef("q159_hll_incremental", q159, None),
     QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
-    QueryDef("q161_quantile_sketch", q161, None),
+    QueryDef("q161_quantile_sketch", q161, Some(q161Sql)),
     QueryDef("q162_theta_overlap", q162, None),
     QueryDef("q163_bloom_prune", q163, Some(q163Sql)),
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),

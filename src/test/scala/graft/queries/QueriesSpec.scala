@@ -37,16 +37,29 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
-  test("q47b approx percentiles within 2% of exact q47 per group") {
-    val exact = run("q47_percentiles").collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  test("q47b log-hist percentiles within the α=0.5% contract of the exact " +
+      "rank-select quantile per group") {
+    import org.apache.spark.sql.functions._
+    // Nearest-rank exact (the log-hist contract's reference point —
+    // q47's QUANTILE_CONT interpolates BETWEEN order stats, so its gaps
+    // would add data-dependent noise on top of the α envelope).
+    val vals = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
     val approx = run("q47b_approx_percentiles").collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (g, (p50, p90)) =>
-      val (a50, a90) = approx(g)
-      assert(math.abs(a50 - p50) / p50 < 0.02, s"$g p50: $a50 vs $p50")
-      assert(math.abs(a90 - p90) / p90 < 0.02, s"$g p90: $a90 vs $p90")
+      .map(r => r.getString(0) -> Seq(0.5 -> r.getDouble(1),
+        0.9 -> r.getDouble(2))).toMap
+    assert(approx.keySet == vals.keySet)
+    approx.foreach { case (g, qs) =>
+      val vs = vals(g)
+      qs.foreach { case (rank, a) =>
+        val exact = vs(math.max(0, math.ceil(rank * vs.length).toInt - 1))
+        // α relative error + one cent of round2: far tighter than the
+        // old GK 2% envelope (q47b rides log_hist_agg since r11).
+        assert(math.abs(a - exact) <= 0.005 * exact + 0.02,
+          s"$g p$rank: $a vs $exact")
+      }
     }
   }
 
@@ -92,7 +105,10 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
         // a far tighter pin than the old KLL 5% rank envelope
         val exact = vs(math.max(0,
           math.ceil(rank * vs.length).toInt - 1))
-        assert(math.abs(q - exact) <= 0.005 * math.abs(exact) + 1e-9,
+        // +1e-6 slack: estimates are round6-ed since r11 (the oracle
+        // hash-match needs IEEE-identical outputs), which can add up to
+        // 5e-7 on top of an exactly-at-the-α-bound midpoint.
+        assert(math.abs(q - exact) <= 0.005 * math.abs(exact) + 1e-6,
           s"$t p$rank: est $q vs exact $exact")
       }
     }

@@ -26,9 +26,25 @@ def load(path):
     BENCH_r{N}.json wrapper ({"tail": stdout, "parsed": line-or-null})."""
     with open(path) as f:
         d = json.load(f)
-    if "queries" not in d:
-        if isinstance(d.get("parsed"), dict):
+    if "queries" not in d or not d.get("queries"):
+        if isinstance(d.get("parsed"), dict) and d["parsed"].get("queries"):
             d = d["parsed"]
+        elif isinstance(d.get("parsed"), dict):
+            # r11+ summary-line protocol: the final stdout line carries
+            # totals/failed only; per-query timings live on the preceding
+            # queries_chunk lines (partially visible in the tail) and in
+            # full in bench_out.json. Merge what the tail shows.
+            parsed = dict(d["parsed"])
+            qs = dict((k, float(v)) for k, v in re.findall(
+                r'"(q[0-9]+[a-z]*(?:_[a-z0-9_]+)?)":\s*(-?[0-9.]+)',
+                d.get("tail", "")))
+            qs.pop("queries_chunk", None)
+            if qs:
+                print(f"note: {path} summary line has no queries; "
+                      f"recovered {len(qs)} entries from the tail "
+                      f"(full map in bench_out.json)")
+            parsed["queries"] = qs
+            d = parsed
         elif "tail" in d:  # parsed=null: recover from the (possibly
             # head-truncated — the 2000-char capture window) stdout tail
             start = d["tail"].rfind('{"metric"')
