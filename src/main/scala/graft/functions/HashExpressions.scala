@@ -80,6 +80,78 @@ final case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** `minhash_xor_signature(hashes, constants)`: element j of the result is
+  * min over the input array of `h XOR constants(j)` — the XOR-permutation
+  * MinHash family. XOR by a fixed constant is a bijection of the hash
+  * space, and unlike [[MinHashSignature]]'s XXH64 re-hash it is
+  * SQL-portable: any engine with bigint XOR rebuilds the identical
+  * signature, which is what lets q30's near-dup row hash-match a DuckDB
+  * oracle (the q31 portable-SimHash precedent; constants are md5-derived
+  * 60-bit values so the whole lane shares one portable hash primitive).
+  * Same tight codegen'd loop as the XXH64 variant; empty input yields
+  * Long.MaxValue sentinels. */
+final case class MinHashXorSignature(child: Expression, constants: Seq[Long])
+  extends UnaryExpression {
+
+  require(constants.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_xor_signature requires array<bigint>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_xor_signature"
+
+  private lazy val cs: Array[Long] = constants.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = cs.length
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = h ^ cs(j)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val csRef = ctx.addReferenceObj("mhXorConstants", cs, "long[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[${cs.length}];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int ${i}n = $c.numElements();
+         |for (int $i = 0; $i < ${i}n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < ${cs.length}; $j++) {
+         |    long $v = $h ^ $csRef[$j];
+         |    if ($v < $out[$j]) $out[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashXorSignature =
+    copy(child = newChild)
+}
+
 /** `simhash64(hashes)`: 64-bit SimHash — every bit of every input hash
   * votes ±1, the fingerprint packs the positive-sum bits. Single pass,
   * no allocation beyond the 64-slot accumulator. */
@@ -204,6 +276,20 @@ final case class ArrayDotProduct(left: Expression, right: Expression)
 object HashFunctions {
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes), numHashes))
+
+  def minhashXorSignature(hashes: Column, constants: Seq[Long]): Column =
+    Bridge.column(
+      MinHashXorSignature(Bridge.expression(hashes), constants))
+
+  /** Driver-side mirror of [[md5Hash60]] for deriving portable constants:
+    * the first 15 hex chars of the md5 of the UTF-8 string, as a long —
+    * identical to `CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT)`. */
+  def md5Hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
 
   def simhash64(hashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashes)))

@@ -1037,10 +1037,101 @@ object Queries {
   }
 
   /** MinHash+LSH near-dup candidates (bag-of-words shingles), verified by
-    * exact Jaccard — see [[graft.ext.DedupOps.nearDupPairs]]. Top-20 most
-    * similar pairs under a total order. */
-  private def q30(s: SparkSession, d: String): DataFrame =
-    graft.ext.DedupOps.nearDupPairs(t(s, d, "documents")).limit(20)
+    * exact Jaccard; top-20 most similar pairs under a total order. Same
+    * plan shape as the library engine [[graft.ext.DedupOps.nearDupPairs]]
+    * (signature → band buckets → in-bucket pairs with the maxBucket
+    * guard → exact-Jaccard verification; planted-dup/pigeonhole specs in
+    * DedupOpsSpec), but built PORTABLE so DuckDB rebuilds it and the row
+    * hash-matches (VERDICT r10 #3, the q31 SimHash precedent): tokens
+    * hash by md5-60 instead of xxhash64, the k = 64 permutations are the
+    * XOR family (`min(h ⊕ c_j)`, c_j = md5_60("mhperm_j") — a bijection
+    * per constant, SQL-expressible, native codegen'd
+    * [[graft.functions.MinHashXorSignature]]), and band buckets key on
+    * the raw 8-long signature slice rather than its xxhash64 (exact
+    * slice equality — same collision semantics, no engine-specific
+    * hash). Pair sets are order-normalized (least/greatest + distinct),
+    * so bucket-array ordering differences between engines can't leak. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions.{md5Hash60, md5Hash60Local, minhashXorSignature}
+    val numHashes = 64
+    val bands = 8
+    val r = numHashes / bands
+    val maxBucket = 64
+    val perm: Seq[Long] =
+      (0 until numHashes).map(j => md5Hash60Local(s"mhperm_$j"))
+    val hashed = t(s, d, "documents")
+      // lambda-free zero-token guard: ≥1 token ⟺ some non-space char
+      // (wordTokens splits on ' ' only). A size(tokens) > 0 filter would
+      // re-evaluate the tokenizer lambda below the band/pair Generates —
+      // the exact shape the no-inferred-prefilter structural spec bans.
+      .filter(length(translate(col("text"), " ", "")) > 0)
+      .select(col("doc_id").as("id"),
+        graft.ext.DedupOps.wordTokens(col("text")).as("__toks"))
+      .select(col("id"),
+        array_distinct(transform(col("__toks"), t => md5Hash60(t))).as("hs"))
+    val banded = hashed
+      .select(col("id"), minhashXorSignature(col("hs"), perm).as("sig"))
+      .select(col("id"), explode_outer(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * r + 1, r).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+    candidates
+      .join(hashed.select(col("id").as("id1"), col("hs").as("s1")), "id1")
+      .join(hashed.select(col("id").as("id2"), col("hs").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        (floor(graft.ext.DedupOps.jaccard(col("s1"), col("s2")) * 10000
+          + lit(0.5)) / 10000).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(20)
+  }
+
+  /** DuckDB rebuild of the whole portable MinHash-LSH pipeline: md5-60
+    * token hashes, XOR-family signatures, slice-keyed band buckets with
+    * the 2..64 bucket-size guard, in-bucket normalized pairs, exact
+    * hashed-set Jaccard with the FLOOR half-up rounding. */
+  private val q30Sql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id AS id,
+      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                            t -> LEN(t) > 0)) AS t
+      |  FROM documents),
+      |h AS (SELECT id, CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) AS h
+      |      FROM tok),
+      |hs AS (SELECT id, LIST(DISTINCT h) AS hs FROM h GROUP BY 1),
+      |perm AS (SELECT j,
+      |                CAST('0x' || SUBSTR(MD5('mhperm_' || j), 1, 15)
+      |                     AS BIGINT) AS c
+      |         FROM (SELECT UNNEST(RANGE(0, 64)) AS j)),
+      |sig AS (SELECT h.id, perm.j, MIN(XOR(h.h, perm.c)) AS m
+      |        FROM h CROSS JOIN perm GROUP BY 1, 2),
+      |band AS (SELECT id, j // 8 AS band, LIST(m ORDER BY j) AS key
+      |         FROM sig GROUP BY 1, 2),
+      |bucket AS (SELECT band, key, LIST(id) AS ids
+      |           FROM band GROUP BY 1, 2
+      |           HAVING COUNT(*) BETWEEN 2 AND 64),
+      |pairs AS (SELECT DISTINCT LEAST(a, b) AS id1, GREATEST(a, b) AS id2
+      |          FROM bucket, UNNEST(ids) u1(a), UNNEST(ids) u2(b)
+      |          WHERE a <> b)
+      |SELECT p.id1, p.id2,
+      |       FLOOR(CAST(LEN(LIST_INTERSECT(h1.hs, h2.hs)) AS DOUBLE)
+      |             / LEN(LIST_DISTINCT(LIST_CONCAT(h1.hs, h2.hs)))
+      |             * 10000 + 0.5) / 10000 AS jaccard
+      |FROM pairs p
+      |JOIN hs h1 ON h1.id = p.id1
+      |JOIN hs h2 ON h2.id = p.id2
+      |ORDER BY jaccard DESC, id1, id2 LIMIT 20""".stripMargin
 
   /** 64-bit SimHash fingerprint per document — per-token sign votes
     * packed by the native codegen'd [[graft.functions.SimHash64]]
@@ -7116,7 +7207,7 @@ object Queries {
     QueryDef("q27b_json_extract", q27b, Some(q27bSql)),
     QueryDef("q28_param_identifier", q28, Some(q28Sql)),
     QueryDef("q29_wrapper_lifecycle", q29, None),
-    QueryDef("q30_minhash_neardup", q30, None),
+    QueryDef("q30_minhash_neardup", q30, Some(q30Sql)),
     QueryDef("q31_simhash", q31, Some(q31Sql)),
     QueryDef("q32_jaccard_chars", q32, Some(q32Sql)),
     QueryDef("q33_lang_id", q33, Some(q33Sql)),

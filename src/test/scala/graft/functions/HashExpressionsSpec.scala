@@ -40,6 +40,34 @@ class HashExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaDf == interp)
   }
 
+  test("minhash_xor_signature: matches the XOR model, codegen/interpreted " +
+      "agree, md5 constants mirror the SQL derivation") {
+    val cs = (0 until 8).map(j => HashFunctions.md5Hash60Local(s"mhperm_$j"))
+    val hashes = Seq(5L, 99L, 123456789L)
+    def xmodel(hs: Seq[Long]) = cs.map(c => hs.map(_ ^ c).min)
+    val viaDf = Seq((1L, hashes), (2L, Seq.empty[Long])).toDF("id", "hs")
+      .select(col("id"),
+        HashFunctions.minhashXorSignature(col("hs"), cs).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaDf(1L) == xmodel(hashes))
+    assert(viaDf(2L) == Seq.fill(8)(Long.MaxValue))
+    val interp = MinHashXorSignature(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        hashes.toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), cs)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    assert(interp == xmodel(hashes))
+    // The driver-side constant derivation must equal the in-plan md5Hash60
+    // (and hence DuckDB's CAST('0x' || SUBSTR(MD5(s), 1, 15) AS BIGINT)).
+    val inPlan = Seq("mhperm_0", "mhperm_7", "graft", "")
+      .toDF("s").select(HashFunctions.md5Hash60(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    val local = Seq("mhperm_0", "mhperm_7", "graft", "")
+      .map(HashFunctions.md5Hash60Local)
+    assert(inPlan == local)
+  }
+
   test("simhash64: sign-vote semantics and codegen/interpreted agreement") {
     // A single hash votes its own bits: fingerprint == that hash's bits.
     val single = Seq(Tuple1(Seq(0x0F0FL))).toDF("hs")
