@@ -118,7 +118,13 @@ final class QueryWrapper private (
     val params = options.params.getOrElse(queryParams.toMap)
     var stmtText = sqlText
     Try {
-      if (identifierBinding == "native") {
+      // Script DDL is handled BEFORE param splicing: a CREATE SCRIPT
+      // body's `:P`/`::P` references belong to the script's own EXECUTE-
+      // time binding, not to this wrapper's current params (an unbound
+      // `::P` would otherwise raise at CREATE, and a bound one would
+      // freeze today's value into the body).
+      if (SqlCompat.handleScriptDdl(sqlText)) QueryResult.empty(sqlText)
+      else if (identifierBinding == "native") {
         val (rewritten, extra) = Params.nativeIdentifiers(sqlText, params)
         stmtText = rewritten
         execute(stmtText, params ++ extra)
@@ -266,7 +272,10 @@ final class QueryWrapper private (
             val cb = SqlCompat.translateConnectBy(stmt).getOrElse(stmt)
             val pf = SqlCompat.translatePreferring(cb).getOrElse(cb)
             // QUALIFY (window-expression filter) → subquery spelling
-            SqlCompat.translateQualify(pf).getOrElse(pf)
+            val qf = SqlCompat.translateQualify(pf).getOrElse(pf)
+            // Oracle-compat ROWNUM filter → LIMIT (subquery-wrapped
+            // under ORDER BY: the host numbers rows BEFORE the sort)
+            SqlCompat.translateRownum(qf).getOrElse(qf)
           }))
         val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>

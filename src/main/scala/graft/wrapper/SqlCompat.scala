@@ -91,7 +91,12 @@ object SqlCompat {
   }
 
   /** Split on top-level commas (outside strings/comments/parens). */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private def splitTopLevel(s: String): Seq[String] =
+    splitTopLevelOn(s, ',')
+
+  /** Split on a top-level separator char (outside strings/comments/
+    * parens) — `','` for lists, `';'` for script-body statements. */
+  private def splitTopLevelOn(s: String, sep: Char): Seq[String] = {
     val parts = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -100,11 +105,11 @@ object SqlCompat {
         text.foreach {
           case '(' => depth += 1; cur += '('
           case ')' => depth -= 1; cur += ')'
-          case ',' if depth == 0 => parts += cur.result(); cur.clear()
+          case c if c == sep && depth == 0 => parts += cur.result(); cur.clear()
           case c => cur += c
         }
       case SqlTokens.Token(SqlTokens.Comment, _) =>
-        cur += ' ' // comments are not part of the assignment expression
+        cur += ' ' // comments are not part of the expression
       case t => cur ++= t.text
     }
     parts += cur.result()
@@ -967,6 +972,101 @@ object SqlCompat {
       s"EXECUTE SCRIPT: unsupported argument literal: $t")
   }
 
+  // ----------------------------------------------- CREATE/DROP SCRIPT DDL
+
+  private val CreateScriptRe =
+    ("(?is)^\\s*create\\s+(or\\s+replace\\s+)?(lua\\s+)?script\\s+" +
+      "([\\w.`]+)\\s*(\\(([^)]*)\\))?\\s*" +
+      "(?:returns\\s+(table|rowcount)\\s+)?as\\b").r
+  private val DropScriptRe =
+    "(?is)^\\s*drop\\s+script\\s+(if\\s+exists\\s+)?([\\w.`]+)\\s*;?\\s*$".r
+
+  final case class CreateScript(name: String, replace: Boolean, lua: Boolean,
+      params: Seq[String], returns: Option[String], body: String)
+
+  /** `CREATE [OR REPLACE] [LUA] SCRIPT name [(p, …)] [RETURNS TABLE|
+    * ROWCOUNT] AS <body> [/]` — the DDL the reference itself is installed
+    * with (query_wrapper.sql:22, README.md:28–37). Header keywords are
+    * located on the masked text; name/params/body slice from the ORIGINAL
+    * at matched offsets, so literals inside the body can't confuse the
+    * header regex. The optional EXAplus `/` terminator line is stripped. */
+  def parseCreateScript(sql: String): Option[CreateScript] = {
+    val masked = maskNonTopLevel(sql)
+    CreateScriptRe.findFirstMatchIn(masked).map { m =>
+      val name = sql.substring(m.start(3), m.end(3))
+      val params =
+        if (m.group(4) == null) Seq.empty[String]
+        else splitTopLevel(sql.substring(m.start(5), m.end(5)))
+          .map(_.trim).filter(_.nonEmpty)
+      val body = sql.substring(m.end)
+        .replaceFirst("(?s)[\\s;]*$", "") // rstrip + trailing ';'
+        .replaceFirst("(?s)\\n\\s*/\\s*$", "") // EXAplus terminator line
+      CreateScript(name, m.group(1) != null, m.group(2) != null, params,
+        Option(m.group(6)).map(_.toLowerCase), body)
+    }
+  }
+
+  /** Steps for a DDL-registered script. A SQL body is `;`-split into one
+    * wrapper step per statement (each runs through `wrapper.query`, so
+    * steps can themselves use the whole dialect — IMPORT/EXPORT, MERGE,
+    * even EXECUTE SCRIPT); declared parameters bind positionally as
+    * wrapper params first, so bodies reference them `:P` / `::P` exactly
+    * like the reference's own parameterized statements (README.md:46).
+    * A LUA body is catalogued but INERT: this engine's native
+    * QueryWrapper *is* the Lua wrapper's re-implementation, so executing
+    * a Lua body raises a clear error instead of silently doing nothing
+    * (divergence documented in SURVEY §2B B16). */
+  private def scriptSteps(cs: CreateScript)
+      : Seq[Any] => Seq[(String, QueryWrapper => Any)] = {
+    if (cs.lua)
+      _ => throw new UnsupportedOperationException(
+        s"script ${cs.name} has a Lua body; graft executes SQL-bodied " +
+          "scripts (CREATE SCRIPT … AS <sql>[; <sql>…]) — register Lua " +
+          "logic driver-side via ScriptRegistry instead")
+    else {
+      val stmts = splitTopLevelOn(cs.body, ';').map(_.trim).filter(_.nonEmpty)
+      require(stmts.nonEmpty,
+        s"script ${cs.name}: body contains no SQL statements")
+      args => {
+        require(args.length == cs.params.length,
+          s"script ${cs.name} expects ${cs.params.length} argument(s) " +
+            s"(${cs.params.mkString(", ")}), got ${args.length}")
+        val bind: Seq[(String, QueryWrapper => Any)] =
+          if (cs.params.isEmpty) Nil
+          else Seq("bind_params" -> { (w: QueryWrapper) =>
+            cs.params.zip(args).foreach { case (p, v) => w.setParam(p, v) }
+            s"bound ${args.length} parameter(s)"
+          })
+        bind ++ stmts.zipWithIndex.map { case (st, i) =>
+          s"step_${i + 1}" -> ((w: QueryWrapper) => w.query(st))
+        }
+      }
+    }
+  }
+
+  /** Handle CREATE/DROP SCRIPT DDL against [[ScriptRegistry]]; returns
+    * true iff the statement was one. Without OR REPLACE an existing name
+    * raises (host-engine object-exists behavior); DROP of a missing name
+    * raises unless IF EXISTS. */
+  def handleScriptDdl(sql: String): Boolean =
+    parseCreateScript(sql) match {
+      case Some(cs) =>
+        if (!cs.replace && ScriptRegistry.lookup(cs.name).isDefined)
+          throw new IllegalArgumentException(
+            s"script ${cs.name} already exists (use CREATE OR REPLACE)")
+        ScriptRegistry.register(cs.name, ScriptRegistry.Script(scriptSteps(cs)))
+        true
+      case None => sql match {
+        case DropScriptRe(ifExists, name) =>
+          if (ScriptRegistry.lookup(name).isEmpty && ifExists == null)
+            throw new IllegalArgumentException(
+              s"script $name does not exist")
+          ScriptRegistry.drop(name)
+          true
+        case _ => false
+      }
+    }
+
   // --------------------------------------------------------------- QUALIFY
 
   private val QualifyKwRe = "(?i)\\bqualify\\b".r
@@ -1006,6 +1106,77 @@ object SqlCompat {
       s"SELECT * EXCEPT (__graft_q) FROM (SELECT $selectList, ($pred) AS __graft_q $mid) WHERE __graft_q $tail"
         .trim
     }
+  }
+
+  // ---------------------------------------------------------------- ROWNUM
+
+  private val RownumConjunctRe =
+    "(?is)(?:(\\s+and\\s+)rownum|\\brownum)\\s*(<=|<|=)\\s*(\\d+)(\\s+and\\s+)?".r
+  private val GroupHavingKwRe = "(?i)\\b(group\\s+by|having|qualify)\\b".r
+  private val OrKwRe = "(?i)\\bor\\b".r
+
+  /** Oracle-compat `ROWNUM` filter (Exasol accepts it for migrated ETL;
+    * VERDICT r10 #7) — the dominant `WHERE ROWNUM <= n` form and its
+    * `<` / `= 1` variants, as a top-level WHERE conjunct:
+    *
+    *   - no top-level ORDER BY → drop the conjunct, append `LIMIT n`;
+    *   - with ORDER BY → the host evaluates ROWNUM BEFORE the sort, so
+    *     the limit wraps an inner subquery and the ORDER BY moves
+    *     outside (`SELECT * FROM (… LIMIT n) __graft_rn ORDER BY …`) —
+    *     ORDER BY must reference projected columns in this form;
+    *   - `= n` for n ≥ 2 can never hold (ROWNUM only advances on
+    *     accepted rows) → `LIMIT 0`, like the host's empty result.
+    *
+    * Conservatively untouched (returns None → host-style error surfaces
+    * or the plain statement runs): OR'd conjuncts, an existing LIMIT,
+    * subquery/select-list ROWNUM uses. */
+  def translateRownum(sql: String): Option[String] = {
+    val masked = maskNonTopLevel(sql)
+    if (SelectHeadRe.findFirstIn(masked).isEmpty) return None
+    val end = bodyEnd(sql)
+    if (LimitKwRe.findFirstIn(masked.substring(0, end)).isDefined) return None
+    val whereKw = WhereRe.findFirstMatchIn(masked).getOrElse(return None)
+    val whereEnd = Seq(
+      GroupHavingKwRe.findFirstMatchIn(masked.substring(whereKw.end))
+        .map(whereKw.end + _.start),
+      OrderByKwRe.findFirstMatchIn(masked.substring(whereKw.end))
+        .map(whereKw.end + _.start))
+      .flatten.minOption.getOrElse(end)
+    val whereBody = masked.substring(whereKw.end, whereEnd)
+    val m = RownumConjunctRe.findFirstMatchIn(whereBody).getOrElse(return None)
+    if (OrKwRe.findFirstIn(whereBody).isDefined) return None
+    val nRaw = m.group(3).toLong
+    val n = m.group(2) match {
+      case "<=" => nRaw
+      case "<" => math.max(0L, nRaw - 1)
+      case "=" => if (nRaw == 1L) 1L else 0L
+    }
+    // Excise the conjunct (with ONE adjoining AND connector) from the
+    // original; drop the whole WHERE clause if nothing else remains.
+    val (cutStart, cutEnd) =
+      if (m.group(1) != null) (whereKw.end + m.start, whereKw.end + m.end(3))
+      else (whereKw.end + m.start,
+        whereKw.end + (if (m.group(4) != null) m.end(4) else m.end(3)))
+    val restOfWhere =
+      (sql.substring(whereKw.end, cutStart) + sql.substring(cutEnd, whereEnd))
+        .trim
+    val beforeWhere = sql.substring(0, whereKw.start)
+    val afterWhere = sql.substring(whereEnd, end)
+    val core =
+      (if (restOfWhere.isEmpty) beforeWhere.replaceAll("\\s+$", "")
+       else s"${beforeWhere}WHERE $restOfWhere") + " " + afterWhere.trim
+    val orderBy = OrderByKwRe.findFirstMatchIn(masked.substring(whereKw.end))
+      .map(whereKw.end + _.start)
+    Some(orderBy match {
+      case Some(ob) =>
+        val inner =
+          (if (restOfWhere.isEmpty) beforeWhere.replaceAll("\\s+$", "")
+           else s"${beforeWhere}WHERE $restOfWhere") + " " +
+            sql.substring(whereEnd, ob).trim
+        val obClause = sql.substring(ob, end).trim
+        s"SELECT * FROM (${inner.trim} LIMIT $n) __graft_rn $obClause"
+      case None => s"${core.trim} LIMIT $n"
+    })
   }
 
   // ------------------------------------------------------------- ASOF JOIN

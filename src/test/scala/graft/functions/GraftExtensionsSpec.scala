@@ -148,6 +148,28 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getString(6) == r.getString(7))
   }
 
+  test("r11 scalar sweep: REGEXP_SUBSTR / INITCAP / DECODE / LOCATE / CHR " +
+      "pass through natively with Exasol semantics (no alias needed)") {
+    GraftExtensions.register(spark)
+    val w = graft.wrapper.QueryWrapper(spark)
+    val (ok, res) = w.query(
+      """SELECT regexp_substr('order-4711-x', '[0-9]+') AS rs,
+        |       regexp_instr('ab123', '[0-9]') AS ri,
+        |       initcap('hello spark world') AS ic,
+        |       decode(2, 1, 'one', 2, 'two', 'other') AS dc,
+        |       locate('b', 'abcabc', 3) AS lc,
+        |       chr(65) AS ch""".stripMargin)
+    assert(ok, res.errorMessage)
+    val r = res.rows.head
+    assert(r.getString(0) == "4711")
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "Hello Spark World")
+    assert(r.getString(3) == "two") // Oracle/Exasol DECODE form, not
+    // the charset decode — Spark's builtin handles both by arity
+    assert(r.getInt(4) == 5)
+    assert(r.getString(5) == "A")
+  }
+
   test("cologne_phonetic survives codegen over a column (not just literals)") {
     GraftExtensions.register(spark)
     val sql = spark

@@ -120,6 +120,84 @@ class ExecuteScriptSpec extends AnyFunSuite with SparkTestBase {
     } finally ScriptRegistry.drop("litcheck")
   }
 
+  test("CREATE SCRIPT then EXECUTE SCRIPT works from SQL text alone — no " +
+      "Scala registration (VERDICT r10 #4)") {
+    val dir = Files.createTempDirectory("create_script").toString
+    val store = new LogStore(spark, dir, clock)
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("cs_region")
+    try {
+      val w = QueryWrapper(spark, Some(store), "ddl_outer", clock)
+      // Parameterized two-step SQL body; the trailing EXAplus `/` line
+      // and RETURNS TABLE clause are accepted like the host engine's
+      // own install DDL (query_wrapper.sql:22).
+      val (okC, _) = w.query(
+        """CREATE SCRIPT etl.count_regions (minkey) RETURNS TABLE AS
+          |  SELECT count(*) AS cnt FROM cs_region
+          |  WHERE r_regionkey >= :MINKEY;
+          |  SELECT max(r_regionkey) FROM cs_region
+          |/""".stripMargin)
+      assert(okC)
+      val (okE, res) = w.query("EXECUTE SCRIPT etl.count_regions(2)")
+      assert(okE, res.error)
+      val msgs = res.dataFrame.get.collect().map(_.getString(3))
+      assert(msgs.exists(_ == "Entering function bind_params"))
+      assert(msgs.exists(_ == "Entering function step_1"))
+      assert(msgs.exists(_ == "Entering function step_2"))
+      assert(store.jobLog.collect().exists(r =>
+        r.getString(1) == "etl.count_regions" &&
+          r.getString(2) == "FINISHED SUCCESSFULLY"))
+      // wrong arity raises the clear parameter-count error
+      w.onError = "continue"
+      val (okA, resA) = w.query("EXECUTE SCRIPT etl.count_regions(1, 2)")
+      assert(!okA)
+      assert(resA.errorMessage.contains("expects 1 argument"),
+        resA.errorMessage)
+      // CREATE without OR REPLACE on an existing name raises; OR REPLACE
+      // replaces (new body visible on the next execute)
+      val (okDup, resDup) = w.query(
+        "CREATE SCRIPT etl.count_regions AS SELECT 1")
+      assert(!okDup)
+      assert(resDup.errorMessage.contains("already exists"),
+        resDup.errorMessage)
+      val (okRep, _) = w.query(
+        "CREATE OR REPLACE SCRIPT etl.count_regions () AS " +
+          "SELECT 41 + 1 AS answer")
+      assert(okRep)
+      val (okE2, res2) = w.query("EXECUTE SCRIPT etl.count_regions()")
+      assert(okE2)
+      assert(res2.dataFrame.get.collect()
+        .exists(_.getString(3) == "Entering function step_1"))
+      // DROP SCRIPT removes it; the next EXECUTE falls through to the
+      // host-style unregistered error; IF EXISTS tolerates the gone name
+      val (okD, _) = w.query("DROP SCRIPT etl.count_regions")
+      assert(okD)
+      val (okGone, _) = w.query("EXECUTE SCRIPT etl.count_regions()")
+      assert(!okGone)
+      val (okIfEx, _) = w.query("DROP SCRIPT IF EXISTS etl.count_regions")
+      assert(okIfEx)
+      val (okDropMissing, resDM) = w.query("DROP SCRIPT never.there")
+      assert(!okDropMissing)
+      assert(resDM.errorMessage.contains("does not exist"))
+    } finally ScriptRegistry.drop("etl.count_regions")
+  }
+
+  test("a CREATE LUA SCRIPT body is catalogued but raises the clear " +
+      "not-executable error on EXECUTE") {
+    try {
+      val w = QueryWrapper(spark, None, "lua_outer", clock)
+      w.onError = "continue"
+      val (okC, _) = w.query(
+        """CREATE OR REPLACE LUA SCRIPT legacy.wrapper () RETURNS TABLE AS
+          |  function run() return 1 end
+          |/""".stripMargin)
+      assert(okC)
+      val (okE, res) = w.query("EXECUTE SCRIPT legacy.wrapper()")
+      assert(!okE)
+      assert(res.errorMessage.contains("Lua body"), res.errorMessage)
+    } finally ScriptRegistry.drop("legacy.wrapper")
+  }
+
   test("a failing script step closes ITS job WITH ERROR and fails the " +
       "statement under the outer wrapper's error policy") {
     val dir = Files.createTempDirectory("exec_script_err").toString
