@@ -22,6 +22,21 @@ final case class IvfAppendStats(
   * (≤ queries × nProbe cell ids) — driver-side by design. */
 object IvfIndex {
 
+  /** Cell-count sizing for a corpus of `corpusSize` vectors: ≈ √N
+    * (classic IVF balance — cell size and cell count both ≈ √N, so a
+    * probe reads √N·nProbe candidates), floored at the historical
+    * default 16. This is also [[batchQuery]]'s PARALLELISM contract:
+    * its posting⋈probe shuffle keys on `cell` alone, so reducer
+    * parallelism is bounded by the number of non-empty cells — an index
+    * built with the small-corpus default and then batch-queried at
+    * 100 TB would bottleneck on 16 reducers no matter the cluster
+    * size. Size nCells with the corpus (spec-pinned in IvfIndexSpec);
+    * the per-cell work then shrinks as 1/√N per reducer while the cell
+    * count supplies the scale-out. */
+  def recommendedCells(corpusSize: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(math.max(0L, corpusSize)
+      .toDouble)).toLong).min(Int.MaxValue.toLong).toInt
+
   def build(spark: SparkSession, emb: DataFrame, path: String,
       nCells: Int = 16, iters: Int = 2): Unit = {
     val centroids = SimilarityOps.kmeansCentroids(emb, nCells, iters)
@@ -105,7 +120,11 @@ object IvfIndex {
     *     join: both sides scale out, per-reducer work is bounded by
     *     cell size × probes landing in that cell, and per-query work
     *     by its nProbe cells — never all-pairs (candidate volume is
-    *     N·k after the heap, N·|cell|·nProbe/nCells during scoring);
+    *     N·k after the heap, N·|cell|·nProbe/nCells during scoring).
+    *     Reducer parallelism is bounded by the number of non-empty
+    *     cells — build the index with [[recommendedCells]] (≈ √N) so
+    *     this join scales out with the corpus, not with the
+    *     small-corpus default of 16;
     *  3. the per-query top-k is the same map-side-combinable
     *     `collectTopK` heap as q164/q166.
     *

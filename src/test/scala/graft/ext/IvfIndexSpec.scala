@@ -35,6 +35,33 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       s"expected a cell partition filter in:\n$plan")
   }
 
+  test("cell-count scaling contract: recommendedCells is ~sqrt(N) with the " +
+      "16 floor, and batchQuery's shuffle-key domain tracks nCells") {
+    // sizing shape (the 100 TB story: parallelism must grow with the corpus)
+    assert(IvfIndex.recommendedCells(0L) == 16)
+    assert(IvfIndex.recommendedCells(100L) == 16)
+    assert(IvfIndex.recommendedCells(1000000L) == 1000)
+    assert(IvfIndex.recommendedCells(100000000L) == 10000)
+    assert(IvfIndex.recommendedCells(10000000000L) == 100000)
+    // batchQuery reducers are bounded by non-empty cells (the join keys
+    // on `cell` alone): two indexes over the SAME corpus must expose a
+    // shuffle-key domain that grows with nCells — the executable form of
+    // "size nCells with the corpus, or the join can't scale out".
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def nonEmptyCells(nCells: Int): Long = {
+      val dir = Files.createTempDirectory(s"ivf_cells_$nCells")
+        .toString + "/idx"
+      IvfIndex.build(spark, emb, dir, nCells = nCells, iters = 2)
+      spark.read.parquet(s"$dir/cells").select("cell").distinct().count()
+    }
+    val small = nonEmptyCells(4)
+    val large = nonEmptyCells(16)
+    assert(small <= 4 && large <= 16)
+    assert(large > small,
+      s"shuffle-key domain must track nCells: nCells=4 -> $small cells, " +
+        s"nCells=16 -> $large cells")
+  }
+
   test("recall against brute force grows monotonically with nProbe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dir = Files.createTempDirectory("ivf3").toString + "/idx"

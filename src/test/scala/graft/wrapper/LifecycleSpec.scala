@@ -162,4 +162,33 @@ class LifecycleSpec extends AnyFunSuite with SparkTestBase {
     assert(counts.map(r => r.getLong(5)).sorted.toSeq == Seq(5L, 25L, 150L))
     assert(msgs.exists(_.getString(4) == "counted 180 rows total"))
   }
+
+  test("close() on a LARGE job_log updates exactly the target run without " +
+      "a driver collect (r11: distributed runId-conditional rewrite)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("large_log").toString
+    val clock: () => java.time.Instant =
+      () => java.time.Instant.parse("2026-03-04T05:06:07Z")
+    val store = new LogStore(spark, dir, clock)
+    // Seed a years-of-history-sized job_log directly (register() would
+    // append one file per run); run_ids 1..10000, all RUNNING.
+    val t0 = Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    spark.range(1, 10001)
+      .select(col("id").as("run_id"), lit("old_job").as("script_name"),
+        lit("RUNNING").as("status"), lit(t0).as("start_time"),
+        lit(null).cast("timestamp").as("end_time"))
+      .write.mode("overwrite").parquet(store.jobLogPath)
+    store.close(4711L, "FINISHED SUCCESSFULLY")
+    val after = store.jobLog.cache()
+    assert(after.count() == 10000L)
+    val hit = after.filter(col("run_id") === 4711L).head()
+    assert(hit.getString(2) == "FINISHED SUCCESSFULLY")
+    assert(hit.getTimestamp(4) == Timestamp.from(clock()))
+    // every other row untouched (status AND end_time)
+    assert(after.filter(col("run_id") =!= 4711L)
+      .filter(col("status") =!= "RUNNING" || col("end_time").isNotNull)
+      .count() == 0L)
+    after.unpersist()
+  }
 }
