@@ -56,11 +56,28 @@ object Bench {
       .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (pass <- 1 to 2; (name, fn) <- names) {
+    // SPARK_GRAFT_VERBOSE=1: per-query progress + failure lines on stderr
+    // (diagnosing a long/failed run without re-running it query-by-query;
+    // stderr so the stdout JSON protocol is untouched).
+    val verbose = sys.env.get("SPARK_GRAFT_VERBOSE").contains("1")
+    // SPARK_GRAFT_PASSES (default 2): the driver's invocation keeps the
+    // full 1-warmup + 2×2-run discipline; heavy cross-scale sweeps (the
+    // sf1-derived subset, where single queries run minutes) set 1 pass —
+    // still a MIN of two timed runs, documented as lighter in the
+    // artifact that records them.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    for (pass <- 1 to passes; (name, fn) <- names) {
       try {
+        if (verbose) System.err.println(s"[bench] pass $pass start $name")
         if (pass == 1) once(fn) // warmup
         samples(name) = once(fn) :: once(fn) :: samples(name)
-      } catch { case _: Throwable => () }
+        if (verbose) System.err.println(
+          s"[bench] pass $pass done  $name ${samples(name).take(2).map(fmt).mkString(",")}")
+      } catch { case e: Throwable =>
+        if (verbose) System.err.println(
+          s"[bench] pass $pass FAIL  $name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200))
+      }
     }
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -71,9 +71,13 @@ object SamplingOps {
       k: Int, salt: Long = 0L): DataFrame = {
     require(k >= 1)
     // Knuth-LCG uniform in (0,1): strictly inside the open interval so
-    // pow() never sees 0 or 1.
-    val u = (pmod((col(idCol).cast("long") + salt) * 2654435761L,
-      lit(2147483647L)).cast("double") + 0.5d) / 2147483648.0d
+    // pow() never sees 0 or 1. The id pre-reduces mod 2^31-1 BEFORE the
+    // multiply — (a mod m)·k ≡ a·k (mod m), and the reduced product
+    // stays < 2^63, so ANSI-mode overflow can't fire at large-id scale
+    // (same fix as SplitOps.knuthMod32; results identical wherever the
+    // naive product fit).
+    val u = (pmod(pmod(col(idCol).cast("long") + salt, lit(2147483647L))
+      * 2654435761L, lit(2147483647L)).cast("double") + 0.5d) / 2147483648.0d
     df.withColumn("__key", pow(u, lit(1.0d) / col(weightCol).cast("double")))
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)
@@ -170,8 +174,7 @@ object SamplingOps {
     val keyed = docs
       // The raw Fibonacci hash (SplitOps' constant, before its %100):
       // full 32-bit spread for a stable, engine-exact shuffle order.
-      .withColumn("__ord",
-        pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("__ord", SplitOps.knuthMod32(col(idCol).cast("long")))
       .withColumn("n_toks", size(TextOps.tokens(col(textCol))))
     ShardOps.withGroupPrefix(keyed, sourceCol,
         Seq(col("__ord"), col(idCol)), valueCol = Some("n_toks"),
@@ -196,8 +199,7 @@ object SamplingOps {
       batchSize: Long): DataFrame = {
     require(epoch >= 0 && batchSize >= 1)
     val keyed = df.withColumn("__ord",
-      pmod((col(idCol).cast("long") + epoch) * lit(SplitOps.Knuth),
-        lit(SplitOps.Mod)))
+      SplitOps.knuthMod32(col(idCol).cast("long") + epoch))
     ShardOps.withGlobalRank(keyed, Seq(col("__ord"), col(idCol)))
       .withColumn("ord_idx", col("__rn"))
       // `div`, not `/` (which is DOUBLE division in Spark SQL): batch ids

@@ -23,9 +23,29 @@ object SplitOps {
   private[ext] val Knuth = 2654435761L
   private[ext] val Mod = 4294967296L // 2^32
 
+  /** `(x · Knuth) mod 2^32` computed WITHOUT 64-bit overflow: the bare
+    * product exceeds Long.MaxValue once x ≥ ~3.5·10⁹, which ANSI mode
+    * (Spark 4's default) turns into a task-failing ARITHMETIC_OVERFLOW —
+    * ids at trillion-row corpus scale cross that line (found live on the
+    * r11 sf1-derived bench, where shifted ids sit at ~9·10⁹). The low 32
+    * bits split into 16-bit halves; every intermediate stays < 2⁴⁹, and
+    * modular arithmetic makes the result IDENTICAL to the naive formula
+    * wherever that one doesn't overflow — existing oracles and the
+    * bit-identity contract are untouched. Same decomposition an oracle
+    * SQL can spell when its engine needs it (DuckDB BIGINT also traps
+    * overflow); fixture-scale ids never overflow there, so the committed
+    * oracles keep the naive spelling. */
+  private[ext] def knuthMod32(x: Column): Column = {
+    val lo = pmod(x, lit(Mod))
+    val hi16 = shiftright(lo, 16)
+    val lo16 = lo.bitwiseAND(lit(65535L))
+    pmod(pmod(hi16 * lit(Knuth), lit(Mod)) * lit(65536L) + lo16 * lit(Knuth),
+      lit(Mod))
+  }
+
   /** Uniform 0–99 bucket from a non-negative integer id. */
   def bucket(id: Column): Column =
-    pmod(id.cast("long") * lit(Knuth), lit(Mod)) % 100
+    knuthMod32(id.cast("long")) % 100
 
   /** Adds a `split` column ∈ {train, val, test} with the given percentage
     * cuts (defaults 90/5/5). Buckets, not rows, are split — exact

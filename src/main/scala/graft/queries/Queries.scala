@@ -1416,7 +1416,7 @@ object Queries {
       .foldLeft(d.hashCode.toLong)(_ ^ _)
     ivfCache.computeIfAbsent(s"$d#$fingerprint", _ => {
       val dir = System.getProperty("java.io.tmpdir") +
-        s"/graft_ivf_v1_${java.lang.Long.toHexString(fingerprint)}"
+        s"/graft_ivf_v2_${java.lang.Long.toHexString(fingerprint)}"
       // The _SUCCESS check and the build target must resolve through the
       // SAME filesystem: IvfIndex.build writes this scheme-less path via
       // the default Hadoop FS, which on a cluster is not file:// — a
@@ -1424,9 +1424,18 @@ object Queries {
       // rebuild guard misfires (r3 ADVICE).
       val marker = new org.apache.hadoop.fs.Path(s"$dir/cells/_SUCCESS")
       val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!mfs.exists(marker))
-        graft.ext.IvfIndex.build(s, t(s, d, "embeddings"), dir,
-          nCells = 16, iters = 2)
+      if (!mfs.exists(marker)) {
+        // Cell-count scaling contract (r11): the fixture scales keep the
+        // spec-pinned 16; beyond 10k vectors the index adopts
+        // recommendedCells (≈ √N) so batchQuery's cell-keyed shuffle —
+        // whose reducer parallelism is bounded by the cell count — and
+        // the per-cell probe cost both scale with the corpus.
+        val emb = t(s, d, "embeddings")
+        val n = emb.count()
+        val cells =
+          if (n <= 10000L) 16 else graft.ext.IvfIndex.recommendedCells(n)
+        graft.ext.IvfIndex.build(s, emb, dir, nCells = cells, iters = 2)
+      }
       dir
     })
   }
