@@ -146,27 +146,43 @@ object ProfileOps {
 
   /** Per-group Pearson correlation of two INTEGRAL columns, engine-exact:
     * the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) aggregate as
-    * BIGINTs — exact, order-independent — and only the FINAL expression
+    * exact integers — order-independent — and only the FINAL expression
     * `num / (sqrt(varx) · sqrt(vary))` runs in floating point, identically
     * associated on both engines, then floors to 6dp. (Spark's own `corr`
     * and DuckDB's aggregate doubles in stream order — not reproducible
     * across partitionings, let alone engines.) The two variances stay as
-    * SEPARATE sqrt factors: their BIGINT product could overflow where each
-    * factor (≤ n·Σv², ~1e13 at 5k rows of 3-digit values) is exact in
-    * both BIGINT and double.
+    * SEPARATE sqrt factors: their product could overflow where each
+    * factor (≤ n·Σv²) is exact.
+    *
+    * Overflow contract (r11): the product sums (Σxy, Σx², Σy²) and every
+    * n·Σ − Σ·Σ combination run in DECIMAL(38,0) — the r11 sf1-derived
+    * bench caught q177's n·Σx² crossing 2⁶³ at ~10M edges (n≈1e7 ×
+    * Σx²≈2.5e12), an ANSI task abort at exactly the scale this library
+    * targets. DECIMAL(38,0) lifts the exact bound to ~1e38 (n·Σv² with
+    * trillion-row groups of million-sized values ≈ 1e36 still fits);
+    * DECIMAL(38,0)→DOUBLE and BIGINT→DOUBLE are both correctly-rounded
+    * conversions of the same integer, so results — and the DuckDB
+    * oracles, whose BIGINT spelling never overflows at fixture scale
+    * (their HUGEINT sums widen the same way) — are bit-unchanged
+    * wherever the old BIGINT path didn't overflow.
     *
     * Shape: ONE hash aggregate (map-side partial) + a #groups-row
     * projection. Zero-variance groups yield NULL (0/0), the SQL
     * convention. Output: (`groupCol`, n, corr_r) ordered by the group. */
   def groupedCorr(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
-    val (x, y) = (col(xCol).cast("long"), col(yCol).cast("long"))
+    val (x, y) = (col(xCol).cast("decimal(19,0)"), col(yCol).cast("decimal(19,0)"))
+    val dec = "decimal(38,0)"
     val agg = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      .agg(count(lit(1)).as("n"), sum(x).cast(dec).as("sx"),
+        sum(y).cast(dec).as("sy"),
+        sum((x * y).cast(dec)).cast(dec).as("sxy"),
+        sum((x * x).cast(dec)).cast(dec).as("sxx"),
+        sum((y * y).cast(dec)).cast(dec).as("syy"))
+    val nD = col("n").cast(dec)
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
     agg.withColumn("corr_r",
         when(vx === 0 || vy === 0, lit(null).cast("double"))
           .otherwise(floor(num / (sqrt(vx) * sqrt(vy)) * 1000000) / 1000000))
@@ -177,8 +193,9 @@ object ProfileOps {
   /** Per-group ordinary-least-squares fit `y = a + b·x` from EXACT integer
     * sufficient statistics (the [[groupedCorr]] discipline): slope
     * `b = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`, intercept
-    * `a = (Σy − b·Σx) / n` — BIGINT sums shuffle (order-independent,
-    * exact while n·Σ stays under 2^63, same bound as groupedCorr), then
+    * `a = (Σy − b·Σx) / n` — exact integer sums shuffle (DECIMAL(38,0)
+    * products, the r11 groupedCorr overflow contract — exact to ~1e38),
+    * then
     * ONE shared double expression per output, floored to 6dp. Both
     * engines run the identical IEEE sequence, so the fit hash-compares —
     * native `regr_slope` aggregates doubles in stream order and is
@@ -187,12 +204,16 @@ object ProfileOps {
     * 100 TB cost is one shuffle of six longs per group. */
   def groupedOls(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
-    val (x, y) = (col(xCol).cast("long"), col(yCol).cast("long"))
+    val (x, y) = (col(xCol).cast("decimal(19,0)"), col(yCol).cast("decimal(19,0)"))
+    val dec = "decimal(38,0)"
     val agg = df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      .agg(count(lit(1)).as("n"), sum(x).cast(dec).as("sx"),
+        sum(y).cast(dec).as("sy"),
+        sum((x * y).cast(dec)).cast(dec).as("sxy"),
+        sum((x * x).cast(dec)).cast(dec).as("sxx"))
+    val nD = col("n").cast(dec)
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
     val b = num / den // raw double slope feeds the intercept, THEN floor
     agg
       .withColumn("slope",
