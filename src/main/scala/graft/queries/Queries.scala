@@ -4778,7 +4778,12 @@ object Queries {
     counts.join(broadcast(bounds), Seq("g"))
       .withColumn("cv", greatest(col("lo"), least(col("hi"), col("v"))))
       .groupBy(col("g"), col("n"), col("lo"), col("hi"))
-      .agg(sum(col("cv") * col("c")).as("wsum"))
+      // DECIMAL(38,0) product sum (the r11 groupedCorr overflow
+      // contract): Σ(cv·c)·1000 in BIGINT crosses 2⁶³ once
+      // value·rows ≈ 1e16 — value-identical below that, and `div`
+      // (IntegralDivide) still yields BIGINT, so oracles are untouched.
+      .agg(sum((col("cv").cast("decimal(19,0)") * col("c"))
+        .cast("decimal(38,0)")).as("wsum"))
       .withColumn("wmean_milli", expr("wsum * 1000 div n"))
       .select(col("g"), col("n"), col("lo"), col("hi"),
         col("wmean_milli"))
@@ -6122,9 +6127,13 @@ object Queries {
       .filter(col("nxt").isNotNull)
       .withColumn("dt", col("nxt") - col("tus"))
       .groupBy(col("user_id"))
+      // DECIMAL(38,0) product sum (the r11 groupedCorr overflow
+      // contract): a single centi-value × interval-micros term reaches
+      // 1e19 at years-long gaps — the operand widens BEFORE the
+      // multiply; IntegralDivide still yields BIGINT, oracle untouched.
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dt")).as("span_us"),
-        sum(col("vc") * col("dt")).as("wsum"))
+        sum(col("vc").cast("decimal(19,0)") * col("dt")).as("wsum"))
       .withColumn("twap_centi", expr("wsum div nullif(span_us, 0)"))
       .select(col("user_id"), col("n_intervals"), col("span_us"),
         col("twap_centi"))
@@ -6651,12 +6660,18 @@ object Queries {
         expr("date_trunc('minute', ts)").as("minute"))
       .agg(count(lit(1)).as("c"))
     perMin.groupBy(col("event_type"))
+      // n·Σc² − (Σc)² combines in DECIMAL(38,0) (the r11 groupedCorr
+      // overflow contract): both BIGINT products cross 2⁶³ near 1e5
+      // events/minute over years of minutes — value-identical below,
+      // correctly-rounded double either way, oracle untouched.
       .agg(count(lit(1)).as("n_minutes"),
         sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("scc"))
+        sum((col("c").cast("decimal(19,0)") * col("c"))
+          .cast("decimal(38,0)")).as("scc"))
       .filter(col("n_minutes") > 1)
       .withColumn("fano_micro", floor(
-        (col("n_minutes") * col("scc") - col("sc") * col("sc"))
+        (col("n_minutes").cast("decimal(38,0)") * col("scc")
+          - col("sc").cast("decimal(38,0)") * col("sc"))
           .cast("double")
           / ((col("n_minutes") - 1) * col("sc")).cast("double")
           * lit(1e6)))
