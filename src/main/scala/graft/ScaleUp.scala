@@ -37,6 +37,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  /** The derivation itself, session-injected (ScaleUpSpec pins the
+    * contract: per-copy FK closure, no cross-copy key collisions,
+    * payload perturbation). */
+  def derive(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
 
     def upscale(name: String, keyCols: Seq[String])(
         extra: DataFrame => DataFrame = identity): Unit = {
@@ -100,6 +109,5 @@ object ScaleUp {
         transform(col("embedding"),
           x => x + (col("__c") * lit(0.001)).cast("float")))
     }
-    spark.stop()
   }
 }
