@@ -342,6 +342,15 @@ object HashFunctions {
     Bridge.column(
       KmvDistinctAgg(Bridge.expression(hashed), k).toAggregateExpression())
 
+  /** The bottom-k KMV buffer evaluated as its SAMPLE (k smallest
+    * distinct hashes, ascending `array<bigint>`) instead of the
+    * estimate — see [[KmvSampleAgg]]: set operations and the
+    * exact-integer θ estimates then run as plain column arithmetic,
+    * which is what makes the q162 theta-overlap row DuckDB-rebuildable. */
+  def kmvSample(hashed: Column, k: Int = 1024): Column =
+    Bridge.column(
+      KmvSampleAgg(Bridge.expression(hashed), k).toAggregateExpression())
+
   /** Spark's internal bounded-priority-queue collect, exposed for
     * explicit grouped top-k: ONE hash aggregate with a k-item heap per
     * group (map-side combinable) — no per-group sort, no window, no

@@ -110,6 +110,69 @@ final case class KmvDistinctAgg(
     copy(child = newChild)
 }
 
+/** [[KmvDistinctAgg]]'s buffer evaluated as the SAMPLE instead of the
+  * estimate: the k smallest distinct hashes, ascending — the "theta
+  * sketch sample" a downstream set operation consumes (q162's pairwise
+  * corpus overlap: intersection/union counts below the common θ cutoff,
+  * then the exact-integer `n·2^60 div θ` estimate as plain column
+  * arithmetic). Evaluating to the sample keeps every SET OPERATION
+  * SQL-expressible — the aggregate only maintains bottom-k state, so a
+  * DuckDB oracle rebuilds the whole pipeline verbatim (`ORDER BY h
+  * LIMIT k` lists + LIST_INTERSECT/LIST_FILTER), unlike the
+  * DataSketches theta lane ([[ThetaSketchAgg]] — engine-private murmur
+  * re-hash + randomized resize), which stays the library engine for
+  * pre-serialized sketch stores. Same ≤k-long TreeSet buffer, same
+  * map-side-combinable merge, same NULL-skipping input contract. */
+final case class KmvSampleAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 16 && k <= (1 << 20), s"kmv_sample k out of range: $k")
+
+  private val inner = KmvDistinctAgg(child, k)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    inner.checkInputDataTypes()
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sample"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      row: InternalRow): java.util.TreeSet[java.lang.Long] =
+    inner.update(buf, row)
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    inner.merge(buf, other)
+
+  /** Ascending sorted sample (TreeSet iteration order). */
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSampleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSampleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): KmvSampleAgg =
+    copy(child = newChild)
+}
+
 object KmvDistinctAgg {
   private val Domain = BigInt(1) << 60
 

@@ -5850,18 +5850,34 @@ object Queries {
   // ------------------------------------------ q162 theta overlap
 
   /** Sketch-estimated corpus-overlap matrix — the q129 exact Jaccard
-    * re-expressed at the 100 TB scale path: one mergeable theta sketch
-    * per source over its bigram-shingle hashes
-    * ([[graft.functions.ThetaSketchAgg]]), then EVERY pairwise overlap
-    * is a driver-side set operation over kilobyte sketches
-    * (`theta_intersect_estimate`, the operation HLL cannot do) — the
-    * corpora are never re-joined. The pair join runs over #sources
-    * rows (broadcast nested loop by construction, never fact-sized).
-    * Estimates are sketch-specific (no DuckDB oracle); QueriesSpec
-    * pins each pair's Jaccard estimate against the exact shingle-set
-    * computation. */
+    * re-expressed at the 100 TB scale path: one mergeable bottom-k
+    * theta/KMV sample per source over its bigram-shingle hashes
+    * ([[graft.functions.KmvSampleAgg]] — k smallest distinct md5-60
+    * hashes, map-side-combinable ≤8 KiB state), then EVERY pairwise
+    * overlap is a set operation over kilobyte samples (the operation
+    * HLL cannot do) — the corpora are never re-joined, and the pair
+    * join runs over #sources rows (broadcast by construction, never
+    * fact-sized).
+    *
+    * Estimator (exact integer arithmetic throughout, the q17b KMV
+    * contract): per sketch θ = h_(k) (or 2^60 when the sample is the
+    * whole distinct set), retained = sample entries BELOW θ, estimate
+    * `|retained|·2^60 div θ` — which collapses to the exact distinct
+    * count below k and to the (k−1)-convention KMV estimate at k.
+    * Intersections evaluate at the COMMON θ' = min(θ_a, θ_b) (the
+    * standard theta intersection), and `jac_est` is the common-θ'
+    * ratio |A∩B<θ'| / |A∪B<θ'| — two exact integers, ONE double
+    * division, so the whole row is deterministic and DuckDB rebuilds
+    * it verbatim (bottom-k lists + LIST_INTERSECT/LIST_FILTER +
+    * HUGEINT division): a driver-hash oracle since r11, on top of the
+    * QueriesSpec pin against the exact shingle-set Jaccard. The
+    * DataSketches theta lane ([[graft.functions.ThetaSketchAgg]],
+    * ThetaSketchSpec) stays the library engine for pre-serialized
+    * sketch stores. */
   private def q162(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.SketchFunctions._
+    import graft.functions.HashFunctions.{kmvSample, md5Hash60}
+    val k = 1024
+    val domain = 1152921504606846976L // 2^60
     val docs = t(s, d, "documents")
     val sh = docs
       .select(col("source"),
@@ -5870,19 +5886,86 @@ object Queries {
       .select(col("source"),
         explode(graft.ext.DedupOps.shingles(col("w"), 2)).as("g"))
     val sks = sh.groupBy(col("source"))
-      .agg(thetaAgg(xxhash64(col("g"))).as("sk"))
-    val lhs = sks.select(col("source").as("src_a"), col("sk").as("ska"))
+      .agg(kmvSample(md5Hash60(col("g")), k).as("sk"))
+    def theta(c: Column): Column =
+      when(size(c) < k, lit(domain)).otherwise(element_at(c, k))
+    // |{h ∈ sample : h < th}| — samples arrive ascending and distinct
+    def below(c: Column, th: Column): Column =
+      size(filter(c, h => h < th)).cast("long")
+    // exact-integer KMV estimate n·2^60 div θ: the DECIMAL(38,0)
+    // product (≤ 22 digits at k=1024) through IntegralDivide → BIGINT
+    def est(n: String, th: String): Column =
+      expr(s"cast($n as decimal(38,0)) * ${domain}L div $th")
     val rhs = sks.select(col("source").as("src_b"), col("sk").as("skb"))
-    lhs.join(broadcast(rhs), col("src_a") < col("src_b"))
+    sks.select(col("source").as("src_a"), col("sk").as("ska"))
+      .join(broadcast(rhs), col("src_a") < col("src_b"))
+      .withColumn("tha", theta(col("ska")))
+      .withColumn("thb", theta(col("skb")))
+      .withColumn("th", least(col("tha"), col("thb")))
+      .withColumn("na", below(col("ska"), col("tha")))
+      .withColumn("nb", below(col("skb"), col("thb")))
+      .withColumn("n_shared",
+        below(array_intersect(col("ska"), col("skb")), col("th")))
+      .withColumn("n_union",
+        below(array_union(col("ska"), col("skb")), col("th")))
       .select(col("src_a"), col("src_b"),
-        thetaEstimate(col("ska")).as("est_a"),
-        thetaEstimate(col("skb")).as("est_b"),
-        thetaIntersectEstimate(col("ska"), col("skb")).as("est_shared"))
-      .withColumn("jac_est",
-        col("est_shared")
-          / (col("est_a") + col("est_b") - col("est_shared")))
+        est("na", "tha").as("est_a"),
+        est("nb", "thb").as("est_b"),
+        est("n_shared", "th").as("est_shared"),
+        (col("n_shared").cast("double") / col("n_union").cast("double"))
+          .as("jac_est"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** DuckDB rebuild of the KMV-theta overlap pipeline: per-source
+    * bottom-k distinct md5-60 bigram hashes as ascending lists, θ
+    * cutoffs, common-θ set operations, exact HUGEINT estimates. */
+  private val q162Sql =
+    """WITH toks AS (
+      |  SELECT source,
+      |         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                     t -> LEN(t) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+      |                               i -> w[i] || ' ' || w[i + 1])) AS g
+      |  FROM toks WHERE LEN(w) >= 2),
+      |h AS (SELECT DISTINCT source,
+      |             CAST('0x' || SUBSTR(MD5(g), 1, 15) AS BIGINT) AS h
+      |      FROM sh),
+      |rk AS (SELECT source, h,
+      |              ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |       FROM h),
+      |sk AS (SELECT source, LIST(h ORDER BY h) AS sk,
+      |              CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM rk WHERE rn <= 1024 GROUP BY source),
+      |th AS (SELECT source, sk,
+      |              CASE WHEN n < 1024
+      |                   THEN CAST(1152921504606846976 AS BIGINT)
+      |                   ELSE sk[1024] END AS th
+      |       FROM sk),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         a.th AS tha, b.th AS thb, LEAST(a.th, b.th) AS th,
+      |         CAST(LEN(LIST_FILTER(a.sk, x -> x < a.th)) AS BIGINT) AS na,
+      |         CAST(LEN(LIST_FILTER(b.sk, x -> x < b.th)) AS BIGINT) AS nb,
+      |         CAST(LEN(LIST_FILTER(LIST_INTERSECT(a.sk, b.sk),
+      |                              x -> x < LEAST(a.th, b.th)))
+      |              AS BIGINT) AS n_shared,
+      |         CAST(LEN(LIST_FILTER(LIST_DISTINCT(LIST_CONCAT(a.sk, b.sk)),
+      |                              x -> x < LEAST(a.th, b.th)))
+      |              AS BIGINT) AS n_union
+      |  FROM th a JOIN th b ON a.source < b.source)
+      |SELECT src_a, src_b,
+      |       CAST(CAST(na AS HUGEINT) * 1152921504606846976 // tha
+      |            AS BIGINT) AS est_a,
+      |       CAST(CAST(nb AS HUGEINT) * 1152921504606846976 // thb
+      |            AS BIGINT) AS est_b,
+      |       CAST(CAST(n_shared AS HUGEINT) * 1152921504606846976 // th
+      |            AS BIGINT) AS est_shared,
+      |       CAST(n_shared AS DOUBLE) / CAST(n_union AS DOUBLE) AS jac_est
+      |FROM pr ORDER BY src_a, src_b""".stripMargin
 
   // ------------------------------------------ q163 bloom-pruned join
 
@@ -7369,7 +7452,7 @@ object Queries {
     QueryDef("q159_hll_incremental", q159, None),
     QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
     QueryDef("q161_quantile_sketch", q161, Some(q161Sql)),
-    QueryDef("q162_theta_overlap", q162, None),
+    QueryDef("q162_theta_overlap", q162, Some(q162Sql)),
     QueryDef("q163_bloom_prune", q163, Some(q163Sql)),
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),
     QueryDef("q165_personalized_pr", q165, Some(q165Sql)),
