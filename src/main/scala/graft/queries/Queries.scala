@@ -5703,23 +5703,74 @@ object Queries {
 
   // ------------------------------------------ q159 HLL sketch rollup
 
-  /** Incremental distinct-user counting via DataSketches HLL — the
-    * 100 TB pattern for "distinct users per segment, updated daily":
-    * one mergeable sketch per (event_type, day) partial (map-side
-    * combinable, byte-bounded), then a union-aggregate per event_type
-    * and a single estimate. Re-aggregating history rescans NOTHING —
-    * only sketches merge. Estimates are engine-specific (no DuckDB
-    * oracle); QueriesSpec pins the union estimate to the exact distinct
-    * within 5% and to the direct single-pass sketch exactly. */
+  /** Incremental distinct-user counting via mergeable bottom-k
+    * KMV/theta samples — the 100 TB pattern for "distinct users per
+    * segment, updated daily": one ≤8 KiB sample per (event_type, day)
+    * partial (map-side combinable — [[graft.functions.KmvSampleAgg]]
+    * over portable md5-60 hashes), then partials MERGE per event_type
+    * (bottom-k of the union of bottom-k samples IS the bottom-k of the
+    * union — re-aggregating history rescans NOTHING) and one
+    * exact-integer estimate `|{h<θ}|·2^60 div θ` (EXACT below k=1024,
+    * ~3% relative error above — the q17b/q162 KMV contract, so the row
+    * is hash-matched against a staged DuckDB rebuild since r11;
+    * the historical `hll` in the query key names the LANE this row
+    * held r9–r10). Spark's native DataSketches HLL spellings
+    * (`hll_sketch_agg`/`hll_union_agg`/`hll_sketch_estimate`) remain
+    * the library engine for pre-serialized sketch stores — QueriesSpec
+    * still pins their daily-partial union to the one-pass sketch
+    * exactly, plus the 5%-of-exact envelope on this row. */
   private def q159(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions.{kmvSample, md5Hash60}
+    val k = 1024
+    val domain = 1152921504606846976L // 2^60
     val daily = t(s, d, "events")
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-    daily.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days"),
-        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      .agg(kmvSample(md5Hash60(col("user_id")), k).as("sk"))
+    daily
+      .select(col("event_type"), col("day"), explode(col("sk")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_days"),
+        kmvSample(col("h"), k).as("sk"))
+      .withColumn("th",
+        when(size(col("sk")) < k, lit(domain)).otherwise(element_at(col("sk"), k)))
+      .withColumn("nb", size(filter(col("sk"), h => h < col("th"))).cast("long"))
+      .select(col("event_type"), col("n_days"),
+        expr(s"cast(nb as decimal(38,0)) * ${domain}L div th").as("est_users"))
       .orderBy(col("event_type"))
   }
+
+  /** DuckDB rebuild of the incremental KMV rollup: per-(type, day)
+    * bottom-k distinct md5-60 partials, merged per type as the
+    * bottom-k of their union, exact HUGEINT estimate. */
+  private val q159Sql =
+    """WITH dh AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+      |         CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+      |              AS BIGINT) AS h
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, h FROM (
+      |    SELECT event_type, day, h,
+      |           ROW_NUMBER() OVER (PARTITION BY event_type, day
+      |                              ORDER BY h) AS rn
+      |    FROM dh) WHERE rn <= 1024),
+      |u AS (SELECT DISTINCT event_type, h FROM daily),
+      |m AS (SELECT event_type, h,
+      |             ROW_NUMBER() OVER (PARTITION BY event_type
+      |                                ORDER BY h) AS rn
+      |      FROM u),
+      |st AS (SELECT event_type,
+      |              COUNT(*) FILTER (WHERE rn <= 1024) AS n_in,
+      |              MAX(CASE WHEN rn = 1024 THEN h END) AS hk
+      |       FROM m GROUP BY event_type),
+      |nd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      |       FROM dh GROUP BY event_type)
+      |SELECT st.event_type, nd.n_days,
+      |       CASE WHEN hk IS NULL THEN CAST(n_in AS BIGINT)
+      |            ELSE CAST(CAST(n_in - 1 AS HUGEINT) * 1152921504606846976
+      |                      // hk AS BIGINT) END AS est_users
+      |FROM st JOIN nd USING (event_type)
+      |ORDER BY event_type""".stripMargin
 
   // ------------------------------------------ q160 ratio_to_report
 
@@ -7449,7 +7500,7 @@ object Queries {
     QueryDef("q156_cohort_ltv", q156, Some(q156Sql)),
     QueryDef("q157_sparse_cosine", q157, Some(q157Sql)),
     QueryDef("q158_bfs_distances", q158, Some(q158Sql)),
-    QueryDef("q159_hll_incremental", q159, None),
+    QueryDef("q159_hll_incremental", q159, Some(q159Sql)),
     QueryDef("q160_ratio_to_report", q160, Some(q160Sql)),
     QueryDef("q161_quantile_sketch", q161, Some(q161Sql)),
     QueryDef("q162_theta_overlap", q162, Some(q162Sql)),

@@ -63,7 +63,8 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q159 HLL union estimate within 5% of exact; equals one-pass sketch") {
+  test("q159 merged estimate within 5% of exact; daily-partial merge " +
+      "equals the one-pass sketch (KMV declared lane + native HLL lane)") {
     import org.apache.spark.sql.functions._
     val est = run("q159_hll_incremental").collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
@@ -76,13 +77,28 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(est(t).toDouble - e) <= math.max(1.0, 0.05 * e),
         s"$t: union estimate ${est(t)} vs exact $e")
     }
-    // Mergeability: the daily-partial union must equal the single-pass
-    // sketch — same sketch state either way.
+    // Mergeability (declared KMV lane): the daily-partial merge must
+    // equal the one-pass bottom-k sample over the raw rows — same
+    // sketch state either way.
+    import graft.functions.HashFunctions.{kmvDistinct, md5Hash60}
     val onePass = Queries.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(kmvDistinct(md5Hash60(col("user_id"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == onePass)
+    // Library HLL lane (pre-serialized sketch stores): daily partials
+    // unioned equal the single-pass DataSketches sketch exactly.
+    val hllDaily = Queries.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hllOne = Queries.events(spark, sf)
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(est == onePass)
+    assert(hllDaily == hllOne)
   }
 
   test("q161 quantile estimates land within 0.5% RELATIVE error of the " +
