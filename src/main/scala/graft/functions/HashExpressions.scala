@@ -351,6 +351,40 @@ object HashFunctions {
     Bridge.column(
       KmvSampleAgg(Bridge.expression(hashed), k).toAggregateExpression())
 
+  /** The KMV hash domain 2^60 — [[md5Hash60]]'s output range. ONE
+    * definition shared by every sample-side estimator spelling (the
+    * SQL oracle strings necessarily repeat the literal — they must be
+    * standalone DuckDB text). */
+  val KmvDomain: Long = 1152921504606846976L
+
+  /** θ cutoff of a [[kmvSample]] array: the k-th smallest hash when
+    * the sample is full, the whole domain (2^60) below k — below k
+    * every retained hash is "below θ" and the estimate is EXACT. */
+  def kmvTheta(sample: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, size, when}
+    when(size(sample) < k, lit(KmvDomain)).otherwise(element_at(sample, k))
+  }
+
+  /** `|{h ∈ sample : h < θ}|` — samples arrive ascending and distinct,
+    * so this is plain element counting (θ may be another sample's
+    * cutoff: theta-sketch set operations evaluate every term at the
+    * COMMON θ′ = min of the cutoffs). */
+  def kmvBelow(sample: Column, theta: Column): Column = {
+    import org.apache.spark.sql.functions.{filter, size}
+    size(filter(sample, h => h < theta)).cast("long")
+  }
+
+  /** Exact-integer KMV/theta estimate `n·2^60 div θ` over NAMED
+    * columns: the DECIMAL(38,0) product (≤ 26 digits at k ≤ 2^20)
+    * through IntegralDivide → BIGINT. Collapses to the exact distinct
+    * count below k (θ = 2^60) and to the (k−1)-convention KMV estimate
+    * at k — the same arithmetic as [[KmvDistinctAgg.estimate]], kept in
+    * lock-step by KmvSketchSpec's saturation pin. */
+  def kmvEstimate(n: String, theta: String): Column = {
+    import org.apache.spark.sql.functions.expr
+    expr(s"cast($n as decimal(38,0)) * ${KmvDomain}L div $theta")
+  }
+
   /** Spark's internal bounded-priority-queue collect, exposed for
     * explicit grouped top-k: ONE hash aggregate with a k-item heap per
     * group (map-side combinable) — no per-group sort, no window, no

@@ -135,8 +135,11 @@ final case class KmvSampleAgg(
 
   private val inner = KmvDistinctAgg(child, k)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    inner.checkInputDataTypes()
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sample requires a bigint hash column, got ${other.sql}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_sample"
@@ -174,7 +177,7 @@ final case class KmvSampleAgg(
 }
 
 object KmvDistinctAgg {
-  private val Domain = BigInt(1) << 60
+  private val Domain = BigInt(HashFunctions.KmvDomain) // 2^60, one definition
 
   /** Exact-integer KMV estimate — the contract a SQL oracle reproduces:
     * fewer than k distinct hashes → their exact count; otherwise

@@ -5720,9 +5720,8 @@ object Queries {
     * still pins their daily-partial union to the one-pass sketch
     * exactly, plus the 5%-of-exact envelope on this row. */
   private def q159(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.HashFunctions.{kmvSample, md5Hash60}
+    import graft.functions.HashFunctions._
     val k = 1024
-    val domain = 1152921504606846976L // 2^60
     val daily = t(s, d, "events")
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(kmvSample(md5Hash60(col("user_id")), k).as("sk"))
@@ -5731,11 +5730,10 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("day")).as("n_days"),
         kmvSample(col("h"), k).as("sk"))
-      .withColumn("th",
-        when(size(col("sk")) < k, lit(domain)).otherwise(element_at(col("sk"), k)))
-      .withColumn("nb", size(filter(col("sk"), h => h < col("th"))).cast("long"))
+      .withColumn("th", kmvTheta(col("sk"), k))
+      .withColumn("nb", kmvBelow(col("sk"), col("th")))
       .select(col("event_type"), col("n_days"),
-        expr(s"cast(nb as decimal(38,0)) * ${domain}L div th").as("est_users"))
+        kmvEstimate("nb", "th").as("est_users"))
       .orderBy(col("event_type"))
   }
 
@@ -5747,7 +5745,7 @@ object Queries {
       |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
       |         CAST('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15)
       |              AS BIGINT) AS h
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |daily AS (
       |  SELECT event_type, day, h FROM (
       |    SELECT event_type, day, h,
@@ -5926,9 +5924,8 @@ object Queries {
     * ThetaSketchSpec) stays the library engine for pre-serialized
     * sketch stores. */
   private def q162(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.HashFunctions.{kmvSample, md5Hash60}
+    import graft.functions.HashFunctions._
     val k = 1024
-    val domain = 1152921504606846976L // 2^60
     val docs = t(s, d, "documents")
     val sh = docs
       .select(col("source"),
@@ -5938,31 +5935,22 @@ object Queries {
         explode(graft.ext.DedupOps.shingles(col("w"), 2)).as("g"))
     val sks = sh.groupBy(col("source"))
       .agg(kmvSample(md5Hash60(col("g")), k).as("sk"))
-    def theta(c: Column): Column =
-      when(size(c) < k, lit(domain)).otherwise(element_at(c, k))
-    // |{h ∈ sample : h < th}| — samples arrive ascending and distinct
-    def below(c: Column, th: Column): Column =
-      size(filter(c, h => h < th)).cast("long")
-    // exact-integer KMV estimate n·2^60 div θ: the DECIMAL(38,0)
-    // product (≤ 22 digits at k=1024) through IntegralDivide → BIGINT
-    def est(n: String, th: String): Column =
-      expr(s"cast($n as decimal(38,0)) * ${domain}L div $th")
     val rhs = sks.select(col("source").as("src_b"), col("sk").as("skb"))
     sks.select(col("source").as("src_a"), col("sk").as("ska"))
       .join(broadcast(rhs), col("src_a") < col("src_b"))
-      .withColumn("tha", theta(col("ska")))
-      .withColumn("thb", theta(col("skb")))
+      .withColumn("tha", kmvTheta(col("ska"), k))
+      .withColumn("thb", kmvTheta(col("skb"), k))
       .withColumn("th", least(col("tha"), col("thb")))
-      .withColumn("na", below(col("ska"), col("tha")))
-      .withColumn("nb", below(col("skb"), col("thb")))
+      .withColumn("na", kmvBelow(col("ska"), col("tha")))
+      .withColumn("nb", kmvBelow(col("skb"), col("thb")))
       .withColumn("n_shared",
-        below(array_intersect(col("ska"), col("skb")), col("th")))
+        kmvBelow(array_intersect(col("ska"), col("skb")), col("th")))
       .withColumn("n_union",
-        below(array_union(col("ska"), col("skb")), col("th")))
+        kmvBelow(array_union(col("ska"), col("skb")), col("th")))
       .select(col("src_a"), col("src_b"),
-        est("na", "tha").as("est_a"),
-        est("nb", "thb").as("est_b"),
-        est("n_shared", "th").as("est_shared"),
+        kmvEstimate("na", "tha").as("est_a"),
+        kmvEstimate("nb", "thb").as("est_b"),
+        kmvEstimate("n_shared", "th").as("est_shared"),
         (col("n_shared").cast("double") / col("n_union").cast("double"))
           .as("jac_est"))
       .orderBy(col("src_a"), col("src_b"))

@@ -67,4 +67,59 @@ class KmvSketchSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(rows == Map(0 -> 1000L, 1 -> 1000L, 2 -> 1000L))
   }
+
+  test("SATURATED sample path (size == k): sample is the bottom-k " +
+      "ascending; theta/below/estimate helpers match kmv_distinct; " +
+      "merge keeps the bottom-k") {
+    import HashFunctions._
+    val k = 16
+    val vals = (1 to 200).map(i => s"sat_$i")
+    // ground truth bottom-k of the md5-60 hashes
+    val hashes = vals.map(HashFunctions.md5Hash60Local).distinct.sorted
+    assert(hashes.length == 200) // no collisions in the fixture
+    val expect = hashes.take(k)
+    val df = vals.toDF("v").repartition(7) // saturation + a real merge
+      .agg(kmvSample(md5Hash60($"v"), k).as("sk"))
+      .withColumn("th", kmvTheta($"sk", k))
+      .withColumn("nb", kmvBelow($"sk", $"th"))
+      .withColumn("est", kmvEstimate("nb", "th"))
+    val row = df.head()
+    assert(row.getSeq[Long](0) == expect,
+      "sample must be the k smallest distinct hashes, ascending")
+    assert(row.getLong(1) == expect.last)   // θ = h_(k)
+    assert(row.getLong(2) == (k - 1).toLong) // strictly-below count
+    // the helper estimate must equal KmvDistinctAgg's (k−1)·2^60 div h_(k)
+    val viaAgg = vals.toDF("v")
+      .agg(kmvDistinct(md5Hash60($"v"), k)).head().getLong(0)
+    assert(row.getLong(3) == viaAgg,
+      "sample-side estimator must equal the aggregate's estimate")
+    assert(viaAgg ==
+      ((BigInt(k - 1) * BigInt(KmvDomain)) / BigInt(expect.last)).toLong)
+  }
+
+  test("SATURATED pairwise set ops: common-theta intersection/union " +
+      "counts match a hand computation (the q162 shape above k)") {
+    import HashFunctions._
+    val k = 16
+    val a = (1 to 120).map(i => s"pair_$i")          // 120 distinct
+    val b = (61 to 200).map(i => s"pair_$i")         // 140 distinct, 60 shared
+    val ha = a.map(HashFunctions.md5Hash60Local).sorted.take(k)
+    val hb = b.map(HashFunctions.md5Hash60Local).sorted.take(k)
+    val th = math.min(ha.last, hb.last)
+    val expShared = ha.toSet.intersect(hb.toSet).count(_ < th).toLong
+    val expUnion = (ha.toSet ++ hb.toSet).count(_ < th).toLong
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("s", "v")
+      .groupBy($"s").agg(kmvSample(md5Hash60($"v"), k).as("sk"))
+    val skA = df.filter($"s" === "a").head().getSeq[Long](1)
+    val skB = df.filter($"s" === "b").head().getSeq[Long](1)
+    assert(skA == ha && skB == hb)
+    val pair = df.filter($"s" === "a").select($"sk".as("ska"))
+      .crossJoin(df.filter($"s" === "b").select($"sk".as("skb")))
+      .withColumn("th", least(kmvTheta($"ska", k), kmvTheta($"skb", k)))
+      .select(
+        kmvBelow(array_intersect($"ska", $"skb"), $"th").as("n_shared"),
+        kmvBelow(array_union($"ska", $"skb"), $"th").as("n_union"))
+      .head()
+    assert(pair.getLong(0) == expShared && pair.getLong(1) == expUnion)
+  }
 }
