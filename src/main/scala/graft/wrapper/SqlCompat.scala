@@ -367,9 +367,11 @@ object SqlCompat {
 
   private val ImportRe =
     ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?csv\\s+" +
+      "(?:at\\s+(?:'([^']*)'|([\\w`]+))\\s+)?" +
       "((?:file\\s+'[^']*'\\s*)+)(.*?)\\s*;?\\s*$").r
   private val ExportRe =
     ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+(?:local\\s+)?csv\\s+" +
+      "(?:at\\s+(?:'([^']*)'|([\\w`]+))\\s+)?" +
       "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
   private val FileClauseRe = "(?is)file\\s+'([^']*)'".r
   private val SepOptRe = "(?is)column\\s+separator\\s*=\\s*'([^']*)'".r
@@ -416,11 +418,13 @@ object SqlCompat {
     * statement like the host engine. */
   def parseImport(sql: String): Option[CsvImport] =
     ImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
-      val files = sql.substring(m.start(2), m.end(2))
-      val opts = sql.substring(m.start(3), m.end(3))
+      val base = resolveFileBase(sql, m, urlGroup = 2, connGroup = 3)
+      val files = sql.substring(m.start(4), m.end(4))
+      val opts = sql.substring(m.start(5), m.end(5))
       val skip = SkipOptRe.findFirstMatchIn(opts).map(_.group(1).toInt).getOrElse(0)
       CsvImport(sql.substring(m.start(1), m.end(1)),
-        FileClauseRe.findAllMatchIn(files).map(_.group(1)).toSeq,
+        FileClauseRe.findAllMatchIn(files).map(_.group(1))
+          .map(joinFileBase(base, _)).toSeq,
         SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
         skip = skip,
         encoding = EncodingOptRe.findFirstMatchIn(opts).map(_.group(1))
@@ -442,15 +446,52 @@ object SqlCompat {
     * written only WITH COLUMN NAMES — both host-engine semantics. */
   def parseExport(sql: String): Option[CsvExport] =
     ExportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
-      val opts = sql.substring(m.start(4), m.end(4))
+      val base = resolveFileBase(sql, m, urlGroup = 3, connGroup = 4)
+      val opts = sql.substring(m.start(6), m.end(6))
       val source =
         if (m.group(1) != null) Left(sql.substring(m.start(1), m.end(1)))
         else Right(sql.substring(m.start(2), m.end(2)).trim)
-      CsvExport(source, sql.substring(m.start(3), m.end(3)),
+      CsvExport(source,
+        joinFileBase(base, sql.substring(m.start(5), m.end(5))),
         SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
         replace = ReplaceOptRe.findFirstIn(opts).isDefined,
         withColumnNames = WithColNamesRe.findFirstIn(opts).isDefined)
     }
+
+  /** Exasol's remote-file loader form `… CSV AT ('url'|conn) FILE 'rel' …`:
+    * the AT base is a URL literal or a named CONNECTION, and FILE paths are
+    * relative to it. Hadoop-compatible bases (file:, hdfs:, s3a:, …) pass
+    * straight through to the filesystem layer; the host engine's own
+    * http(s)/ftp remote-file protocol has no Hadoop filesystem here — in a
+    * Spark deployment object storage IS the remote-file lane — so those
+    * schemes are refused with that guidance instead of a misleading
+    * path-not-found. Returns None when the statement has no AT clause. */
+  private def resolveFileBase(sql: String, m: scala.util.matching.Regex.Match,
+      urlGroup: Int, connGroup: Int): Option[String] = {
+    val url =
+      if (m.group(urlGroup) != null)
+        Some(sql.substring(m.start(urlGroup), m.end(urlGroup)))
+      else if (m.group(connGroup) != null) {
+        val name = sql.substring(m.start(connGroup), m.end(connGroup))
+        Some(lookupConnection(name).getOrElse(throw new IllegalArgumentException(
+          s"connection ${name.replace("`", "").toUpperCase} does not exist")).url)
+      } else None
+    url.foreach { u =>
+      val scheme = u.takeWhile(_ != ':').toLowerCase
+      if (Set("http", "https", "ftp", "ftps", "sftp").contains(scheme))
+        throw new UnsupportedOperationException(
+          s"IMPORT/EXPORT CSV AT '$u': the $scheme remote-file protocol is " +
+            "not available in this engine — stage the files on a " +
+            "Hadoop-compatible filesystem (file:, hdfs:, s3a:, …) or use " +
+            "the JDBC lane")
+    }
+    url
+  }
+
+  /** FILE path against an optional AT base: `base/rel` (one separator). */
+  private def joinFileBase(base: Option[String], rel: String): String =
+    base.map(b => b.stripSuffix("/") + "/" + rel.stripPrefix("/"))
+      .getOrElse(rel)
 
   // For IMPORT/EXPORT heads the quoted file path must stay visible to the
   // regex, so mask only comments + depth>0 — not string literals. String

@@ -244,6 +244,47 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS ie_t")
   }
 
+  test("IMPORT/EXPORT CSV AT: url and connection bases resolve; the " +
+      "host engine's http remote-file protocol is refused with guidance") {
+    val loc = Files.createTempDirectory("impexpat").toString
+    spark.sql(s"CREATE TABLE at_t (id BIGINT, name STRING) USING parquet LOCATION '$loc/t'")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$loc/in.csv"),
+        "1;alpha\n2;beta\n")
+      val w = QueryWrapper(spark)
+      // named CONNECTION as the base (the Exasol remote-loader shape)
+      assert(SqlCompat.handleConnectionDdl(
+        s"CREATE CONNECTION at_files TO 'file://$loc'"))
+      val (ok, res) = w.query(
+        "IMPORT INTO at_t FROM CSV AT at_files FILE 'in.csv' COLUMN SEPARATOR = ';'")
+      assert(ok, res.error)
+      assert(spark.table("at_t").count() == 2L)
+      // URL literal base, relative FILE joined against it
+      val (ok2, res2) = w.query(
+        s"EXPORT at_t INTO CSV AT '$loc' FILE 'outat' WITH COLUMN NAMES")
+      assert(ok2, res2.error)
+      assert(spark.read.option("header", "true").csv(s"$loc/outat").count() == 2L)
+      // parse level: http(s) refused with the object-storage guidance...
+      val e = intercept[UnsupportedOperationException] {
+        SqlCompat.parseImport(
+          "IMPORT INTO at_t FROM CSV AT 'https://host/base' FILE 'f.csv'")
+      }
+      assert(e.getMessage.contains("https") &&
+        e.getMessage.contains("Hadoop-compatible"))
+      // ...and an unknown connection fails by name
+      val e2 = intercept[IllegalArgumentException] {
+        SqlCompat.parseImport(
+          "IMPORT INTO at_t FROM CSV AT no_such_conn FILE 'f.csv'")
+      }
+      assert(e2.getMessage.contains("NO_SUCH_CONN"))
+      // AT-less statements parse exactly as before (base = None)
+      val plain = SqlCompat.parseImport(
+        "IMPORT INTO at_t FROM CSV FILE '/abs/x.csv'").get
+      assert(plain.paths == Seq("/abs/x.csv"))
+      assert(SqlCompat.handleConnectionDdl("DROP CONNECTION at_files"))
+    } finally spark.sql("DROP TABLE IF EXISTS at_t")
+  }
+
   test("quoted keyword identifiers never match clause keywords") {
     // `where` as a column name (the main reason users quote identifiers):
     val u = SqlCompat.parseUpdate("UPDATE t SET `where` = 1 WHERE id = 2").get
