@@ -3972,8 +3972,11 @@ object Queries {
       .agg(count(lit(1)).as("n_iv"),
         sum(col("contrib")).as("covered_micros"),
         (max(col("en")) - min(col("st"))).as("span_micros"))
+      // covered·1e6 crosses 2^63 once a user's span passes ~107 days
+      // (9.2e12 µs) — any year-scale history; DECIMAL(38,0) product
       .withColumn("util_micro",
-        expr("covered_micros * 1000000 div nullif(span_micros, 0)"))
+        expr("cast(covered_micros as decimal(38,0)) * 1000000" +
+          " div nullif(span_micros, 0)"))
       .select(col("user_id"), col("n_iv"), col("covered_micros"),
         col("span_micros"), col("util_micro"))
       .orderBy(col("covered_micros").desc, col("user_id"))
@@ -4004,8 +4007,8 @@ object Queries {
       |         MAX(en) - MIN(st) AS span_micros
       |  FROM c GROUP BY user_id)
       |SELECT user_id, n_iv, covered_micros, span_micros,
-      |       covered_micros * 1000000 // NULLIF(span_micros, 0)
-      |         AS util_micro
+      |       CAST(CAST(covered_micros AS HUGEINT) * 1000000
+      |            // NULLIF(span_micros, 0) AS BIGINT) AS util_micro
       |FROM g ORDER BY covered_micros DESC, user_id LIMIT 20""".stripMargin
 
   // ------------------------------------------ q153 session conversion
@@ -4302,13 +4305,19 @@ object Queries {
         Seq(col("rev_cents").desc, col("l_partkey").asc), "rev_cents")
       .crossJoin(broadcast(total))
       .withColumn("cls",
-        when(col("__rsum") * 100 <= col("tot") * 80, "A")
-          .when(col("__rsum") * 100 <= col("tot") * 95, "B")
+        when(col("__rsum").cast("decimal(38,0)") * 100
+            <= col("tot").cast("decimal(38,0)") * 80, "A")
+          .when(col("__rsum").cast("decimal(38,0)") * 100
+            <= col("tot").cast("decimal(38,0)") * 95, "B")
           .otherwise("C"))
       .groupBy(col("cls"), col("tot"))
       .agg(count(lit(1)).as("n_parts"),
         sum(col("rev_cents")).as("class_cents"))
-      .withColumn("share_micro", expr("class_cents * 1000000 div tot"))
+      // class_cents·1e6 crosses 2^63 once corpus revenue passes ~9.2e12
+      // cents (hit at the sf1-derived point) — DECIMAL(38,0) product
+      // through IntegralDivide, the r11 widening contract
+      .withColumn("share_micro",
+        expr("cast(class_cents as decimal(38,0)) * 1000000 div tot"))
       .select(col("cls"), col("n_parts"), col("class_cents"),
         col("share_micro"))
       .orderBy(col("cls"))
@@ -4327,14 +4336,18 @@ object Queries {
       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rsum
       |  FROM rev),
       |cls AS (
-      |  SELECT CASE WHEN rsum * 100 <= (SELECT tot FROM tot) * 80 THEN 'A'
-      |              WHEN rsum * 100 <= (SELECT tot FROM tot) * 95 THEN 'B'
+      |  SELECT CASE WHEN CAST(rsum AS HUGEINT) * 100
+      |                    <= CAST((SELECT tot FROM tot) AS HUGEINT) * 80
+      |              THEN 'A'
+      |              WHEN CAST(rsum AS HUGEINT) * 100
+      |                    <= CAST((SELECT tot FROM tot) AS HUGEINT) * 95
+      |              THEN 'B'
       |              ELSE 'C' END AS cls, rev_cents
       |  FROM run)
       |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
       |       CAST(SUM(rev_cents) AS BIGINT) AS class_cents,
-      |       CAST(SUM(rev_cents) AS BIGINT) * 1000000
-      |         // (SELECT tot FROM tot) AS share_micro
+      |       CAST(CAST(SUM(rev_cents) AS HUGEINT) * 1000000
+      |         // (SELECT tot FROM tot) AS BIGINT) AS share_micro
       |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
 
   // ------------------------------------------ q147 RFM segmentation
@@ -4458,10 +4471,11 @@ object Queries {
         Seq("tok_b"))
       .crossJoin(broadcast(ndocs))
       .filter(col("support") * 20 >= col("nd"))
-      .withColumn("conf_micro", expr("support * 1000000 div df_a"))
+      .withColumn("conf_micro",
+        expr("cast(support as decimal(38,0)) * 1000000 div df_a"))
       .withColumn("lift_micro",
         expr("(CAST(support AS DECIMAL(38,0)) * nd * 1000000)" +
-          " div (df_a * df_b)"))
+          " div (cast(df_a as decimal(38,0)) * df_b)"))
       .select(col("tok_a"), col("tok_b"), col("support"),
         col("conf_micro"), col("lift_micro"))
       .orderBy(col("lift_micro").desc, col("tok_a"), col("tok_b"))
@@ -4495,9 +4509,10 @@ object Queries {
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) * 20 >= (SELECT n FROM nd))
       |SELECT p.tok_a, p.tok_b, p.support,
-      |       p.support * 1000000 // da.df AS conf_micro,
-      |       p.support * (SELECT n FROM nd) * 1000000
-      |         // (da.df * db.df) AS lift_micro
+      |       CAST(CAST(p.support AS HUGEINT) * 1000000 // da.df AS BIGINT)
+      |         AS conf_micro,
+      |       CAST(CAST(p.support AS HUGEINT) * (SELECT n FROM nd) * 1000000
+      |         // (CAST(da.df AS HUGEINT) * db.df) AS BIGINT) AS lift_micro
       |FROM p
       |JOIN dfc da ON da.tok = p.tok_a
       |JOIN dfc db ON db.tok = p.tok_b
@@ -5039,7 +5054,8 @@ object Queries {
     counts
       .withColumn("tot",
         sum(col("cnt")).over(Window.partitionBy(col("prev"))))
-      .withColumn("prob_micro", expr("cnt * 1000000 div tot"))
+      .withColumn("prob_micro",
+        expr("cast(cnt as decimal(38,0)) * 1000000 div tot"))
       .select(col("prev"), col("next"), col("cnt"), col("prob_micro"))
       .orderBy(col("prev"), col("next"))
   }
@@ -5054,9 +5070,9 @@ object Queries {
       |  SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2)
       |SELECT prev, next, cnt,
-      |       cnt * 1000000
+      |       CAST(CAST(cnt AS HUGEINT) * 1000000
       |         // CAST(SUM(cnt) OVER (PARTITION BY prev) AS BIGINT)
-      |         AS prob_micro
+      |         AS BIGINT) AS prob_micro
       |FROM c ORDER BY prev, next""".stripMargin
 
   // --------------------------------------- q135 cumulative unique users
@@ -6318,8 +6334,10 @@ object Queries {
         - col("cum2") * col("n1")))
       .groupBy(col("n1"), col("n2"))
       .agg(max(col("gap")).as("d_num"))
+      // within the documented <2³¹-per-type packing contract the gap
+      // products fit a long, but gap·1e6 does not — DECIMAL(38,0)
       .withColumn("d_micro",
-        expr("d_num * 1000000 div (n1 * n2)"))
+        expr("cast(d_num as decimal(38,0)) * 1000000 div (n1 * n2)"))
       .select(col("n1"), col("n2"), col("d_num"), col("d_micro"))
   }
 
@@ -6349,8 +6367,8 @@ object Queries {
       |  FROM ev)
       |SELECT n1, n2,
       |       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
-      |       CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT)
-      |         * 1000000 // (n1 * n2) AS d_micro
+      |       CAST(CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS HUGEINT)
+      |         * 1000000 // (n1 * n2) AS BIGINT) AS d_micro
       |FROM cum CROSS JOIN n
       |GROUP BY n1, n2""".stripMargin
 
@@ -6537,8 +6555,10 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("sum_words"),
         sum(col("n_tokens")).as("sum_tokens"))
+      // per-source token sums reach ~1e13 on a 100 TB corpus — ·1e6
+      // crosses 2^63; DECIMAL(38,0) product through IntegralDivide
       .withColumn("compression_micro",
-        expr("sum_tokens * 1000000 div sum_words"))
+        expr("cast(sum_tokens as decimal(38,0)) * 1000000 div sum_words"))
       .orderBy(col("source"))
   }
 
