@@ -365,13 +365,21 @@ object SqlCompat {
 
   // -------------------------------------------------------- IMPORT/EXPORT
 
+  // Optional remote-loader base shared by every FILE lane (CSV/PARQUET/
+  // FBV): `AT ('url'|connection) [USER 'u' IDENTIFIED BY 'p']` — three
+  // capture groups per use (url literal, connection name, credential
+  // clause; the last is captured only to be REFUSED with guidance).
+  private val AtBaseRe =
+    "(?:at\\s+(?:'([^']*)'|([\\w`]+))\\s+" +
+      "((?:user\\s+'[^']*'\\s+identified\\s+by\\s+'[^']*'\\s+)?))?"
+
   private val ImportRe =
     ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?csv\\s+" +
-      "(?:at\\s+(?:'([^']*)'|([\\w`]+))\\s+)?" +
+      AtBaseRe +
       "((?:file\\s+'[^']*'\\s*)+)(.*?)\\s*;?\\s*$").r
   private val ExportRe =
     ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+(?:local\\s+)?csv\\s+" +
-      "(?:at\\s+(?:'([^']*)'|([\\w`]+))\\s+)?" +
+      AtBaseRe +
       "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
   private val FileClauseRe = "(?is)file\\s+'([^']*)'".r
   private val SepOptRe = "(?is)column\\s+separator\\s*=\\s*'([^']*)'".r
@@ -418,9 +426,10 @@ object SqlCompat {
     * statement like the host engine. */
   def parseImport(sql: String): Option[CsvImport] =
     ImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
-      val base = resolveFileBase(sql, m, urlGroup = 2, connGroup = 3)
-      val files = sql.substring(m.start(4), m.end(4))
-      val opts = sql.substring(m.start(5), m.end(5))
+      val base = resolveFileBase(sql, m, urlGroup = 2, connGroup = 3,
+        credsGroup = 4)
+      val files = sql.substring(m.start(5), m.end(5))
+      val opts = sql.substring(m.start(6), m.end(6))
       val skip = SkipOptRe.findFirstMatchIn(opts).map(_.group(1).toInt).getOrElse(0)
       CsvImport(sql.substring(m.start(1), m.end(1)),
         FileClauseRe.findAllMatchIn(files).map(_.group(1))
@@ -446,13 +455,14 @@ object SqlCompat {
     * written only WITH COLUMN NAMES — both host-engine semantics. */
   def parseExport(sql: String): Option[CsvExport] =
     ExportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
-      val base = resolveFileBase(sql, m, urlGroup = 3, connGroup = 4)
-      val opts = sql.substring(m.start(6), m.end(6))
+      val base = resolveFileBase(sql, m, urlGroup = 3, connGroup = 4,
+        credsGroup = 5)
+      val opts = sql.substring(m.start(7), m.end(7))
       val source =
         if (m.group(1) != null) Left(sql.substring(m.start(1), m.end(1)))
         else Right(sql.substring(m.start(2), m.end(2)).trim)
       CsvExport(source,
-        joinFileBase(base, sql.substring(m.start(5), m.end(5))),
+        joinFileBase(base, sql.substring(m.start(6), m.end(6))),
         SepOptRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(","),
         replace = ReplaceOptRe.findFirstIn(opts).isDefined,
         withColumnNames = WithColNamesRe.findFirstIn(opts).isDefined)
@@ -467,20 +477,40 @@ object SqlCompat {
     * schemes are refused with that guidance instead of a misleading
     * path-not-found. Returns None when the statement has no AT clause. */
   private def resolveFileBase(sql: String, m: scala.util.matching.Regex.Match,
-      urlGroup: Int, connGroup: Int): Option[String] = {
+      urlGroup: Int, connGroup: Int, credsGroup: Int): Option[String] = {
+    // Exasol's remote loader authenticates with the AT credentials; the
+    // Hadoop filesystem layer authenticates via cluster configuration
+    // instead. Applying neither silently would read/write as the WRONG
+    // principal, so credentialed statements are refused with that
+    // guidance (inline USER clause and credential-carrying connections
+    // alike) rather than half-honored.
+    def refuseCreds(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"IMPORT/EXPORT … AT: $what — the file lanes resolve through the " +
+          "Hadoop filesystem layer, which takes credentials from the " +
+          "cluster/Hadoop configuration (e.g. s3a key settings), not from " +
+          "the statement; remove the credentials or configure the " +
+          "filesystem, or use the JDBC lane for credentialed endpoints")
+    if (m.group(credsGroup) != null && m.group(credsGroup).nonEmpty)
+      refuseCreds("a USER … IDENTIFIED BY clause is not applied here")
     val url =
       if (m.group(urlGroup) != null)
         Some(sql.substring(m.start(urlGroup), m.end(urlGroup)))
       else if (m.group(connGroup) != null) {
         val name = sql.substring(m.start(connGroup), m.end(connGroup))
-        Some(lookupConnection(name).getOrElse(throw new IllegalArgumentException(
-          s"connection ${name.replace("`", "").toUpperCase} does not exist")).url)
+        val c = lookupConnection(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"connection ${name.replace("`", "").toUpperCase} does not exist"))
+        if (c.user.isDefined || c.password.isDefined)
+          refuseCreds(s"connection ${name.replace("`", "").toUpperCase} " +
+            "carries credentials that would not be applied here")
+        Some(c.url)
       } else None
     url.foreach { u =>
       val scheme = u.takeWhile(_ != ':').toLowerCase
       if (Set("http", "https", "ftp", "ftps", "sftp").contains(scheme))
         throw new UnsupportedOperationException(
-          s"IMPORT/EXPORT CSV AT '$u': the $scheme remote-file protocol is " +
+          s"IMPORT/EXPORT … AT '$u': the $scheme remote-file protocol is " +
             "not available in this engine — stage the files on a " +
             "Hadoop-compatible filesystem (file:, hdfs:, s3a:, …) or use " +
             "the JDBC lane")
@@ -593,6 +623,7 @@ object SqlCompat {
 
   private val FbvImportRe =
     ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?fbv\\s+" +
+      AtBaseRe +
       "file\\s+'([^']*)'\\s*\\(([^)]*)\\)(.*?)\\s*;?\\s*$").r
   private val FbvSizeRe = "(?is)size\\s*=\\s*(\\d+)".r
 
@@ -603,12 +634,14 @@ object SqlCompat {
     * [REJECT LIMIT …]` — one SIZE per target column, in order. */
   def parseFbvImport(sql: String): Option[FbvImport] =
     FbvImportRe.findFirstMatchIn(maskOptions(sql)).flatMap { m =>
-      val sizes = FbvSizeRe.findAllMatchIn(sql.substring(m.start(3), m.end(3)))
+      val base = resolveFileBase(sql, m, urlGroup = 2, connGroup = 3,
+        credsGroup = 4)
+      val sizes = FbvSizeRe.findAllMatchIn(sql.substring(m.start(6), m.end(6)))
         .map(_.group(1).toInt).toSeq
-      val opts = sql.substring(m.start(4), m.end(4))
+      val opts = sql.substring(m.start(7), m.end(7))
       if (sizes.isEmpty) None
       else Some(FbvImport(sql.substring(m.start(1), m.end(1)),
-        sql.substring(m.start(2), m.end(2)), sizes,
+        joinFileBase(base, sql.substring(m.start(5), m.end(5))), sizes,
         RejectLimitRe.findFirstMatchIn(opts).flatMap { r =>
           if (r.group(1).equalsIgnoreCase("unlimited")) None
           else Some(r.group(1).toLong)
@@ -679,10 +712,12 @@ object SqlCompat {
 
   private val ParquetImportRe =
     ("(?is)^\\s*import\\s+into\\s+([\\w.`]+)\\s+from\\s+(?:local\\s+)?" +
-      "parquet\\s+((?:file\\s+'[^']*'\\s*)+)\\s*;?\\s*$").r
+      "parquet\\s+" + AtBaseRe +
+      "((?:file\\s+'[^']*'\\s*)+)\\s*;?\\s*$").r
   private val ParquetExportRe =
     ("(?is)^\\s*export\\s+(?:([\\w.`]+)|\\((.*)\\))\\s+into\\s+" +
-      "(?:local\\s+)?parquet\\s+file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
+      "(?:local\\s+)?parquet\\s+" + AtBaseRe +
+      "file\\s+'([^']*)'(.*?)\\s*;?\\s*$").r
 
   final case class ParquetImport(table: String, paths: Seq[String])
   final case class ParquetExport(source: Either[String, String],
@@ -690,18 +725,24 @@ object SqlCompat {
 
   def parseParquetImport(sql: String): Option[ParquetImport] =
     ParquetImportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
-      val files = sql.substring(m.start(2), m.end(2))
+      val base = resolveFileBase(sql, m, urlGroup = 2, connGroup = 3,
+        credsGroup = 4)
+      val files = sql.substring(m.start(5), m.end(5))
       ParquetImport(sql.substring(m.start(1), m.end(1)),
-        FileClauseRe.findAllMatchIn(files).map(_.group(1)).toSeq)
+        FileClauseRe.findAllMatchIn(files).map(_.group(1))
+          .map(joinFileBase(base, _)).toSeq)
     }
 
   def parseParquetExport(sql: String): Option[ParquetExport] =
     ParquetExportRe.findFirstMatchIn(maskOptions(sql)).map { m =>
-      val opts = sql.substring(m.start(4), m.end(4))
+      val base = resolveFileBase(sql, m, urlGroup = 3, connGroup = 4,
+        credsGroup = 5)
+      val opts = sql.substring(m.start(7), m.end(7))
       val source =
         if (m.group(1) != null) Left(sql.substring(m.start(1), m.end(1)))
         else Right(sql.substring(m.start(2), m.end(2)).trim)
-      ParquetExport(source, sql.substring(m.start(3), m.end(3)),
+      ParquetExport(source,
+        joinFileBase(base, sql.substring(m.start(6), m.end(6))),
         replace = ReplaceOptRe.findFirstIn(opts).isDefined)
     }
 

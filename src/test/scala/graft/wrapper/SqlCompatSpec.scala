@@ -252,9 +252,10 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
       java.nio.file.Files.writeString(java.nio.file.Path.of(s"$loc/in.csv"),
         "1;alpha\n2;beta\n")
       val w = QueryWrapper(spark)
-      // named CONNECTION as the base (the Exasol remote-loader shape)
+      // named CONNECTION as the base (the Exasol remote-loader shape);
+      // OR REPLACE so a rerun in the same JVM never trips the registry
       assert(SqlCompat.handleConnectionDdl(
-        s"CREATE CONNECTION at_files TO 'file://$loc'"))
+        s"CREATE OR REPLACE CONNECTION at_files TO 'file://$loc'"))
       val (ok, res) = w.query(
         "IMPORT INTO at_t FROM CSV AT at_files FILE 'in.csv' COLUMN SEPARATOR = ';'")
       assert(ok, res.error)
@@ -264,6 +265,16 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
         s"EXPORT at_t INTO CSV AT '$loc' FILE 'outat' WITH COLUMN NAMES")
       assert(ok2, res2.error)
       assert(spark.read.option("header", "true").csv(s"$loc/outat").count() == 2L)
+      // the PARQUET and FBV lanes share the same AT grammar
+      val pq = SqlCompat.parseParquetImport(
+        "IMPORT INTO at_t FROM PARQUET AT at_files FILE 'part.parquet'").get
+      assert(pq.paths == Seq(s"file://$loc/part.parquet"))
+      val pe = SqlCompat.parseParquetExport(
+        s"EXPORT at_t INTO PARQUET AT '$loc' FILE 'pqout'").get
+      assert(pe.path == s"$loc/pqout")
+      val fb = SqlCompat.parseFbvImport(
+        "IMPORT INTO at_t FROM FBV AT at_files FILE 'x.fbv' (SIZE=4, SIZE=6)").get
+      assert(fb.path == s"file://$loc/x.fbv" && fb.sizes == Seq(4, 6))
       // parse level: http(s) refused with the object-storage guidance...
       val e = intercept[UnsupportedOperationException] {
         SqlCompat.parseImport(
@@ -271,18 +282,35 @@ class SqlCompatSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(e.getMessage.contains("https") &&
         e.getMessage.contains("Hadoop-compatible"))
-      // ...and an unknown connection fails by name
+      // ...an unknown connection fails by name...
       val e2 = intercept[IllegalArgumentException] {
         SqlCompat.parseImport(
           "IMPORT INTO at_t FROM CSV AT no_such_conn FILE 'f.csv'")
       }
       assert(e2.getMessage.contains("NO_SUCH_CONN"))
+      // ...and credentials are refused rather than half-honored: inline
+      val e3 = intercept[UnsupportedOperationException] {
+        SqlCompat.parseImport("IMPORT INTO at_t FROM CSV AT 'hdfs://base' " +
+          "USER 'u' IDENTIFIED BY 'p' FILE 'f.csv'")
+      }
+      assert(e3.getMessage.contains("Hadoop configuration"))
+      // ...and carried on a named connection
+      assert(SqlCompat.handleConnectionDdl("CREATE OR REPLACE CONNECTION " +
+        s"at_cred TO 'file://$loc' USER 'u' IDENTIFIED BY 'p'"))
+      val e4 = intercept[UnsupportedOperationException] {
+        SqlCompat.parseImport(
+          "IMPORT INTO at_t FROM CSV AT at_cred FILE 'f.csv'")
+      }
+      assert(e4.getMessage.contains("AT_CRED"))
       // AT-less statements parse exactly as before (base = None)
       val plain = SqlCompat.parseImport(
         "IMPORT INTO at_t FROM CSV FILE '/abs/x.csv'").get
       assert(plain.paths == Seq("/abs/x.csv"))
-      assert(SqlCompat.handleConnectionDdl("DROP CONNECTION at_files"))
-    } finally spark.sql("DROP TABLE IF EXISTS at_t")
+    } finally {
+      SqlCompat.handleConnectionDdl("DROP CONNECTION IF EXISTS at_files")
+      SqlCompat.handleConnectionDdl("DROP CONNECTION IF EXISTS at_cred")
+      spark.sql("DROP TABLE IF EXISTS at_t")
+    }
   }
 
   test("quoted keyword identifiers never match clause keywords") {
