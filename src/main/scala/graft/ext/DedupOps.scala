@@ -162,6 +162,78 @@ object DedupOps {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- portable MinHash lane
+  // The cross-engine DETERMINISTIC twin of the xxhash64 engine lane above
+  // (extracted from q30, r11-late, so q30 and the q173 funnel share ONE
+  // spelling): every hash is md5-60 (`CAST('0x' || SUBSTR(MD5(x),1,15) AS
+  // BIGINT)` in SQL), the k permutations are XOR against the md5-60 family
+  // constants `mhperm_j`, and band keys are raw signature slices — a SQL
+  // engine rebuilds the whole candidate pipeline verbatim, which is what
+  // backs the q30/q173 DuckDB oracle rows. The xxhash64 lane stays the
+  // throughput engine (one fused codegen'd signature expression); this lane
+  // trades ~2× hash cost for reproducibility-outside-the-JVM.
+
+  /** (id, hs) with `hs` = distinct md5-60 token hashes; zero-token rows
+    * dropped via the lambda-free `translate` guard (an inferred
+    * `size(tokens) > 0` prefilter would re-evaluate the tokenizer below
+    * later Generates — the shape the structural plan spec bans). */
+  def portableHashedTokens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.HashFunctions.md5Hash60
+    docs
+      .filter(length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        array_distinct(transform(col("__toks"), t => md5Hash60(t))).as("hs"))
+  }
+
+  /** Normalized (id1 < id2) candidate pairs from XOR-permutation MinHash
+    * band buckets over [[portableHashedTokens]] output — same band/bucket
+    * discipline as [[nearDupPairs]] (bucket size capped, pairs only inside
+    * buckets, never all-pairs). */
+  def portableCandidatePairs(hashed: DataFrame, numHashes: Int = 64,
+      bands: Int = 8, maxBucket: Int = 64): DataFrame = {
+    import graft.functions.HashFunctions.{md5Hash60Local, minhashXorSignature}
+    val r = numHashes / bands
+    val perm: Seq[Long] =
+      (0 until numHashes).map(j => md5Hash60Local(s"mhperm_$j"))
+    val banded = hashed
+      .select(col("id"), minhashXorSignature(col("hs"), perm).as("sig"))
+      .select(col("id"), explode_outer(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * r + 1, r).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1"), col("p.id2"))
+      .distinct()
+  }
+
+  /** Near-dup drop on the portable lane: candidates verified by exact
+    * hashed-token-set Jaccard ≥ 4/5, spelled as the integer
+    * cross-multiplication `5·|∩| ≥ 4·|∪|` — no float anywhere, so the
+    * verification is engine-exact too. Drops the GREATER id of each
+    * verified pair (the [[dropNearDups]] keep-first rule). */
+  def dropNearDupsPortable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hashed = portableHashedTokens(docs, idCol, textCol)
+    val losers = portableCandidatePairs(hashed)
+      .join(hashed.select(col("id").as("id1"), col("hs").as("s1")), "id1")
+      .join(hashed.select(col("id").as("id2"), col("hs").as("s2")), "id2")
+      .filter(size(array_intersect(col("s1"), col("s2"))) * 5
+        >= size(array_union(col("s1"), col("s2"))) * 4)
+      .select(col("id2").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over the column named `hashesCol` (array<long> of
     * per-token hashes, see [[hashShingles]]): each hash bit votes ±1,
     * fingerprint = sign bits packed into a long. Native codegen'd

@@ -1052,42 +1052,11 @@ object Queries {
     * hash). Pair sets are order-normalized (least/greatest + distinct),
     * so bucket-array ordering differences between engines can't leak. */
   private def q30(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.HashFunctions.{md5Hash60, md5Hash60Local, minhashXorSignature}
-    val numHashes = 64
-    val bands = 8
-    val r = numHashes / bands
-    val maxBucket = 64
-    val perm: Seq[Long] =
-      (0 until numHashes).map(j => md5Hash60Local(s"mhperm_$j"))
-    val hashed = t(s, d, "documents")
-      // lambda-free zero-token guard: ≥1 token ⟺ some non-space char
-      // (wordTokens splits on ' ' only). A size(tokens) > 0 filter would
-      // re-evaluate the tokenizer lambda below the band/pair Generates —
-      // the exact shape the no-inferred-prefilter structural spec bans.
-      .filter(length(translate(col("text"), " ", "")) > 0)
-      .select(col("doc_id").as("id"),
-        graft.ext.DedupOps.wordTokens(col("text")).as("__toks"))
-      .select(col("id"),
-        array_distinct(transform(col("__toks"), t => md5Hash60(t))).as("hs"))
-    val banded = hashed
-      .select(col("id"), minhashXorSignature(col("hs"), perm).as("sig"))
-      .select(col("id"), explode_outer(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          slice(col("sig"), b * r + 1, r).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = banded
-      .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode_outer(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> struct(least(x, y) AS id1, greatest(x, y) AS id2))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.id1"), col("p.id2"))
-      .distinct()
-    candidates
+    // the portable lane lives in DedupOps (extracted r11-late so q30 and
+    // the q173 funnel share ONE spelling of the candidate pipeline)
+    val hashed = graft.ext.DedupOps.portableHashedTokens(
+      t(s, d, "documents"), "doc_id", "text")
+    graft.ext.DedupOps.portableCandidatePairs(hashed)
       .join(hashed.select(col("id").as("id1"), col("hs").as("s1")), "id1")
       .join(hashed.select(col("id").as("id2"), col("hs").as("s2")), "id2")
       .select(col("id1"), col("id2"),
@@ -6568,12 +6537,16 @@ object Queries {
     * standard training-data pipeline stages (the report a data team
     * reads before weighting a mix): raw → length floor → exact dedup
     * (content hash, keep-min-id via a hash-keyed aggregate + semi
-    * join — no per-hash window) → MinHash near-dup drop
-    * ([[graft.ext.DedupOps.dropNearDups]]: LSH candidates, exact-
-    * Jaccard verified). All-integer output with survival in micros.
-    * The near-dup stage rides custom hash expressions (no SQL oracle);
-    * QueriesSpec pins stage monotonicity and agreement with the
-    * individual operators. */
+    * join — no per-hash window) → MinHash near-dup drop. **r11-late:**
+    * the near-dup stage rides the portable md5-60 XOR-permutation lane
+    * ([[graft.ext.DedupOps.dropNearDupsPortable]] — the q30 candidate
+    * pipeline, verification as the exact-integer cross-multiplication
+    * `5·|∩| ≥ 4·|∪|`), so the WHOLE funnel is SQL-expressible and this
+    * row is hash-matched against a DuckDB rebuild (the xxhash64 engine
+    * lane [[graft.ext.DedupOps.dropNearDups]] stays the throughput
+    * path, DedupOpsSpec). All-integer output with survival in micros
+    * (DECIMAL(38,0) product — the r11 widening contract); QueriesSpec
+    * keeps the stage-monotonicity and direct-recount pins. */
   private def q173(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val kept = docs.filter(
@@ -6583,7 +6556,7 @@ object Queries {
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val deduped = kept.join(keepIds, "doc_id")
-    val curated = graft.ext.DedupOps.dropNearDups(deduped)
+    val curated = graft.ext.DedupOps.dropNearDupsPortable(deduped)
     def stage(df: DataFrame, name: String) =
       df.groupBy(col("source")).agg(count(lit(1)).as(name))
     stage(docs, "n_raw")
@@ -6592,9 +6565,74 @@ object Queries {
       .join(stage(curated, "n_near"), Seq("source"), "left")
       .na.fill(0L, Seq("n_len", "n_exact", "n_near"))
       .withColumn("survival_micro",
-        expr("n_near * 1000000 div n_raw"))
+        expr("cast(n_near as decimal(38,0)) * 1000000 div n_raw"))
       .orderBy(col("source"))
   }
+
+  /** DuckDB rebuild of the whole funnel, near-dup stage included: the
+    * q30 portable MinHash CTE chain over the exact-dedup survivors,
+    * integer cross-multiplied Jaccard ≥ 4/5 verification, greater-id
+    * drop, per-source stage counts. */
+  private val q173Sql =
+    """WITH tokc AS (
+      |  SELECT doc_id, source, text,
+      |         LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                         t -> LEN(t) > 0)) AS ntok
+      |  FROM documents),
+      |kept AS (SELECT doc_id, source, text FROM tokc WHERE ntok >= 5),
+      |keep_ids AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY MD5(text)),
+      |dedup AS (SELECT k.doc_id, k.source, k.text
+      |          FROM kept k JOIN keep_ids USING (doc_id)),
+      |tok AS (
+      |  SELECT DISTINCT doc_id AS id,
+      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+      |                            t -> LEN(t) > 0)) AS t
+      |  FROM dedup),
+      |h AS (SELECT id, CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) AS h
+      |      FROM tok),
+      |hs AS (SELECT id, LIST(DISTINCT h) AS hs FROM h GROUP BY 1),
+      |perm AS (SELECT j,
+      |                CAST('0x' || SUBSTR(MD5('mhperm_' || j), 1, 15)
+      |                     AS BIGINT) AS c
+      |         FROM (SELECT UNNEST(RANGE(0, 64)) AS j)),
+      |sig AS (SELECT h.id, perm.j, MIN(XOR(h.h, perm.c)) AS m
+      |        FROM h CROSS JOIN perm GROUP BY 1, 2),
+      |band AS (SELECT id, j // 8 AS band, LIST(m ORDER BY j) AS key
+      |         FROM sig GROUP BY 1, 2),
+      |bucket AS (SELECT band, key, LIST(id) AS ids
+      |           FROM band GROUP BY 1, 2
+      |           HAVING COUNT(*) BETWEEN 2 AND 64),
+      |pairs AS (SELECT DISTINCT LEAST(a, b) AS id1, GREATEST(a, b) AS id2
+      |          FROM bucket, UNNEST(ids) u1(a), UNNEST(ids) u2(b)
+      |          WHERE a <> b),
+      |losers AS (
+      |  SELECT DISTINCT p.id2 AS doc_id
+      |  FROM pairs p
+      |  JOIN hs h1 ON h1.id = p.id1
+      |  JOIN hs h2 ON h2.id = p.id2
+      |  WHERE 5 * LEN(LIST_INTERSECT(h1.hs, h2.hs))
+      |        >= 4 * LEN(LIST_DISTINCT(LIST_CONCAT(h1.hs, h2.hs)))),
+      |cur AS (SELECT d.doc_id, d.source FROM dedup d
+      |        LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL),
+      |raw_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+      |          FROM documents GROUP BY source),
+      |len_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_len
+      |          FROM kept GROUP BY source),
+      |ex_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |         FROM dedup GROUP BY source),
+      |nr_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_near
+      |         FROM cur GROUP BY source)
+      |SELECT r.source, r.n_raw,
+      |       COALESCE(l.n_len, 0) AS n_len,
+      |       COALESCE(e.n_exact, 0) AS n_exact,
+      |       COALESCE(n.n_near, 0) AS n_near,
+      |       CAST(CAST(COALESCE(n.n_near, 0) AS HUGEINT) * 1000000
+      |            // r.n_raw AS BIGINT) AS survival_micro
+      |FROM raw_c r
+      |LEFT JOIN len_c l USING (source)
+      |LEFT JOIN ex_c e USING (source)
+      |LEFT JOIN nr_c n USING (source)
+      |ORDER BY source""".stripMargin
 
   // ------------------------------------------ q174 file provenance
 
@@ -7523,7 +7561,7 @@ object Queries {
     QueryDef("q170_mann_whitney", q170, Some(q170Sql)),
     QueryDef("q171_phash_neardup", q171, None),
     QueryDef("q172_bpe_coverage", q172, None),
-    QueryDef("q173_curation_funnel", q173, None),
+    QueryDef("q173_curation_funnel", q173, Some(q173Sql)),
     QueryDef("q174_file_provenance", q174, Some(q174Sql)),
     QueryDef("q175_benford_by_segment", q175, Some(q175Sql)),
     QueryDef("q176_survival_curve", q176, Some(q176Sql)),

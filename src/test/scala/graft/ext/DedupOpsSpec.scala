@@ -29,6 +29,20 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!byPair.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("portable lane: exact dup dropped (greater id), j=0.78 near-dup " +
+      "survives the integer 5·|∩| ≥ 4·|∪| cut, unrelated kept") {
+    val kept = DedupOps.dropNearDupsPortable(planted)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // (1,4) exact: 5·8 ≥ 4·8 → drop 4; (1,2): 5·7 = 35 < 36 = 4·9 → keep
+    assert(kept == Set(1L, 2L, 3L))
+    // the portable candidate pipeline surfaces both planted pairs
+    val cand = DedupOps.portableCandidatePairs(
+      DedupOps.portableHashedTokens(planted))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 4L)))
+    assert(!cand.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("word shingles: n=1 distinct tokens; n=3 sliding windows") {
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val s1 = df.select(DedupOps.shingles(
