@@ -60,6 +60,9 @@ object DedupOps {
     * each hashed to one long. Two docs collide in a band iff that slice
     * matches exactly. */
   def bandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — truncated " +
+        "rows-per-band would silently drop trailing signature positions")
     val r = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, slice(signature, b * lit(r) + lit(1), lit(r))))
@@ -194,6 +197,9 @@ object DedupOps {
   def portableCandidatePairs(hashed: DataFrame, numHashes: Int = 64,
       bands: Int = 8, maxBucket: Int = 64): DataFrame = {
     import graft.functions.HashFunctions.{md5Hash60Local, minhashXorSignature}
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — truncated " +
+        "rows-per-band would silently drop trailing signature positions")
     val r = numHashes / bands
     val perm: Seq[Long] =
       (0 until numHashes).map(j => md5Hash60Local(s"mhperm_$j"))

@@ -1066,34 +1066,45 @@ object Queries {
       .limit(20)
   }
 
-  /** DuckDB rebuild of the whole portable MinHash-LSH pipeline: md5-60
-    * token hashes, XOR-family signatures, slice-keyed band buckets with
-    * the 2..64 bucket-size guard, in-bucket normalized pairs, exact
-    * hashed-set Jaccard with the FLOOR half-up rounding. */
+  /** The portable MinHash candidate pipeline as standalone DuckDB CTE
+    * text, parameterized by the source relation — ONE spelling shared
+    * by the q30 and q173 oracles, mirroring
+    * [[graft.ext.DedupOps.portableHashedTokens]] +
+    * [[graft.ext.DedupOps.portableCandidatePairs]] (md5-60 token
+    * hashes, XOR-family signatures, slice-keyed band buckets with the
+    * 2..64 guard, in-bucket normalized pairs). Emits CTEs
+    * tok/h/hs/perm/sig/band/bucket/pairs; `hs` (id → distinct hash
+    * list) is what verification joins against. */
+  private def portableMinhashCtes(source: String): String =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+       |                            t -> LEN(t) > 0)) AS t
+       |  FROM $source),
+       |h AS (SELECT id, CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) AS h
+       |      FROM tok),
+       |hs AS (SELECT id, LIST(DISTINCT h) AS hs FROM h GROUP BY 1),
+       |perm AS (SELECT j,
+       |                CAST('0x' || SUBSTR(MD5('mhperm_' || j), 1, 15)
+       |                     AS BIGINT) AS c
+       |         FROM (SELECT UNNEST(RANGE(0, 64)) AS j)),
+       |sig AS (SELECT h.id, perm.j, MIN(XOR(h.h, perm.c)) AS m
+       |        FROM h CROSS JOIN perm GROUP BY 1, 2),
+       |band AS (SELECT id, j // 8 AS band, LIST(m ORDER BY j) AS key
+       |         FROM sig GROUP BY 1, 2),
+       |bucket AS (SELECT band, key, LIST(id) AS ids
+       |           FROM band GROUP BY 1, 2
+       |           HAVING COUNT(*) BETWEEN 2 AND 64),
+       |pairs AS (SELECT DISTINCT LEAST(a, b) AS id1, GREATEST(a, b) AS id2
+       |          FROM bucket, UNNEST(ids) u1(a), UNNEST(ids) u2(b)
+       |          WHERE a <> b)""".stripMargin
+
+  /** DuckDB rebuild of the whole portable MinHash-LSH pipeline
+    * ([[portableMinhashCtes]]) plus the exact hashed-set Jaccard with
+    * the FLOOR half-up rounding. */
   private val q30Sql =
-    """WITH tok AS (
-      |  SELECT DISTINCT doc_id AS id,
-      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
-      |                            t -> LEN(t) > 0)) AS t
-      |  FROM documents),
-      |h AS (SELECT id, CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) AS h
-      |      FROM tok),
-      |hs AS (SELECT id, LIST(DISTINCT h) AS hs FROM h GROUP BY 1),
-      |perm AS (SELECT j,
-      |                CAST('0x' || SUBSTR(MD5('mhperm_' || j), 1, 15)
-      |                     AS BIGINT) AS c
-      |         FROM (SELECT UNNEST(RANGE(0, 64)) AS j)),
-      |sig AS (SELECT h.id, perm.j, MIN(XOR(h.h, perm.c)) AS m
-      |        FROM h CROSS JOIN perm GROUP BY 1, 2),
-      |band AS (SELECT id, j // 8 AS band, LIST(m ORDER BY j) AS key
-      |         FROM sig GROUP BY 1, 2),
-      |bucket AS (SELECT band, key, LIST(id) AS ids
-      |           FROM band GROUP BY 1, 2
-      |           HAVING COUNT(*) BETWEEN 2 AND 64),
-      |pairs AS (SELECT DISTINCT LEAST(a, b) AS id1, GREATEST(a, b) AS id2
-      |          FROM bucket, UNNEST(ids) u1(a), UNNEST(ids) u2(b)
-      |          WHERE a <> b)
-      |SELECT p.id1, p.id2,
+    s"WITH ${portableMinhashCtes("documents")}\n" +
+    """SELECT p.id1, p.id2,
       |       FLOOR(CAST(LEN(LIST_INTERSECT(h1.hs, h2.hs)) AS DOUBLE)
       |             / LEN(LIST_DISTINCT(LIST_CONCAT(h1.hs, h2.hs)))
       |             * 10000 + 0.5) / 10000 AS jaccard
@@ -6574,7 +6585,7 @@ object Queries {
     * integer cross-multiplied Jaccard ≥ 4/5 verification, greater-id
     * drop, per-source stage counts. */
   private val q173Sql =
-    """WITH tokc AS (
+    s"""WITH tokc AS (
       |  SELECT doc_id, source, text,
       |         LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
       |                         t -> LEN(t) > 0)) AS ntok
@@ -6583,28 +6594,7 @@ object Queries {
       |keep_ids AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY MD5(text)),
       |dedup AS (SELECT k.doc_id, k.source, k.text
       |          FROM kept k JOIN keep_ids USING (doc_id)),
-      |tok AS (
-      |  SELECT DISTINCT doc_id AS id,
-      |         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
-      |                            t -> LEN(t) > 0)) AS t
-      |  FROM dedup),
-      |h AS (SELECT id, CAST('0x' || SUBSTR(MD5(t), 1, 15) AS BIGINT) AS h
-      |      FROM tok),
-      |hs AS (SELECT id, LIST(DISTINCT h) AS hs FROM h GROUP BY 1),
-      |perm AS (SELECT j,
-      |                CAST('0x' || SUBSTR(MD5('mhperm_' || j), 1, 15)
-      |                     AS BIGINT) AS c
-      |         FROM (SELECT UNNEST(RANGE(0, 64)) AS j)),
-      |sig AS (SELECT h.id, perm.j, MIN(XOR(h.h, perm.c)) AS m
-      |        FROM h CROSS JOIN perm GROUP BY 1, 2),
-      |band AS (SELECT id, j // 8 AS band, LIST(m ORDER BY j) AS key
-      |         FROM sig GROUP BY 1, 2),
-      |bucket AS (SELECT band, key, LIST(id) AS ids
-      |           FROM band GROUP BY 1, 2
-      |           HAVING COUNT(*) BETWEEN 2 AND 64),
-      |pairs AS (SELECT DISTINCT LEAST(a, b) AS id1, GREATEST(a, b) AS id2
-      |          FROM bucket, UNNEST(ids) u1(a), UNNEST(ids) u2(b)
-      |          WHERE a <> b),
+      |${portableMinhashCtes("dedup")},
       |losers AS (
       |  SELECT DISTINCT p.id2 AS doc_id
       |  FROM pairs p

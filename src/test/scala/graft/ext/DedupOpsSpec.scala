@@ -35,12 +35,14 @@ class DedupOpsSpec extends AnyFunSuite with SparkTestBase {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     // (1,4) exact: 5·8 ≥ 4·8 → drop 4; (1,2): 5·7 = 35 < 36 = 4·9 → keep
     assert(kept == Set(1L, 2L, 3L))
-    // the portable candidate pipeline surfaces both planted pairs
+    // the candidate set is fully deterministic under the md5 perm family
+    // (cross-checked against a DuckDB run of the same pipeline): BOTH
+    // planted pairs surface, so keeping 2 proves the verification cut
+    // REJECTED a live candidate — the reject path is exercised, not vacuous
     val cand = DedupOps.portableCandidatePairs(
       DedupOps.portableHashedTokens(planted))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(cand.contains((1L, 4L)))
-    assert(!cand.exists { case (a, b) => a == 3L || b == 3L })
+    assert(cand == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
   test("word shingles: n=1 distinct tokens; n=3 sliding windows") {
