@@ -256,16 +256,21 @@ object DedupOps {
     * ([[SimilarityOps.lshBucket]]) generate candidates — same
     * bucket-array pair pattern as the text paths, degenerate-bucket
     * guard included — verified by exact cosine ≥ `minCosine`.
-    * Returns (id1, id2, cosine·4dp). */
+    * Returns (id1, id2, cosine·4dp). `portable = true` buckets with the
+    * md5-derived [[SimilarityOps.lshBucketPortable]] planes instead of
+    * xxhash64 — same pipeline, SQL-reproducible end to end (the q42
+    * DuckDB oracle; the [[dropNearDupsPortable]] precedent). */
   def embeddingNearDups(
       emb: DataFrame,
       minCosine: Double = 0.95,
       planes: Int = 12,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      portable: Boolean = false): DataFrame = {
     val bucketed = emb.select(
       col("vec_id").as("id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"),
-      SimilarityOps.lshBucket(col("embedding"), planes).as("bucket"))
+      (if (portable) SimilarityOps.lshBucketPortable(col("embedding"), planes)
+       else SimilarityOps.lshBucket(col("embedding"), planes)).as("bucket"))
     bucketed
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("items"))

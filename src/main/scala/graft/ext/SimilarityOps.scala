@@ -150,6 +150,41 @@ object SimilarityOps {
     bits.reduce(_ + _)
   }
 
+  /** Portable random-hyperplane LSH bucket — the oracle-checkable lane
+    * beside [[lshBucket]]'s xxhash64 throughput lane (the q30
+    * XOR-permutation precedent: keep the fast hash as the production
+    * engine, expose an md5-derived spelling any SQL dialect reproduces
+    * verbatim). Planes are ±1 sign vectors from [[projectionSigns]]
+    * (Rademacher hyperplanes — the same Achlioptas construction
+    * [[randomProject]] uses; sign-LSH needs only direction, so ±1
+    * components are as valid as uniform ones), keyed by the GLOBAL plane
+    * index `planeOffset + p` under seed `"lshp"`.
+    *
+    * The sign decision runs in EXACT integer arithmetic: each float
+    * component widens to double (IEEE-exact) and quantizes to micro-units
+    * `⌊x·1e6 + 0.5⌋` as a long, so the `Σ ±q_i ≥ 0` bit is independent of
+    * summation order — no engine pair can disagree on a bucket, unlike a
+    * float dot whose near-zero sign rides fold order. |Σ| ≤ dim·1e6·|x|max,
+    * nowhere near 2^63 for unit-scale embeddings. The signs ship as ONE
+    * literal matrix (planes·dim longs), broadcast with the plan — scan
+    * speed, no shuffle, same shape as the throughput lane. */
+  def lshBucketPortable(embedding: Column, planes: Int, planeOffset: Int = 0,
+      inDim: Int = 64, seed: String = "lshp"): Column = {
+    val signs = projectionSigns(seed, planeOffset + planes, inDim)
+    // Expression-level "let" (the quantizeInt8 trick): the quantized array
+    // is referenced once per plane; bound as a lambda variable it is
+    // computed once per row, not `planes` times.
+    element_at(transform(array(
+        transform(embedding,
+          x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))), qv =>
+      (0 until planes).map { p =>
+        val row = array(signs(planeOffset + p).map(v => lit(v.toLong)): _*)
+        val dp = aggregate(zip_with(qv, row, (x, sg) => x * sg),
+          lit(0L), (acc, x) => acc + x)
+        when(dp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_ + _)), 1)
+  }
+
   /** Deterministic k-means-lite centroids for IVF: init = the k rows with
     * the smallest `xxhash64(vec_id)` (hash-spread, reproducible), then
     * `iters` Lloyd rounds — assign against broadcast centroids, recompute
@@ -222,18 +257,26 @@ object SimilarityOps {
     * union over tables, so recall grows monotonically with `tables` at
     * `tables`× the bucketing/join cost, never the scoring cost of a wider
     * bucket). The companion test measures recall against [[bruteForceKnn]].
-    */
+    *
+    * `portable = true` swaps the xxhash64 planes for the md5-derived
+    * [[lshBucketPortable]] set — identical pipeline shape, but every stage
+    * (bucketing, candidate join, exact-cosine verify, top-k) becomes
+    * SQL-expressible, so a foreign engine rebuilds the WHOLE result
+    * hash-for-hash (the q38 DuckDB oracle). */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      planes: Int = 8, tables: Int = 1): DataFrame = {
+      planes: Int = 8, tables: Int = 1,
+      portable: Boolean = false): DataFrame = {
     require(tables >= 1)
+    def bucketFor(t: Int) =
+      if (portable) lshBucketPortable(col("embedding"), planes, t * planes)
+      else lshBucket(col("embedding"), planes, t * planes)
     def withBuckets(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col("vec_id").as(idAs),
         toDoubleArray(col("embedding")).as(vecAs),
         // _outer: the table array is never empty (tables >= 1) and a
         // non-outer explode would get an inferred pre-filter duplicating
         // every per-table lshBucket expression twice more per row.
-        posexplode_outer(array((0 until tables).map(t =>
-          lshBucket(col("embedding"), planes, t * planes)): _*))
+        posexplode_outer(array((0 until tables).map(bucketFor): _*))
           .as(Seq("tbl", "bucket")))
     val cb = withBuckets(corpus, "vec_id", "vec")
     val qb = broadcast(withBuckets(queries, "query_id", "qvec"))

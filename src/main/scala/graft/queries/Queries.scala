@@ -1263,14 +1263,55 @@ object Queries {
       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   /** LSH-bucketed approximate KNN (the scale path; recall measured in
-    * SimilarityOpsSpec against the brute-force baseline). */
+    * SimilarityOpsSpec against the brute-force baseline). Runs the
+    * PORTABLE plane lane (md5-derived ±1 hyperplanes, integer-exact sign
+    * bits — [[graft.ext.SimilarityOps.lshBucketPortable]]) so the DuckDB
+    * oracle rebuilds bucketing, candidate join, and exact-cosine top-k
+    * verbatim; the xxhash64 lane stays the throughput default and keeps
+    * its recall spec. */
   private def q38(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     // tables=2: OR-combined independent plane sets (multi-table LSH) —
     // 2x bucketing cost for strictly higher recall.
     graft.ext.SimilarityOps.lshKnn(
-      emb, emb.filter(col("vec_id") <= 4), k = 10, tables = 2)
+      emb, emb.filter(col("vec_id") <= 4), k = 10, tables = 2,
+      portable = true)
   }
+
+  /** The q38 oracle re-derives the ±1 plane matrix from md5 exactly as
+    * [[graft.ext.SimilarityOps.projectionSigns]] does (global plane index
+    * g = tbl·8 + bit under seed `lshp`), quantizes each embedding
+    * component to integer micro-units, and packs the exact-integer sign
+    * bits — so bucket keys match bit-for-bit; candidates, cosines, and
+    * ranks then follow the proven q37 spelling. */
+  private val q38Sql =
+    """WITH dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
+      |gs AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS g),
+      |s AS (SELECT g, i,
+      |        CASE WHEN SUBSTR(MD5('lshp_' || g || '_' || i), 1, 1) < '8'
+      |             THEN 1 ELSE -1 END AS sgn FROM gs, dims),
+      |e AS (SELECT vec_id, i,
+      |        CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |      FROM embeddings, dims),
+      |d AS (SELECT vec_id, g, SUM(q * sgn) AS dp FROM e JOIN s USING (i) GROUP BY 1, 2),
+      |b AS (SELECT vec_id, g // 8 AS tbl,
+      |        SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << (g % 8)) ELSE 0 END) AS bucket
+      |      FROM d GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+      |         FROM b cb JOIN b qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+      |         WHERE qb.vec_id <= 4 AND cb.vec_id <> qb.vec_id),
+      |scored AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |         LIST_COSINE_SIMILARITY(
+      |           LIST_TRANSFORM(e1.embedding, x -> CAST(x AS DOUBLE)),
+      |           LIST_TRANSFORM(e2.embedding, x -> CAST(x AS DOUBLE))) AS cos
+      |  FROM cand JOIN embeddings e1 ON e1.vec_id = cand.vec_id
+      |            JOIN embeddings e2 ON e2.vec_id = cand.query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+      |      FROM scored)
+      |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, ROUND(cos, 4) AS cosine
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   /** Band (interval) join via [[graft.operators.RangeJoin.band]]: purchases
     * within ±1 hour of each click, per user — bucketized hash join (one
@@ -1422,10 +1463,43 @@ object Queries {
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets + exact cosine
     * verification — the embedding flavor of the dedup family. Threshold 0
-    * with top-20 keeps the output non-empty on corpora without true dups. */
+    * with top-20 keeps the output non-empty on corpora without true dups.
+    * Portable md5 planes (q38's lane, single table of 12 bits) so the
+    * bucket→pair→verify pipeline is DuckDB-reproducible end to end. */
   private def q42(s: SparkSession, d: String): DataFrame =
     graft.ext.DedupOps.embeddingNearDups(
-      t(s, d, "embeddings"), minCosine = 0.0).limit(20)
+      t(s, d, "embeddings"), minCosine = 0.0, portable = true).limit(20)
+
+  /** Same plane derivation as q38Sql (single table, g = 0..11), then the
+    * bucketed pair join with the ≤64 degenerate-bucket guard and the
+    * round-before-threshold cosine — embeddingNearDups verbatim. */
+  private val q42Sql =
+    """WITH dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
+      |gs AS (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS g),
+      |s AS (SELECT g, i,
+      |        CASE WHEN SUBSTR(MD5('lshp_' || g || '_' || i), 1, 1) < '8'
+      |             THEN 1 ELSE -1 END AS sgn FROM gs, dims),
+      |e AS (SELECT vec_id, i,
+      |        CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+      |      FROM embeddings, dims),
+      |d AS (SELECT vec_id, g, SUM(q * sgn) AS dp FROM e JOIN s USING (i) GROUP BY 1, 2),
+      |b AS (SELECT vec_id,
+      |        SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << g) ELSE 0 END) AS bucket
+      |      FROM d GROUP BY 1),
+      |sz AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1),
+      |pairs AS (SELECT a.vec_id AS id1, c.vec_id AS id2
+      |          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |          JOIN sz ON sz.bucket = a.bucket
+      |          WHERE sz.n BETWEEN 2 AND 64),
+      |scored AS (SELECT DISTINCT id1, id2,
+      |        ROUND(LIST_COSINE_SIMILARITY(
+      |          LIST_TRANSFORM(e1.embedding, x -> CAST(x AS DOUBLE)),
+      |          LIST_TRANSFORM(e2.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+      |  FROM pairs JOIN embeddings e1 ON e1.vec_id = pairs.id1
+      |             JOIN embeddings e2 ON e2.vec_id = pairs.id2)
+      |SELECT id1, id2, cosine FROM scored
+      |WHERE cosine >= 0.0
+      |ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin
 
   /** Stubbed decode through the real mapPartitions harness
     * ([[graft.ext.MultimodalOps.decodeFeatures]]): typed schema, per-row
@@ -7409,12 +7483,12 @@ object Queries {
     QueryDef("q35_token_count", q35, Some(q35Sql)),
     QueryDef("q36_fingerprint", q36, Some(q36Sql)),
     QueryDef("q37_ann_bruteforce", q37, Some(q37Sql)),
-    QueryDef("q38_ann_lsh", q38, None),
+    QueryDef("q38_ann_lsh", q38, Some(q38Sql)),
     QueryDef("q39_multimodal_meta", q39, Some(q39Sql)),
     QueryDef("q39b_multimodal_decode", q39b, None),
     QueryDef("q40_asof_join", q40, Some(q40Sql)),
     QueryDef("q41_ann_ivf", q41, None),
-    QueryDef("q42_embedding_neardup", q42, None),
+    QueryDef("q42_embedding_neardup", q42, Some(q42Sql)),
     QueryDef("q43_json_build", q43, Some(q43Sql)),
     QueryDef("q44_from_json", q44, Some(q44Sql)),
     QueryDef("q45_window_range", q45, Some(q45Sql)),

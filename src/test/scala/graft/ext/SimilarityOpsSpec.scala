@@ -80,6 +80,53 @@ class SimilarityOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
+  test("lshBucketPortable matches a driver-side md5 reference bucket-for-bucket") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 50)
+    // Independent reference: md5 first-hex-nibble signs (the projectionSigns
+    // rule, seed "lshp", global plane index) over integer micro-unit
+    // quantized components — exactly what the q38/q42 DuckDB oracles derive.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(g: Int, i: Int): Long = {
+      md.reset()
+      val h = md.digest(s"lshp_${g}_${i}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1L else -1L
+    }
+    def refBucket(v: Array[Float], planes: Int, offset: Int): Long =
+      (0 until planes).map { p =>
+        val dp = v.indices.map(i =>
+          sign(offset + p, i) * math.floor(v(i).toDouble * 1e6 + 0.5).toLong).sum
+        if (dp >= 0) 1L << p else 0L
+      }.sum
+    val rows = emb.select($"vec_id",
+        SimilarityOps.lshBucketPortable($"embedding", 8).as("b0"),
+        SimilarityOps.lshBucketPortable($"embedding", 8, planeOffset = 8).as("b1"),
+        $"embedding")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](3).toArray
+      assert(r.getLong(1) == refBucket(v, 8, 0), s"vec ${r.getLong(0)} table 0")
+      assert(r.getLong(2) == refBucket(v, 8, 8), s"vec ${r.getLong(0)} table 1")
+    }
+    // Offset planes are a DIFFERENT set (multi-table independence):
+    assert(rows.exists(r => r.getLong(1) != r.getLong(2)))
+  }
+
+  test("lshKnn portable lane: scoring agrees with brute force; recall > 0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" <= 3)
+    val exact = SimilarityOps.bruteForceKnn(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = SimilarityOps.lshKnn(emb, queries, k = 10, planes = 8,
+        tables = 2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(approx.nonEmpty)
+    val shared = approx.keySet.intersect(exact.keySet)
+    assert(shared.nonEmpty, "portable LSH found none of the true top-10")
+    shared.foreach { k => assert(math.abs(approx(k) - exact(k)) < 1e-9) }
+  }
+
   test("semDedup: same-cell near-dups dropped to lowest-id rep, cross-direction pairs kept") {
     // Two 1-D-ish cells: c0 = x-axis, c1 = y-axis.
     val cents = Seq((0L, Array(1.0d, 0.0d)), (1L, Array(0.0d, 1.0d)))
