@@ -83,4 +83,48 @@ class HardNegativesIvfSpec extends AnyFunSuite with SparkTestBase {
         (r.getLong(2), r.getDouble(3))).toMap
     assert(a == b)
   }
+
+  test("q166 brute anchor bounds its query side past 10k vectors: exactly " +
+      "the 32 md5-lowest queries, each still scored against the FULL corpus") {
+    import org.apache.spark.sql.functions._
+    val sqlc = spark
+    import sqlc.implicits._
+    val n = 10050
+    // Deterministic synthetic corpus just over the bound (the fixture
+    // scales never cross it — VERDICT r11 #2's branch needs live coverage).
+    val dir = java.nio.file.Files.createTempDirectory("q166bound").toString
+    spark.range(1, n + 1).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          sin(col("vec_id") * 31 + j).cast("float")).as("embedding"),
+        pmod(col("vec_id"), lit(5)).cast("int").as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Queries.all.find(_.name == "q166_hard_negatives").get
+      .fn(spark, dir).collect()
+    assert(out.length == 32, s"expected 32 sampled queries, got ${out.length}")
+    // The sample is the md5_60("q166q_<id>")-lowest 32 — recompute
+    // independently through the same portable hash.
+    val expected = spark.range(1, n + 1).toDF("vec_id")
+      .orderBy(graft.functions.HashFunctions.md5Hash60(
+        concat(lit("q166q_"), col("vec_id"))), col("vec_id"))
+      .limit(32).collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == expected)
+    // Full-corpus scoring: spot-check 3 sampled queries against a
+    // driver-side brute pass over ALL n vectors.
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(j => math.sin(id * 31.0 + j).toFloat.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.sortBy(_.getLong(0)).take(3).foreach { r =>
+      val q = r.getLong(0); val qv = vec(q); val qLabel = q % 5
+      val best = (1L to n.toLong).filter(_ % 5 != qLabel)
+        .map(c => (cos(vec(c), qv), c)).maxBy { case (cz, c) => (cz, -c) }
+      assert(r.getLong(1) == best._2, s"query $q neg_id")
+      assert(math.abs(r.getDouble(2) -
+        math.floor(best._1 * 10000 + 0.5) / 10000) <= 1e-4, s"query $q cos")
+    }
+  }
 }
