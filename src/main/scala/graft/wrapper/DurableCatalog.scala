@@ -1,0 +1,136 @@
+package graft.wrapper
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Durable script/connection catalog (VERDICT r11 #3). In the host engine
+  * `CREATE SCRIPT` and `CREATE CONNECTION` make durable catalog objects —
+  * the reference itself is *installed once* via this DDL (query_wrapper
+  * .sql:22, README.md:12) and survives forever — while graft's registries
+  * ([[ScriptRegistry]], [[SqlCompat]]'s connection map) are driver-memory
+  * and die with the JVM. SQL-bodied scripts and named connections are
+  * pure data, so a [[LogStore]]-backed wrapper writes them through to two
+  * warehouse tables beside the job log (`<root>/scripts`,
+  * `<root>/connections`) and [[QueryWrapper.init]] rehydrates both
+  * registries on construction: a fresh session sees every surviving
+  * object, exactly the host catalog model. Scala-closure scripts
+  * (registered via [[ScriptRegistry.register]] directly) are
+  * session-scoped by nature and never persist.
+  *
+  * Both tables are metadata-sized (one row per catalog object), so the
+  * REPLACE/DROP rewrite is the same read-transform-overwrite discipline
+  * as [[LogStore.close]] — distributed projection + lineage-breaking
+  * localCheckpoint, never a driver collect.
+  */
+final class DurableCatalog(
+    spark: SparkSession,
+    rootDir: String,
+    clock: () => Instant = () => Instant.now()) {
+
+  val scriptsPath = s"$rootDir/scripts"
+  val connectionsPath = s"$rootDir/connections"
+
+  /** The full original DDL text is the persisted form — rehydration
+    * re-parses it through the SAME [[SqlCompat.parseCreateScript]] the
+    * live path uses, so stored and freshly-created scripts can never
+    * diverge in interpretation. */
+  val scriptsSchema: StructType = StructType(Seq(
+    StructField("script_name", StringType, nullable = false),
+    StructField("ddl", StringType, nullable = false),
+    StructField("created_at", TimestampType)))
+
+  val connectionsSchema: StructType = StructType(Seq(
+    StructField("connection_name", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("conn_user", StringType),
+    StructField("conn_pass", StringType),
+    StructField("created_at", TimestampType)))
+
+  private def fs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def exists(path: String): Boolean = {
+    val (p, f) = fs(path); f.exists(p)
+  }
+
+  def scripts: DataFrame =
+    if (exists(scriptsPath))
+      spark.read.schema(scriptsSchema).parquet(scriptsPath)
+    else spark.createDataFrame(new java.util.ArrayList[Row](), scriptsSchema)
+
+  def connections: DataFrame =
+    if (exists(connectionsPath))
+      spark.read.schema(connectionsSchema).parquet(connectionsPath)
+    else spark.createDataFrame(
+      new java.util.ArrayList[Row](), connectionsSchema)
+
+  /** Upsert-by-key rewrite of a one-row-per-object table: survivors are
+    * checkpointed BEFORE the overwrite touches the files being read
+    * (the LogStore.close/SqlCompat.runUpdate discipline). */
+  private def rewrite(path: String, schema: StructType, current: DataFrame,
+      keyCol: String, key: String, replacement: Seq[Row]): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, upper}
+    val survivors = current.filter(upper(col(keyCol)) =!= key)
+    val next = survivors
+      .unionByName(spark.createDataFrame(replacement.asJava, schema))
+      .coalesce(1) // catalog tables are one row per object — one file
+      .localCheckpoint()
+    next.write.mode("overwrite").parquet(path)
+  }
+
+  private def canonical(name: String): String =
+    name.replace("`", "").toUpperCase
+
+  def saveScript(name: String, ddl: String): Unit = synchronized {
+    val key = canonical(name)
+    rewrite(scriptsPath, scriptsSchema, scripts, "script_name", key,
+      Seq(Row(key, ddl, Timestamp.from(clock()))))
+  }
+
+  def dropScript(name: String): Unit = synchronized {
+    rewrite(scriptsPath, scriptsSchema, scripts, "script_name",
+      canonical(name), Nil)
+  }
+
+  def saveConnection(name: String, url: String, user: Option[String],
+      pass: Option[String]): Unit = synchronized {
+    val key = canonical(name)
+    rewrite(connectionsPath, connectionsSchema, connections,
+      "connection_name", key,
+      Seq(Row(key, url, user.orNull, pass.orNull, Timestamp.from(clock()))))
+  }
+
+  def dropConnection(name: String): Unit = synchronized {
+    rewrite(connectionsPath, connectionsSchema, connections,
+      "connection_name", canonical(name), Nil)
+  }
+
+  /** Load both catalog tables into the live registries. In-memory entries
+    * win (within a JVM the registry is at least as new as the store —
+    * every DDL writes through), so rehydration only fills names the
+    * session hasn't seen; on a fresh JVM that is everything. Tables are
+    * one row per object, so the collect here is bounded by catalog size,
+    * not data size. */
+  def rehydrate(): Unit = synchronized {
+    scripts.collect().foreach { r =>
+      val name = r.getString(0)
+      if (ScriptRegistry.lookup(name).isEmpty)
+        SqlCompat.parseCreateScript(r.getString(1)).foreach { cs =>
+          ScriptRegistry.register(name,
+            ScriptRegistry.Script(SqlCompat.scriptStepsFor(cs)))
+        }
+    }
+    connections.collect().foreach { r =>
+      val name = r.getString(0)
+      if (SqlCompat.lookupConnection(name).isEmpty)
+        SqlCompat.registerConnection(name, SqlCompat.Connection(
+          r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+    }
+  }
+}

@@ -34,7 +34,7 @@ final case class LogMessage(
   */
 final class LogStore(
     spark: SparkSession,
-    rootDir: String,
+    val rootDir: String,
     clock: () => Instant = () => Instant.now()) {
 
   val jobLogPath = s"$rootDir/job_log"

@@ -58,6 +58,14 @@ final class QueryWrapper private (
     val scriptName: String,
     clock: () => Instant) {
 
+  /** Durable script/connection catalog beside the job log (VERDICT r11
+    * #3): a LogStore-backed wrapper persists DDL-created objects to
+    * `<root>/scripts` + `<root>/connections` and rehydrates them in
+    * [[init]]; in-memory wrappers stay session-scoped (QW:448's
+    * nothing-persists mode). */
+  private val durableCatalog: Option[DurableCatalog] =
+    logStore.map(ls => new DurableCatalog(spark, ls.rootDir, clock))
+
   /** `verbosity` (QW:416): ≥3 logs DEBUG per statement, 2 logs INFO, <2 off. */
   var verbosity: Int = 2
   /** `on_error` (QW:417): abort (no rollback) | rollback | continue. */
@@ -123,7 +131,8 @@ final class QueryWrapper private (
       // time binding, not to this wrapper's current params (an unbound
       // `::P` would otherwise raise at CREATE, and a bound one would
       // freeze today's value into the body).
-      if (SqlCompat.handleScriptDdl(sqlText)) QueryResult.empty(sqlText)
+      if (SqlCompat.handleScriptDdl(sqlText, durableCatalog))
+        QueryResult.empty(sqlText)
       else if (identifierBinding == "native") {
         val (rewritten, extra) = Params.nativeIdentifiers(sqlText, params)
         stmtText = rewritten
@@ -217,7 +226,7 @@ final class QueryWrapper private (
         val exported = SqlCompat.runParquetExport(spark,
           SqlCompat.parseParquetExport(stmt).get)
         new QueryResult(stmt, None, Some(exported), None)
-      case _ if SqlCompat.handleConnectionDdl(stmt) =>
+      case _ if SqlCompat.handleConnectionDdl(stmt, durableCatalog) =>
         // CREATE/DROP CONNECTION: named JDBC endpoints for IMPORT/EXPORT.
         QueryResult.empty(stmt)
       case _ if SqlCompat.parseJdbcImport(stmt)
@@ -477,6 +486,10 @@ final class QueryWrapper private (
     // functions SQL-visible, so pass-through statements (QW:40 delegation)
     // run unchanged. Idempotent re-registration.
     graft.functions.GraftExtensions.register(spark)
+    // Durable catalog objects from prior sessions become visible before
+    // any statement can reference them (host engines resolve scripts and
+    // connections from the shared catalog at statement time).
+    durableCatalog.foreach(_.rehydrate())
     logStore.foreach { ls =>
       // QW:246–283: INSERT-then-MAX id allocation + early commit.
       val id = ls.register(scriptName)

@@ -806,24 +806,43 @@ object SqlCompat {
 
   /** `CREATE [OR REPLACE] CONNECTION c TO 'url' [USER 'u' IDENTIFIED BY 'p']`
     * / `DROP CONNECTION [IF EXISTS] c`. Returns true if the statement was a
-    * connection DDL (handled here). */
-  def handleConnectionDdl(sql: String): Boolean = sql match {
+    * connection DDL (handled here). With a [[DurableCatalog]] the object
+    * also writes through to the warehouse `connections` table (the host
+    * engine's durable-catalog model — VERDICT r11 #3); without one
+    * (in-memory wrapper, direct calls) it stays session-scoped. */
+  def handleConnectionDdl(sql: String,
+      catalog: Option[DurableCatalog] = None): Boolean = sql match {
     case CreateConnRe(orReplace, name, url, user, pass) =>
       val key = name.replace("`", "").toUpperCase
       if (orReplace == null && connections.containsKey(key))
         throw new IllegalArgumentException(s"connection $key already exists")
       connections.put(key, Connection(url, Option(user), Option(pass)))
+      catalog.foreach(_.saveConnection(key, url, Option(user), Option(pass)))
       true
     case DropConnRe(ifExists, name) =>
       val key = name.replace("`", "").toUpperCase
       if (connections.remove(key) == null && ifExists == null)
         throw new IllegalArgumentException(s"connection $key does not exist")
+      catalog.foreach(_.dropConnection(key))
       true
     case _ => false
   }
 
   private[wrapper] def lookupConnection(name: String): Option[Connection] =
     Option(connections.get(name.replace("`", "").toUpperCase))
+
+  /** Registry write for [[DurableCatalog.rehydrate]] — bypasses the DDL
+    * parse (the stored row already carries the parsed fields). */
+  private[wrapper] def registerConnection(name: String, c: Connection): Unit = {
+    connections.put(name.replace("`", "").toUpperCase, c); ()
+  }
+
+  /** Memory-ONLY registry removal — session-restart simulation in specs
+    * (the durable row survives, so rehydrate restores it). DROP
+    * CONNECTION is the real removal path. */
+  private[wrapper] def forgetConnection(name: String): Unit = {
+    connections.remove(name.replace("`", "").toUpperCase); ()
+  }
 
   // EXA and ORA loader forms (Exasol's native-driver lanes) are accepted as
   // aliases of the JDBC grammar: in this engine all three resolve through
@@ -1126,17 +1145,29 @@ object SqlCompat {
     }
   }
 
+  /** Re-binding entry for [[DurableCatalog.rehydrate]]: build the step
+    * function for a stored (re-parsed) CREATE SCRIPT — the SAME
+    * interpretation path live DDL takes. */
+  private[wrapper] def scriptStepsFor(cs: CreateScript)
+      : Seq[Any] => Seq[(String, QueryWrapper => Any)] = scriptSteps(cs)
+
   /** Handle CREATE/DROP SCRIPT DDL against [[ScriptRegistry]]; returns
     * true iff the statement was one. Without OR REPLACE an existing name
     * raises (host-engine object-exists behavior); DROP of a missing name
-    * raises unless IF EXISTS. */
-  def handleScriptDdl(sql: String): Boolean =
+    * raises unless IF EXISTS. With a [[DurableCatalog]] the raw DDL text
+    * also writes through to the warehouse `scripts` table so a fresh
+    * session rehydrates it (VERDICT r11 #3); Lua bodies persist too —
+    * they are catalog objects in the host engine even though EXECUTE
+    * raises here. */
+  def handleScriptDdl(sql: String,
+      catalog: Option[DurableCatalog] = None): Boolean =
     parseCreateScript(sql) match {
       case Some(cs) =>
         if (!cs.replace && ScriptRegistry.lookup(cs.name).isDefined)
           throw new IllegalArgumentException(
             s"script ${cs.name} already exists (use CREATE OR REPLACE)")
         ScriptRegistry.register(cs.name, ScriptRegistry.Script(scriptSteps(cs)))
+        catalog.foreach(_.saveScript(cs.name, sql))
         true
       case None => sql match {
         case DropScriptRe(ifExists, name) =>
@@ -1144,6 +1175,7 @@ object SqlCompat {
             throw new IllegalArgumentException(
               s"script $name does not exist")
           ScriptRegistry.drop(name)
+          catalog.foreach(_.dropScript(name))
           true
         case _ => false
       }

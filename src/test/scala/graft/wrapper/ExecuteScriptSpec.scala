@@ -182,6 +182,86 @@ class ExecuteScriptSpec extends AnyFunSuite with SparkTestBase {
     } finally ScriptRegistry.drop("etl.count_regions")
   }
 
+  test("scripts and connections survive a session restart via the durable " +
+      "catalog; DROP and REPLACE are durable too (VERDICT r11 #3)") {
+    val dir = Files.createTempDirectory("durable_catalog").toString
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("dc_region")
+    def freshWrapper() =
+      QueryWrapper(spark, Some(new LogStore(spark, dir, clock)), "dc", clock)
+    def simulateRestart(): Unit = {
+      // Driver-memory registries die with the JVM; the warehouse tables
+      // under `dir` survive. Clearing ONLY the memory side reproduces a
+      // fresh process against the same warehouse.
+      ScriptRegistry.drop("etl.durable_job")
+      SqlCompat.forgetConnection("DC_CONN")
+      assert(ScriptRegistry.lookup("etl.durable_job").isEmpty)
+    }
+    try {
+      val w1 = freshWrapper()
+      val (okS, _) = w1.query(
+        """CREATE SCRIPT etl.durable_job (minkey) AS
+          |  SELECT count(*) AS cnt FROM dc_region
+          |  WHERE r_regionkey >= :MINKEY""".stripMargin)
+      assert(okS)
+      val (okC, _) = w1.query(
+        "CREATE CONNECTION dc_conn TO 'jdbc:derby:memory:dcat' " +
+          "USER 'app' IDENTIFIED BY 'secret'")
+      assert(okC)
+
+      simulateRestart()
+      val w2 = freshWrapper() // init() rehydrates from dir
+      val conn = SqlCompat.lookupConnection("DC_CONN")
+      assert(conn.contains(SqlCompat.Connection(
+        "jdbc:derby:memory:dcat", Some("app"), Some("secret"))))
+      val (okE, res) = w2.query("EXECUTE SCRIPT etl.durable_job(2)")
+      assert(okE, res.error)
+      assert(res.dataFrame.get.collect()
+        .exists(_.getString(3) == "Entering function step_1"))
+
+      // OR REPLACE updates the STORED body: replace, restart, execute.
+      val (okR, _) = w2.query(
+        "CREATE OR REPLACE SCRIPT etl.durable_job () AS SELECT 42 AS answer")
+      assert(okR)
+      simulateRestart()
+      val w3 = freshWrapper()
+      val (okE2, res2) = w3.query("EXECUTE SCRIPT etl.durable_job()")
+      assert(okE2, res2.error)
+
+      // DROP is durable: gone from the store, so a restart cannot
+      // resurrect it; same for the connection.
+      assert(okDrop(w3, "DROP SCRIPT etl.durable_job"))
+      assert(okDrop(w3, "DROP CONNECTION dc_conn"))
+      simulateRestart()
+      val w4 = freshWrapper()
+      w4.onError = "continue"
+      val (okGone, _) = w4.query("EXECUTE SCRIPT etl.durable_job()")
+      assert(!okGone)
+      assert(SqlCompat.lookupConnection("DC_CONN").isEmpty)
+    } finally {
+      ScriptRegistry.drop("etl.durable_job")
+      SqlCompat.forgetConnection("DC_CONN")
+    }
+  }
+
+  private def okDrop(w: QueryWrapper, sql: String): Boolean = w.query(sql)._1
+
+  test("an in-memory wrapper (no log store) keeps DDL session-scoped: " +
+      "nothing to rehydrate from") {
+    val dir = Files.createTempDirectory("inmem_catalog").toString
+    try {
+      val w = QueryWrapper(spark, None, "inmem", clock)
+      val (okS, _) = w.query(
+        "CREATE SCRIPT etl.ephemeral_job () AS SELECT 1")
+      assert(okS)
+      // A store-backed wrapper over an EMPTY warehouse sees nothing: the
+      // in-memory DDL never wrote through.
+      ScriptRegistry.drop("etl.ephemeral_job")
+      QueryWrapper(spark, Some(new LogStore(spark, dir, clock)), "x", clock)
+      assert(ScriptRegistry.lookup("etl.ephemeral_job").isEmpty)
+    } finally ScriptRegistry.drop("etl.ephemeral_job")
+  }
+
   test("a CREATE LUA SCRIPT body is catalogued but raises the clear " +
       "not-executable error on EXECUTE") {
     try {
