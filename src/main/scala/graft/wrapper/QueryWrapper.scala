@@ -283,8 +283,11 @@ final class QueryWrapper private (
             // QUALIFY (window-expression filter) → subquery spelling
             val qf = SqlCompat.translateQualify(pf).getOrElse(pf)
             // Oracle-compat ROWNUM filter → LIMIT (subquery-wrapped
-            // under ORDER BY: the host numbers rows BEFORE the sort)
-            SqlCompat.translateRownum(qf).getOrElse(qf)
+            // under ORDER BY: the host numbers rows BEFORE the sort);
+            // select-list ROWNUM numbering → ROW_NUMBER() OVER the
+            // statement's own ORDER BY
+            val rn = SqlCompat.translateRownum(qf).getOrElse(qf)
+            SqlCompat.translateSelectRownum(rn).getOrElse(rn)
           }))
         val referenced = Params.valueParamNames(translated)
         val args: Map[String, Any] = referenced.flatMap { name =>

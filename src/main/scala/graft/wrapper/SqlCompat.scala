@@ -1293,6 +1293,64 @@ object SqlCompat {
     })
   }
 
+  private val SelectRownumItemRe =
+    "(?is)(^|,)(\\s*)rownum(\\s+as\\s+[\\w`]+|\\s+[\\w`]+)?\\s*(?=,|$)".r
+
+  /** Select-list `ROWNUM` numbering idiom (VERDICT r11 #6):
+    * `SELECT …, ROWNUM [AS rn], … FROM … ORDER BY k` → the item becomes
+    * `ROW_NUMBER() OVER (ORDER BY k) AS rn`. The deterministic reading —
+    * the one migrated code actually wants — numbers rows in the
+    * statement's own ORDER BY; the host's literal assign-before-sort
+    * semantics is scan-order-dependent and thus not reproducible under
+    * parallelism on ANY engine, so a statement with no top-level ORDER BY
+    * is conservatively rejected rather than given nondeterministic
+    * numbers.
+    *
+    * Also conservatively untouched (None): DISTINCT, GROUP BY/HAVING/
+    * QUALIFY heads (pre- vs post-aggregation numbering is ambiguous),
+    * more than one ROWNUM item, ROWNUM inside a larger expression,
+    * a ROWNUM WHERE-conjunct in the same statement (combined filter +
+    * numbering), ORDER BY keys that reference the numbering itself, and
+    * subquery/correlated uses (masked away, so they surface the host-
+    * style unresolved-identifier error). */
+  def translateSelectRownum(sql: String): Option[String] = {
+    val masked = maskNonTopLevel(sql)
+    val head = SelectHeadRe.findFirstMatchIn(masked).getOrElse(return None)
+    if (DistinctHeadRe.findFirstIn(masked).isDefined) return None
+    val end = bodyEnd(sql)
+    val from = FromKwRe.findFirstMatchIn(masked.substring(0, end))
+      .filter(_.start >= head.end).getOrElse(return None)
+    val listMasked = masked.substring(head.end, from.start)
+    val items = SelectRownumItemRe.findAllMatchIn(listMasked).toList
+    if (items.length != 1) return None
+    val m = items.head
+    // a ROWNUM WHERE-conjunct elsewhere in the statement → ambiguous
+    // combined form, reject (the filter-only path is translateRownum)
+    if ("(?i)\\brownum\\b".r.findAllMatchIn(masked.substring(from.start, end))
+        .nonEmpty) return None
+    if (GroupHavingKwRe.findFirstIn(masked.substring(from.start, end))
+        .isDefined) return None
+    val ob = OrderByKwRe.findFirstMatchIn(masked.substring(0, end))
+      .filter(_.start > from.start).getOrElse(return None)
+    val obEnd = LimitKwRe.findFirstMatchIn(masked.substring(ob.end, end))
+      .map(ob.end + _.start).getOrElse(end)
+    val keys = sql.substring(ob.end, obEnd).trim
+    if (keys.isEmpty) return None
+    val alias = Option(m.group(3))
+      .map(_.trim.replaceFirst("(?i)^as\\s+", "").trim)
+      .getOrElse("ROWNUM")
+    // ORDER BY must not reference the numbering it defines
+    if (("(?i)\\b" + java.util.regex.Pattern.quote(
+        alias.replace("`", "")) + "\\b").r
+        .findFirstIn(masked.substring(ob.start, obEnd).replace("`", ""))
+        .isDefined) return None
+    val itemStart = head.end + m.start + m.group(1).length + m.group(2).length
+    val itemEnd = head.end + m.end
+    Some(sql.substring(0, itemStart) +
+      s"ROW_NUMBER() OVER (ORDER BY $keys) AS $alias" +
+      sql.substring(itemEnd))
+  }
+
   // ------------------------------------------------------------- ASOF JOIN
 
   private val AsOfHeadRe =

@@ -50,6 +50,53 @@ class RownumDialectSpec extends AnyFunSuite with SparkTestBase {
       "UPDATE t SET a = 1 WHERE ROWNUM <= 5").isEmpty)
   }
 
+  test("translateSelectRownum: numbering idiom rewrites and conservative " +
+      "rejections (VERDICT r11 #6)") {
+    // bare item + ORDER BY → ROW_NUMBER over the statement's own sort
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY a").get ==
+      "SELECT ROW_NUMBER() OVER (ORDER BY a) AS ROWNUM, a FROM t ORDER BY a")
+    // AS alias and bare alias forms; mid-list position; LIMIT tail kept
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT a, ROWNUM AS rn, b FROM t ORDER BY b DESC, a LIMIT 5").get ==
+      "SELECT a, ROW_NUMBER() OVER (ORDER BY b DESC, a) AS rn, b FROM t " +
+        "ORDER BY b DESC, a LIMIT 5")
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT rownum rn, a FROM t ORDER BY a").get ==
+      "SELECT ROW_NUMBER() OVER (ORDER BY a) AS rn, a FROM t ORDER BY a")
+    // conservative: no ORDER BY (scan-order numbering is nondeterministic
+    // on any parallel engine), DISTINCT, GROUP BY, ROWNUM in WHERE too,
+    // ORDER BY referencing the numbering, expression uses, subquery uses,
+    // two items
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT DISTINCT ROWNUM, a FROM t ORDER BY a").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t GROUP BY a ORDER BY a").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t WHERE ROWNUM <= 5 ORDER BY a").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM AS rn, a FROM t ORDER BY rn").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM + 1, a FROM t ORDER BY a").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT a FROM (SELECT ROWNUM, a FROM t) s ORDER BY a").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, ROWNUM AS rn2, a FROM t ORDER BY a").isEmpty)
+  }
+
+  test("select-list ROWNUM through the wrapper numbers rows in sort order") {
+    val sqlc = spark
+    import sqlc.implicits._
+    Seq(30, 10, 20).toDF("v").createOrReplaceTempView("rn_s")
+    val w = QueryWrapper(spark)
+    val (ok, res) = w.query("SELECT ROWNUM AS rn, v FROM rn_s ORDER BY v")
+    assert(ok, res.errorMessage)
+    assert(res.dataFrame.get.collect().map(r => (r.getInt(0), r.getInt(1)))
+      .toSeq == Seq((1, 10), (2, 20), (3, 30)))
+  }
+
   test("ROWNUM through the wrapper: limits rows; ORDER BY form sorts the " +
       "limited set") {
     val sqlc = spark
