@@ -145,10 +145,11 @@ object IvfPq {
       .orderBy(col("adist").asc, col("vec_id").asc)
     posting.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
+      // exact long micro² score → rank, real-unit 4dp only in the output
       .withColumn("adist", PqOps.adcScore(col("lut"), col("codes")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"),
-        (floor(col("adist") * 10000 + lit(0.5)) / 10000).as("adist"))
+        PqOps.adcToReal(col("adist")).as("adist"))
       .orderBy(col("query_id"), col("rk"))
   }
 }

@@ -25,26 +25,37 @@ import org.apache.spark.sql.functions._
   *    compressed corpus streams out at scan speed;
   *  - [[searchAdc]] broadcasts the query side (LUTs included) and reuses
   *    the salted two-phase top-k, so no reducer holds a corpus slice;
-  *  - nothing draws randomness: init is hash-ordered, argmins round to
-  *    4dp before deciding and break ties toward the LOWEST code (the
-  *    repo's round-before-decision rule), so codes are reproducible
-  *    across runs, engines, and partitionings.
+  *  - nothing draws randomness, and (r12) ALL decision arithmetic is
+  *    exact-integer on the micro-unit grid (`⌊x·1e6+0.5⌋` longs): init is
+  *    md5-ordered, distances/LUTs/ADC sums are exact longs, argmins break
+  *    ties toward the LOWEST code, and Lloyd means re-quantize via exact
+  *    sums — codes and ranks are reproducible across runs, engines, and
+  *    partitionings, which is what lets the q101 DuckDB oracle unroll
+  *    train→encode→search end to end.
   */
 object PqOps {
 
-  /** Squared L2 between two array columns. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
-      lit(0.0d), (acc, x) => acc + x)
+  /** Micro-unit quantization of a double-array column: `⌊x·1e6 + 0.5⌋`
+    * as long — the r12 portable-arithmetic grid (the kmeansCentroids
+    * discipline). All PQ distances then run on EXACT integers, so codes,
+    * LUTs, and ADC ranks are engine-independent and the q101 DuckDB
+    * oracle can rebuild the whole train→encode→search pipeline. */
+  private def microQ(vec: Column): Column =
+    transform(vec, x => floor(x * 1e6 + lit(0.5)).cast("long"))
 
-  /** The whole codebook as ONE nested literal (m × k × subDim doubles),
-    * via `typedlit` — a single Literal node, so the per-row work is HOF
-    * loops over a constant, NOT a per-(sub, code) expression forest (a
-    * 32×32 codebook spelled as 1024 separate aggregate expressions costs
-    * tens of seconds of analysis + codegen before the first row moves,
-    * and even an `array(array(array(lit…)))` spelling re-folds a ~2k-node
-    * tree per plan; both measured on q101). */
-  private def cbLiteral(cents: Array[Array[Array[Double]]]): Column =
+  /** Exact integer squared L2 between two micro-unit long arrays. */
+  private def l2sqInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The whole codebook as ONE nested literal (m × k × subDim micro-unit
+    * longs), via `typedlit` — a single Literal node, so the per-row work
+    * is HOF loops over a constant, NOT a per-(sub, code) expression
+    * forest (a 32×32 codebook spelled as 1024 separate aggregate
+    * expressions costs tens of seconds of analysis + codegen before the
+    * first row moves, and even an `array(array(array(lit…)))` spelling
+    * re-folds a ~2k-node tree per plan; both measured on q101). */
+  private def cbLiteral(cents: Array[Array[Array[Long]]]): Column =
     typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** The m contiguous sub-vectors of an embedding as one array column:
@@ -59,16 +70,20 @@ object PqOps {
     * that sample here; [[encode]] then compresses the full corpus with no
     * further training cost.
     *
-    * Init: the k rows with the smallest `(xxhash64(vec_id), vec_id)` seed
-    * code c of EVERY subspace with their c-th sub-vector (the
-    * [[SimilarityOps.kmeansCentroids]] convention, per subspace). Each
-    * round: nearest-code assignment against broadcast centroids
-    * (4dp-rounded distance, lowest-code ties), then per-(sub, code) means
-    * in ONE `Summarizer.mean` shuffle; a code that captures no vectors
-    * keeps its previous centroid, so codebooks stay DENSE (exactly
-    * `m·k` rows — [[encode]]/[[searchAdc]] index by code position).
+    * Init: the k rows with the smallest `(md5_60("pqseed_<id>"), vec_id)`
+    * seed code c of EVERY subspace with their c-th sub-vector (the
+    * [[SimilarityOps.kmeansCentroids]] r12 portable convention, per
+    * subspace). Each round: nearest-code assignment against the literal
+    * codebook (EXACT integer micro-unit distances, lowest-code ties),
+    * then per-(sub, code) RE-QUANTIZED micro means `⌊Σq/n + 0.5⌋` — the
+    * per-dimension sums are integer-valued doubles below 2^53, exact in
+    * any summation order, so training is bit-identical across engines,
+    * runs, and partitionings; a code that captures no vectors keeps its
+    * previous centroid, so codebooks stay DENSE (exactly `m·k` rows —
+    * [[encode]]/[[searchAdc]] index by code position).
     *
-    * Returns (sub, code, centroid: array<double>). */
+    * Returns (sub, code, centroid: array<double>), centroid_i =
+    * micro-mean/1e6. */
   def trainCodebooks(sample: DataFrame, m: Int, k: Int,
       iters: Int = 2): DataFrame = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
@@ -81,100 +96,118 @@ object PqOps {
     val subDim = dim / m
     // One materialization; each Lloyd round re-reads THIS, not the source.
     val vecs = sample.select(col("vec_id"),
-        SimilarityOps.toDoubleArray(col("embedding")).as("vec"))
+        microQ(SimilarityOps.toDoubleArray(col("embedding"))).as("vec"))
       .localCheckpoint()
-    val seeds = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val seeds = vecs.orderBy(graft.functions.HashFunctions.md5Hash60(
+        concat(lit("pqseed_"), col("vec_id"))), col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
     require(seeds.length == k,
       s"PQ training sample has ${seeds.length} rows < k=$k")
-    // Codebooks live on the DRIVER between rounds (m·k·subDim doubles —
+    // Codebooks live on the DRIVER between rounds (m·k·subDim longs —
     // tiny by construction). Each round is then ONE Spark job with ONE
     // shuffle: assignment is a pure projection against the literal
     // codebook (the same expression encode uses — no broadcast join, no
     // per-(vec, sub) argmin shuffle; restructuring from the
     // join+groupBy spelling cut q101's training from ~12 s to ~2 s), and
-    // the per-(sub, code) means partial-aggregate through Summarizer.
-    val cents: Array[Array[Array[Double]]] =
+    // the per-(sub, code) sums partial-aggregate through Summarizer.
+    val cents: Array[Array[Array[Long]]] =
       Array.tabulate(m, k)((s, c) => seeds(c).slice(s * subDim, (s + 1) * subDim))
     (1 to iters).foreach { _ =>
-      val pairs = zip_with(nearestCodes(col("vec"), m, subDim, cents),
+      val pairs = zip_with(nearestCodesMicro(col("vec"), m, subDim, cents),
         subVectors(col("vec"), m, subDim),
         (c, v) => struct(c.as("code"), v.as("svec")))
-      val means = vecs.select(posexplode(pairs).as(Seq("sub", "p")))
+      val sums = vecs.select(posexplode(pairs).as(Seq("sub", "p")))
         .select(col("sub"), col("p.code").as("code"),
-          array_to_vector(col("p.svec")).as("v"))
+          array_to_vector(transform(col("p.svec"),
+            x => x.cast("double"))).as("v"))
         .groupBy(col("sub"), col("code"))
-        .agg(Summarizer.mean(col("v")).as("mv"))
-        .select(col("sub"), col("code"), vector_to_array(col("mv")).as("mean"))
+        .agg(Summarizer.sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), vector_to_array(col("sv")).as("sv"),
+          col("n"))
         .collect()
       // Empty codes keep their previous centroid — codebooks stay dense.
-      means.foreach(r =>
-        cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      // Mean re-quantization happens here on the driver with the same
+      // double-division-then-floor every engine reproduces.
+      sums.foreach { r =>
+        val n = r.getLong(3)
+        cents(r.getInt(0))(r.getInt(1)) =
+          r.getSeq[Double](2).map(s => math.floor(s / n + 0.5).toLong).toArray
+      }
     }
-    (0 until m).flatMap(s => (0 until k).map(c => (s, c, cents(s)(c).toSeq)))
+    (0 until m).flatMap(s => (0 until k).map(c =>
+        (s, c, cents(s)(c).map(_.toDouble / 1e6).toSeq)))
       .toDF("sub", "code", "centroid")
   }
 
-  /** Nearest-code ids (array<int>, one per subspace) for an embedding
-    * against the literal codebook — shared by [[trainCodebooks]]'s
-    * assignment step and [[encode]]. 4dp-rounded distances, first
-    * (= lowest) code on ties via `array_position` of the min; the
-    * distance array is bound through the single-element-transform "let"
-    * so it is computed once, not once per reference (the quantizeInt8
-    * lesson). */
-  /** The `m×k` ADC lookup table for one query-side vector: exact squared
-    * sub-distances to every code of every subspace — shared by
-    * [[searchAdc]] and [[IvfPq.query]] (there over the RESIDUAL vector). */
+  /** The `m×k` ADC lookup table for one query-side vector: EXACT integer
+    * squared sub-distances (micro² units) to every code of every
+    * subspace — shared by [[searchAdc]] and [[IvfPq.query]] (there over
+    * the RESIDUAL vector). The query quantizes to the same micro grid as
+    * training, so LUT entries are longs any engine reproduces. */
   private[ext] def lutExpr(vec: Column, m: Int, subDim: Int,
-      cents: Array[Array[Array[Double]]]): Column =
-    zip_with(subVectors(vec, m, subDim), cbLiteral(cents),
-      (sv, cbs) => transform(cbs, c => l2sq(sv, c)))
+      cents: Array[Array[Array[Long]]]): Column =
+    zip_with(subVectors(microQ(vec), m, subDim), cbLiteral(cents),
+      (sv, cbs) => transform(cbs, c => l2sqInt(sv, c)))
 
-  /** ADC score for one encoded row against a query's LUT: `m` lookups. */
+  /** ADC score for one encoded row against a query's LUT: `m` lookups,
+    * summed as exact longs (micro² units — ≤ m·subDim·(2·max|x|·1e6)²,
+    * comfortably inside long range for unit-scale embeddings). */
   private[ext] def adcScore(lut: Column, codes: Column): Column =
     aggregate(zip_with(lut, codes, (l, c) => element_at(l, c + 1)),
-      lit(0.0d), (acc, x) => acc + x)
+      lit(0L), (acc, x) => acc + x)
 
-  private def nearestCodes(vec: Column, m: Int, subDim: Int,
-      cents: Array[Array[Array[Double]]]): Column =
-    zip_with(subVectors(vec, m, subDim), cbLiteral(cents),
+  /** Micro² ADC score → real-unit squared distance, 4dp half-up:
+    * `⌊d/1e12·1e4 + 0.5⌋/1e4` — the output projection of [[searchAdc]]
+    * and [[IvfPq.query]]. */
+  private[ext] def adcToReal(adist: Column): Column =
+    floor(adist.cast("double") / 1e8 + lit(0.5)) / 10000
+
+  /** Nearest-code ids (array<int>, one per subspace) for a MICRO-UNIT
+    * long-array vector against the literal codebook — shared by
+    * [[trainCodebooks]]'s assignment step and [[encode]]. Distances are
+    * exact integers (no rounding gate needed), first (= lowest) code on
+    * ties via `array_position` of the min; the distance array is bound
+    * through the single-element-transform "let" so it is computed once,
+    * not once per reference (the quantizeInt8 lesson). */
+  private def nearestCodesMicro(qvec: Column, m: Int, subDim: Int,
+      cents: Array[Array[Array[Long]]]): Column =
+    zip_with(subVectors(qvec, m, subDim), cbLiteral(cents),
       (sv, cbs) => {
-        val dists = transform(cbs, c =>
-          floor(l2sq(sv, c) * 10000 + lit(0.5)) / 10000)
+        val dists = transform(cbs, c => l2sqInt(sv, c))
         element_at(transform(array(dists), dd =>
           (array_position(dd, array_min(dd)) - 1).cast("int")), 1)
       })
 
-  /** Driver-side dense codebook image: `(m, subDim, cents(sub)(code))`.
-    * Tiny by construction (`m·k·subDim` doubles). */
+  /** Driver-side dense codebook image in micro units:
+    * `(m, subDim, cents(sub)(code))`. The stored doubles are exactly
+    * `micro/1e6`, so `round(c·1e6)` recovers the longs losslessly. Tiny
+    * by construction (`m·k·subDim` longs). */
   private[ext] def collectCodebooks(codebooks: DataFrame)
-      : (Int, Int, Array[Array[Array[Double]]]) = {
+      : (Int, Int, Array[Array[Array[Long]]]) = {
     val rows = codebooks.select(col("sub"), col("code"), col("centroid"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).map(c => math.round(c * 1e6)).toArray))
     val m = rows.map(_._1).max + 1
     val k = rows.map(_._2).max + 1
     require(rows.length == m * k, s"codebooks not dense: ${rows.length} rows" +
       s" for m=$m k=$k")
-    val cents = Array.ofDim[Array[Double]](m, k)
+    val cents = Array.ofDim[Array[Long]](m, k)
     rows.foreach { case (s, c, v) => cents(s)(c) = v }
     (m, cents(0)(0).length, cents)
   }
 
   /** Compress every embedding to its `m` code ids — a pure projection
     * over the constant-folded codebook literal: no shuffle, no join, scan
-    * speed at any corpus size. Per sub-vector: 4dp-rounded distances to
-    * the sub's codes, first (= lowest) code on ties via `array_position`
-    * of the min; the distance array is bound through the
-    * single-element-transform "let" so it is computed once, not once per
-    * reference (the quantizeInt8 lesson). Output: (`idCol`,
-    * codes: array<int>). */
+    * speed at any corpus size. Per sub-vector: exact integer micro-unit
+    * distances to the sub's codes, first (= lowest) code on ties.
+    * Output: (`idCol`, codes: array<int>). */
   def encode(emb: DataFrame, codebooks: DataFrame,
       idCols: Seq[String] = Seq("vec_id")): DataFrame = {
     val (m, subDim, cents) = collectCodebooks(codebooks)
-    val vec = SimilarityOps.toDoubleArray(col("embedding"))
+    val qvec = microQ(SimilarityOps.toDoubleArray(col("embedding")))
     emb.select(idCols.map(col) :+
-      nearestCodes(vec, m, subDim, cents).as("codes"): _*)
+      nearestCodesMicro(qvec, m, subDim, cents).as("codes"): _*)
   }
 
   /** ADC top-k over a PQ-encoded corpus for a (small, broadcast) query
@@ -193,6 +226,8 @@ object PqOps {
     val qvec = SimilarityOps.toDoubleArray(col("embedding"))
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       lutExpr(qvec, m, subDim, cents).as("lut")))
+    // adist is an exact long (micro² units) — ranks are engine-exact; the
+    // final projection converts to real-unit squared distance at 4dp.
     val scored = encoded
       .join(q, col("vec_id") =!= col("query_id")) // skip self-match
       .withColumn("adist", adcScore(col("lut"), col("codes")))
@@ -206,7 +241,7 @@ object PqOps {
       .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= k)
       .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"),
-        (floor(col("adist") * 10000 + lit(0.5)) / 10000).as("adist"))
+        adcToReal(col("adist")).as("adist"))
       .orderBy(col("query_id"), col("rk"))
   }
 }

@@ -185,38 +185,90 @@ object SimilarityOps {
       }.reduce(_ + _)), 1)
   }
 
-  /** Deterministic k-means-lite centroids for IVF: init = the k rows with
-    * the smallest `xxhash64(vec_id)` (hash-spread, reproducible), then
-    * `iters` Lloyd rounds — assign against broadcast centroids, recompute
-    * via one `Summarizer.mean` shuffle. Each round is one corpus pass. */
+  /** Deterministic k-means-lite centroids for IVF — PORTABLE arithmetic
+    * (r12, replacing xxhash64 seeds + `Summarizer.mean`): seeds are the k
+    * rows with the smallest `md5_60("kmseed_<id>")`, and every Lloyd
+    * round runs on EXACT integers, so the SAME centroids come out of any
+    * engine, any partitioning, any run — which is what lets the q41
+    * DuckDB oracle unroll the whole training loop as CTEs:
+    *
+    *   - vectors quantize once to micro-units `⌊x·1e6 + 0.5⌋` (long);
+    *   - assignment scores are integer-dot cosines
+    *     (`qc/√(qq·cc)`, all three dots exact longs — cosine is
+    *     scale-invariant, so micro-units need no un-scaling), rounded to
+    *     4dp BEFORE an argmax that tie-breaks to the LOWEST cell (the
+    *     repo's round-before-decision rule, same as
+    *     IvfIndex.assignToCentroids);
+    *   - the recomputed centroid is the RE-QUANTIZED micro-unit mean
+    *     `⌊Σq/n + 0.5⌋` — per-dimension sums of integer-valued doubles
+    *     are exact (< 2^53) in ANY summation order, so the float-
+    *     partition-order sensitivity of the old `Summarizer.mean` path
+    *     is gone, and re-quantizing keeps every later dot inside long
+    *     range at any corpus size (components stay ≤ max|x|·1e6).
+    *
+    * Output: (cell, centroid array<double>), centroid_i = micro-mean/1e6
+    * — the true mean to 1e-6, same schema as before. Each round is one
+    * corpus pass against broadcast centroids. Exactness bound: dots stay
+    * in long while max|x| ≤ ~47 (64·(4.7e7)² < 2^63); embedding scales
+    * beyond that should be normalized first. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    import org.apache.spark.ml.stat.Summarizer
-    val vecs = emb.select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+    val qvs = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long")).as("qv"))
     // cell ids 0..k-1 over the k seed rows via the bounded two-phase rank
     // (k rows, but keeps the no-unpartitioned-window discipline uniform)
     var centroids = ShardOps.withGlobalRank(
-        vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k),
+        qvs.orderBy(graft.functions.HashFunctions.md5Hash60(
+          concat(lit("kmseed_"), col("vec_id"))), col("vec_id")).limit(k),
         Seq(col("vec_id")))
-      .select((col("__rn") - 1).cast("int").as("cell"),
-        col("vec").as("centroid"))
+      .select((col("__rn") - 1).cast("int").as("cell"), col("qv").as("cq"))
     (1 to iters).foreach { _ =>
-      centroids = assignCells(vecs, centroids)
+      centroids = assignCellsMicro(qvs, centroids)
+        .select(col("cell"), transform(col("qv"), x => x.cast("double")).as("qd"))
         .groupBy(col("cell"))
-        .agg(Summarizer.mean(array_to_vector(col("vec"))).as("mv"))
-        .select(col("cell"), vector_to_array(col("mv")).as("centroid"))
+        // zip_with-based elementwise array sum via aggregate over doubles
+        // would re-fold per row; Summarizer.sum partial-aggregates one
+        // vector per row through a single shuffle (the labelCentroids
+        // shape) and is EXACT here: integer-valued doubles below 2^53.
+        .agg(sumVec(col("qd")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cell"), transform(col("sv"),
+          s => floor(s / col("n") + lit(0.5)).cast("long")).as("cq"))
     }
-    centroids
+    centroids.select(col("cell"),
+      transform(col("cq"), x => x.cast("double") / 1e6).as("centroid"))
   }
 
-  /** Nearest-centroid assignment (cosine): broadcast centroids, per-row
-    * argmax via `max_by` — no shuffle of the corpus. */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col("vec"), col("centroid")))
+  /** Exact per-dimension vector sum (Summarizer.sum): map-side-combinable,
+    * one shuffle, order-independent on integer-valued inputs. */
+  private def sumVec(arr: Column): Column = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    vector_to_array(Summarizer.sum(array_to_vector(arr)))
+  }
+
+  /** Nearest-centroid assignment on micro-unit integers: broadcast
+    * centroids, exact long dots, 4dp-rounded score, lowest-cell
+    * tie-break — no shuffle of the corpus. */
+  private def assignCellsMicro(qvs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val qq = aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val cc = aggregate(zip_with(col("cq"), col("cq"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val qc = aggregate(zip_with(col("qv"), col("cq"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    qvs.crossJoin(broadcast(centroids.withColumn("cc", cc)))
+      .withColumn("qq", qq)
+      .withColumn("cos", when(col("qq") === 0L || col("cc") === 0L, 0.0d)
+        .otherwise(qc.cast("double") /
+          sqrt(col("qq").cast("double") * col("cc").cast("double"))))
+      .withColumn("cos4", floor(col("cos") * 10000 + lit(0.5)) / 10000)
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("vec")), col("cos")).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"), col("best.vec").as("vec"))
+      .agg(max_by(struct(col("cell"), col("qv")),
+        struct(col("cos4"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.qv").as("qv"))
+  }
 
   /** IVF approximate KNN: corpus rows indexed into `nCells` centroid
     * cells; each query probes its `nProbe` nearest cells and scores only
@@ -226,9 +278,19 @@ object SimilarityOps {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val centroids = kmeansCentroids(corpus, nCells, iters)
-    val indexed = assignCells(
-      corpus.select(col("vec_id"), toDoubleArray(col("embedding")).as("vec")),
-      centroids)
+    // Round-before-argmax + lowest-cell tie-break: the same assignment
+    // rule as the training rounds and IvfIndex.assignToCentroids — one
+    // decision rule everywhere.
+    val indexed = corpus
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos4",
+        floor(cosine(col("vec"), col("centroid")) * 10000 + lit(0.5)) / 10000)
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("vec")),
+        struct(col("cos4"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.vec").as("vec"))
 
     // Tiny per-query probe list: query × centroid (both broadcast-scale).
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))

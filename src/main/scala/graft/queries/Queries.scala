@@ -1423,6 +1423,103 @@ object Queries {
       s, ivfIndexDir(s, d), emb.filter(col("vec_id") <= 4), k = 10, nProbe = 4)
   }
 
+  /** The q41 oracle unrolls the ENTIRE pipeline — portable k-means
+    * training (md5 seeds, 2 exact-integer Lloyd rounds on micro-unit
+    * quantized vectors, re-quantized means — [[graft.ext.SimilarityOps
+    * .kmeansCentroids]] r12), the build-time corpus assignment, probe
+    * selection, and candidate scoring — as CTEs, the q117 fixed-iteration
+    * precedent. Every decision point (seed pick, cell argmax) is either
+    * exact-integer or 4dp-rounded with an explicit tie-break, so DuckDB
+    * reproduces the index bit-for-bit; double cosines are sequential
+    * list folds with IDENTICAL inputs on both engines, so ranks agree.
+    * Spelling notes: training cosine is `qc/SQRT(qq*cc)` (one sqrt of
+    * the product); the double stages are `dot/(SQRT(aa)*SQRT(bb))` —
+    * each mirrors its Spark expression shape exactly. */
+  /** Kmeans assignment round for the coarse oracle: integer-dot cosine
+    * (`qc/SQRT(qq·cc)`, exact micro-unit longs), 4dp-rounded, lowest-cell
+    * tie-break — [[graft.ext.SimilarityOps.kmeansCentroids]] spelling. */
+  private def ivfAssignCte(cb: String, out: String): String =
+    s"""$out AS (SELECT vec_id, qv, cell,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                ORDER BY cos4 DESC, cell) AS rn
+       |       FROM (SELECT q.vec_id, q.qv, c.cell,
+       |               FLOOR(CASE WHEN list_dot_product(q.qv, q.qv) = 0
+       |                            OR list_dot_product(c.cq, c.cq) = 0 THEN 0
+       |                     ELSE list_dot_product(q.qv, c.cq) /
+       |                          SQRT(list_dot_product(q.qv, q.qv) *
+       |                               list_dot_product(c.cq, c.cq)) END
+       |                     * 10000 + 0.5) / 10000 AS cos4
+       |             FROM q CROSS JOIN $cb c) s)""".stripMargin
+
+  private def ivfMeansCte(a: String, m: String, out: String): String =
+    s"""$m AS (SELECT a.cell, d.i,
+       |              CAST(FLOOR(CAST(SUM(a.qv[d.i + 1]) AS DOUBLE) / COUNT(*) + 0.5)
+       |                   AS BIGINT) AS cm
+       |       FROM (SELECT cell, qv FROM $a WHERE rn = 1) a, dims d
+       |       GROUP BY 1, 2),
+       |$out AS (SELECT cell, LIST(cm ORDER BY i) AS cq FROM $m GROUP BY cell)""".stripMargin
+
+  /** The coarse IVF training + final corpus assignment as CTEs, shared by
+    * the q41 and q103 oracles: md5 seeds, 2 exact-integer Lloyd rounds,
+    * centroid doubles `cd`, and the 4dp-argmax `cells` assignment. */
+  private val ivfCoarseCtes =
+    s"""dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
+       |q AS (SELECT vec_id,
+       |        LIST_TRANSFORM(embedding,
+       |          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |      FROM embeddings),
+       |kseeds AS (SELECT vec_id, qv FROM q
+       |          ORDER BY CAST('0x' || SUBSTR(MD5('kmseed_' || vec_id), 1, 15) AS BIGINT),
+       |                   vec_id
+       |          LIMIT 16),
+       |kc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |              qv AS cq
+       |       FROM kseeds),
+       |${ivfAssignCte("kc0", "ka1")},
+       |${ivfMeansCte("ka1", "km1", "kc1")},
+       |${ivfAssignCte("kc1", "ka2")},
+       |${ivfMeansCte("ka2", "km2", "kc2")},
+       |cd AS (SELECT cell,
+       |              LIST_TRANSFORM(cq, x -> CAST(x AS DOUBLE) / 1000000) AS cd
+       |       FROM kc2),
+       |e AS (SELECT vec_id,
+       |        LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       |      FROM embeddings),
+       |asg AS (SELECT vec_id, vd, cell,
+       |               ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                 ORDER BY cos4 DESC, cell) AS rn
+       |        FROM (SELECT e.vec_id, e.vd, c.cell,
+       |                FLOOR(list_dot_product(e.vd, c.cd) /
+       |                      (SQRT(list_dot_product(e.vd, e.vd)) *
+       |                       SQRT(list_dot_product(c.cd, c.cd)))
+       |                      * 10000 + 0.5) / 10000 AS cos4
+       |              FROM e CROSS JOIN cd c) s),
+       |cells AS (SELECT vec_id, vd, cell FROM asg WHERE rn = 1)""".stripMargin
+
+  private val q41Sql =
+    s"""WITH $ivfCoarseCtes,
+      |probes AS (SELECT query_id, qvec, cell FROM (
+      |             SELECT e.vec_id AS query_id, e.vd AS qvec, c.cell,
+      |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |                      list_dot_product(e.vd, c.cd) /
+      |                        (SQRT(list_dot_product(e.vd, e.vd)) *
+      |                         SQRT(list_dot_product(c.cd, c.cd))) DESC,
+      |                      c.cell) AS pr
+      |             FROM e CROSS JOIN cd c WHERE e.vec_id <= 4) p
+      |           WHERE pr <= 4),
+      |scored AS (SELECT p.query_id, t.vec_id,
+      |                  list_dot_product(t.vd, p.qvec) /
+      |                    (SQRT(list_dot_product(t.vd, t.vd)) *
+      |                     SQRT(list_dot_product(p.qvec, p.qvec))) AS cos
+      |           FROM probes p JOIN cells t
+      |             ON t.cell = p.cell AND t.vec_id <> p.query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id
+      |               ORDER BY cos DESC, vec_id) AS rk
+      |      FROM scored)
+      |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, ROUND(cos, 4) AS cosine
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   // One index build per (dataset dir + content fingerprint, JVM); keyed
   // cache under java.io.tmpdir. The fingerprint (XOR of the source files'
   // length^mtime) invalidates the on-disk index when the dataset at the
@@ -1437,7 +1534,7 @@ object Queries {
       .foldLeft(d.hashCode.toLong)(_ ^ _)
     ivfCache.computeIfAbsent(s"$d#$fingerprint", _ => {
       val dir = System.getProperty("java.io.tmpdir") +
-        s"/graft_ivf_v2_${java.lang.Long.toHexString(fingerprint)}"
+        s"/graft_ivf_v3_${java.lang.Long.toHexString(fingerprint)}"
       // The _SUCCESS check and the build target must resolve through the
       // SAME filesystem: IvfIndex.build writes this scheme-less path via
       // the default Hadoop FS, which on a cluster is not file:// — a
@@ -2976,15 +3073,93 @@ object Queries {
   /** Product-quantization ANN ([[graft.ext.PqOps]]): train per-subspace
     * codebooks, compress the corpus to 32 one-byte codes (32× less scan
     * IO than float32 — the PQ scale path), then ADC top-10 for 5 query
-    * vectors. No DuckDB oracle by design (k-means codebooks aren't
-    * SQL-expressible); exactness of encode/ADC against a driver reference
-    * and recall@10 ≥ 0.5 vs the exact scan are pinned in PqOpsSpec. */
+    * vectors. Since r12 the whole pipeline runs on the exact-integer
+    * micro-unit grid (md5 seeds, integer distances/LUTs/ADC, re-quantized
+    * Lloyd means), so the DuckDB oracle unrolls train→encode→search end
+    * to end (the q41 precedent); recall@10 ≥ 0.5 vs the exact scan stays
+    * pinned in PqOpsSpec. */
   private def q101(s: SparkSession, d: String): DataFrame = {
     val dir = pqIndexDir(s, d)
     graft.ext.PqOps.searchAdc(s.read.parquet(s"$dir/encoded"),
       s.read.parquet(s"$dir/codebooks"),
       t(s, d, "embeddings").filter(col("vec_id") <= 4), k = 10)
   }
+
+  /** The q101 oracle: 3 unrolled Lloyd rounds over per-(sub, code, dim)
+    * codebook rows (m=32, k=32, subDim=2), then encode + ADC — every
+    * distance an exact HUGEINT sum of micro-unit squares, every argmin
+    * tie-broken to the lowest code, empty codes kept dense via the
+    * COALESCE against the previous round. Mirrors PqOps spelling for
+    * spelling; the final projection converts micro² to real units
+    * exactly like `adcToReal`. */
+  /** PQ oracle building blocks shared by q101 (plain PQ over `q`) and
+    * q103 (residual PQ over `rq`): one nearest-code assignment round and
+    * one re-quantized-mean round over per-(sub, code, j) codebook rows. */
+  private def pqAssignCte(vt: String, cb: String, out: String): String =
+    s"""$out AS (SELECT vec_id, sub, code FROM (
+       |  SELECT q.vec_id, c.sub, c.code,
+       |         ROW_NUMBER() OVER (PARTITION BY q.vec_id, c.sub
+       |           ORDER BY SUM((q.qv[c.sub * 2 + c.j + 1] - c.c)
+       |                      * (q.qv[c.sub * 2 + c.j + 1] - c.c)), c.code) AS rn
+       |  FROM $vt q CROSS JOIN $cb c
+       |  GROUP BY q.vec_id, c.sub, c.code) s WHERE rn = 1)""".stripMargin
+
+  private def pqMeansCte(vt: String, a: String, prev: String, m: String,
+      out: String): String =
+    s"""$m AS (SELECT a.sub, a.code, d2.j,
+       |         CAST(FLOOR(CAST(SUM(q.qv[a.sub * 2 + d2.j + 1]) AS DOUBLE)
+       |                    / COUNT(*) + 0.5) AS BIGINT) AS c
+       |       FROM $a a JOIN $vt q USING (vec_id) CROSS JOIN d2
+       |       GROUP BY 1, 2, 3),
+       |$out AS (SELECT p.sub, p.code, p.j, COALESCE(m.c, p.c) AS c
+       |         FROM $prev p LEFT JOIN $m m
+       |           ON m.sub = p.sub AND m.code = p.code AND m.j = p.j)""".stripMargin
+
+  /** PQ seed + initial per-(sub, code, j) codebook over vector table
+    * `vt` (micro-unit `qv` lists). */
+  private def pqSeedCtes(vt: String): String =
+    s"""seeds AS (SELECT * FROM (
+       |    SELECT vec_id, qv,
+       |           CAST(ROW_NUMBER() OVER (ORDER BY
+       |             CAST('0x' || SUBSTR(MD5('pqseed_' || vec_id), 1, 15) AS BIGINT),
+       |             vec_id) - 1 AS INTEGER) AS code
+       |    FROM $vt) s WHERE code < 32),
+       |c0 AS (SELECT s.s AS sub, sd.code, d2.j,
+       |              sd.qv[s.s * 2 + d2.j + 1] AS c
+       |       FROM seeds sd CROSS JOIN subs s CROSS JOIN d2)""".stripMargin
+
+  private val q101Sql =
+    s"""WITH d2 AS (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS j),
+       |subs AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS s),
+       |q AS (SELECT vec_id,
+       |        LIST_TRANSFORM(embedding,
+       |          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |      FROM embeddings),
+       |${pqSeedCtes("q")},
+       |${pqAssignCte("q", "c0", "a1")},
+       |${pqMeansCte("q", "a1", "c0", "m1", "c1")},
+       |${pqAssignCte("q", "c1", "a2")},
+       |${pqMeansCte("q", "a2", "c1", "m2", "c2")},
+       |${pqAssignCte("q", "c2", "a3")},
+       |${pqMeansCte("q", "a3", "c2", "m3", "c3")},
+       |${pqAssignCte("q", "c3", "codes")},
+       |luts AS (SELECT q.vec_id AS query_id, c.sub, c.code,
+       |                SUM((q.qv[c.sub * 2 + c.j + 1] - c.c)
+       |                  * (q.qv[c.sub * 2 + c.j + 1] - c.c)) AS d
+       |         FROM q CROSS JOIN c3 c WHERE q.vec_id <= 4
+       |         GROUP BY 1, 2, 3),
+       |scored AS (SELECT l.query_id, k.vec_id, SUM(l.d) AS adist
+       |           FROM codes k JOIN luts l
+       |             ON l.sub = k.sub AND l.code = k.code
+       |            AND k.vec_id <> l.query_id
+       |           GROUP BY 1, 2),
+       |r AS (SELECT query_id, vec_id, adist,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY adist, vec_id) AS rk
+       |      FROM scored)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
+       |       FLOOR(CAST(adist AS DOUBLE) / 100000000 + 0.5) / 10000 AS adist
+       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   /** q101's train-once cache (the q41/q103 discipline): codebooks + the
     * PQ-encoded corpus persist per dataset fingerprint; a query run is
@@ -3001,7 +3176,7 @@ object Queries {
       .foldLeft(d.hashCode.toLong)(_ ^ _)
     pqCache.computeIfAbsent(s"$d#$fingerprint", _ => {
       val dir = System.getProperty("java.io.tmpdir") +
-        s"/graft_pq_v1_${java.lang.Long.toHexString(fingerprint)}"
+        s"/graft_pq_v2_${java.lang.Long.toHexString(fingerprint)}"
       val marker = new org.apache.hadoop.fs.Path(s"$dir/encoded/_SUCCESS")
       val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!mfs.exists(marker)) {
@@ -3020,11 +3195,67 @@ object Queries {
     * coarse cells route the probe to `nProbe/nCells` of the corpus
     * (partition pruning), PQ residual codes cut the probed IO another
     * 16× and score via per-(query, cell) ADC LUTs. Index built once per
-    * dataset (same cache discipline as q41). No DuckDB oracle by design;
-    * determinism, pruning, and recall floors are pinned in IvfPqSpec. */
+    * dataset (same cache discipline as q41). Since r12 the DuckDB oracle
+    * composes the q41 coarse-training CTEs with the q101 residual-PQ
+    * CTEs — the whole two-layer index, probe, and ADC pipeline rebuilt
+    * in SQL; determinism, pruning, and recall floors stay pinned in
+    * IvfPqSpec. */
   private def q103(s: SparkSession, d: String): DataFrame =
     graft.ext.IvfPq.query(s, ivfPqIndexDir(s, d),
       t(s, d, "embeddings").filter(col("vec_id") <= 4), k = 10, nProbe = 8)
+
+  /** q103 oracle: coarse cells (shared [[ivfCoarseCtes]]) → residual
+    * micro vectors `rq` → 2 unrolled PQ rounds → encode → 4dp-rounded
+    * probe ranking (nProbe=8, [[graft.ext.IvfPq.query]]'s rule) →
+    * per-(query, cell) residual LUTs → exact-integer ADC rank. */
+  private val q103Sql =
+    s"""WITH $ivfCoarseCtes,
+       |d2 AS (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS j),
+       |subs AS (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS s),
+       |rq AS (SELECT t.vec_id,
+       |              LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+       |                ii -> CAST(FLOOR((t.vd[ii] - c.cd[ii]) * 1000000 + 0.5)
+       |                           AS BIGINT)) AS qv
+       |       FROM cells t JOIN cd c USING (cell)),
+       |${pqSeedCtes("rq")},
+       |${pqAssignCte("rq", "c0", "a1")},
+       |${pqMeansCte("rq", "a1", "c0", "m1", "c1")},
+       |${pqAssignCte("rq", "c1", "a2")},
+       |${pqMeansCte("rq", "a2", "c1", "m2", "c2")},
+       |${pqAssignCte("rq", "c2", "codes")},
+       |probes AS (SELECT query_id, qvec, cell FROM (
+       |             SELECT e.vec_id AS query_id, e.vd AS qvec, c.cell,
+       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |                      FLOOR(list_dot_product(e.vd, c.cd) /
+       |                        (SQRT(list_dot_product(e.vd, e.vd)) *
+       |                         SQRT(list_dot_product(c.cd, c.cd)))
+       |                        * 10000 + 0.5) / 10000 DESC,
+       |                      c.cell) AS pr
+       |             FROM e CROSS JOIN cd c WHERE e.vec_id <= 4) p
+       |           WHERE pr <= 8),
+       |qrq AS (SELECT p.query_id, p.cell,
+       |               LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+       |                 ii -> CAST(FLOOR((p.qvec[ii] - c.cd[ii]) * 1000000 + 0.5)
+       |                            AS BIGINT)) AS qv
+       |        FROM probes p JOIN cd c USING (cell)),
+       |luts AS (SELECT r.query_id, r.cell, c.sub, c.code,
+       |                SUM((r.qv[c.sub * 2 + c.j + 1] - c.c)
+       |                  * (r.qv[c.sub * 2 + c.j + 1] - c.c)) AS d
+       |         FROM qrq r CROSS JOIN c2 c
+       |         GROUP BY 1, 2, 3, 4),
+       |scored AS (SELECT l.query_id, k.vec_id, SUM(l.d) AS adist
+       |           FROM codes k JOIN cells t USING (vec_id)
+       |           JOIN luts l
+       |             ON l.cell = t.cell AND l.sub = k.sub AND l.code = k.code
+       |            AND k.vec_id <> l.query_id
+       |           GROUP BY 1, 2),
+       |r AS (SELECT query_id, vec_id, adist,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY adist, vec_id) AS rk
+       |      FROM scored)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id,
+       |       FLOOR(CAST(adist AS DOUBLE) / 100000000 + 0.5) / 10000 AS adist
+       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   private val ivfPqCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3036,7 +3267,7 @@ object Queries {
       .foldLeft(d.hashCode.toLong)(_ ^ _)
     ivfPqCache.computeIfAbsent(s"$d#$fingerprint", _ => {
       val dir = System.getProperty("java.io.tmpdir") +
-        s"/graft_ivfpq_v1_${java.lang.Long.toHexString(fingerprint)}"
+        s"/graft_ivfpq_v2_${java.lang.Long.toHexString(fingerprint)}"
       // Same-filesystem marker check as q41 (r3 ADVICE).
       val marker = new org.apache.hadoop.fs.Path(s"$dir/cells/_SUCCESS")
       val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -7502,7 +7733,7 @@ object Queries {
     QueryDef("q39_multimodal_meta", q39, Some(q39Sql)),
     QueryDef("q39b_multimodal_decode", q39b, None),
     QueryDef("q40_asof_join", q40, Some(q40Sql)),
-    QueryDef("q41_ann_ivf", q41, None),
+    QueryDef("q41_ann_ivf", q41, Some(q41Sql)),
     QueryDef("q42_embedding_neardup", q42, Some(q42Sql)),
     QueryDef("q43_json_build", q43, Some(q43Sql)),
     QueryDef("q44_from_json", q44, Some(q44Sql)),
@@ -7567,9 +7798,9 @@ object Queries {
     QueryDef("q98_stratified_topk", q98, Some(q98Sql)),
     QueryDef("q99_epoch_shuffle", q99, Some(q99Sql)),
     QueryDef("q100_random_projection", q100, Some(q100Sql)),
-    QueryDef("q101_ann_pq", q101, None),
+    QueryDef("q101_ann_pq", q101, Some(q101Sql)),
     QueryDef("q102_quantile_filter", q102, Some(q102Sql)),
-    QueryDef("q103_ann_ivfpq", q103, None),
+    QueryDef("q103_ann_ivfpq", q103, Some(q103Sql)),
     QueryDef("q104_bm25_topk", q104, Some(q104Sql)),
     QueryDef("q105_fuzzy_join_ed1", q105, Some(q105Sql)),
     QueryDef("q106_grouped_mad", q106, Some(q106Sql)),
