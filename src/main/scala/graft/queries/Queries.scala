@@ -6545,6 +6545,46 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** q166b oracle (r12 — possible because the IVF build is now
+    * bit-portable, q41's [[ivfCoarseCtes]]): every vector probes its 8
+    * nearest cells (unrounded-cosine rank, lowest-cell ties — the
+    * batchQuery heap ordering), candidates heap-capped at 16 per query,
+    * then the label filter and the exact-cosine top-1 with the (cos
+    * DESC, vec_id ASC) tie-break. Approximation semantics carry over
+    * exactly: a query whose 16 candidates all share its label emits no
+    * row, in SQL as in Spark. */
+  private val q166bSql =
+    s"""WITH $ivfCoarseCtes,
+       |probes AS (SELECT query_id, qvec, cell FROM (
+       |             SELECT e.vec_id AS query_id, e.vd AS qvec, c.cell,
+       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |                      list_dot_product(e.vd, c.cd) /
+       |                        (SQRT(list_dot_product(e.vd, e.vd)) *
+       |                         SQRT(list_dot_product(c.cd, c.cd))) DESC,
+       |                      c.cell) AS pr
+       |             FROM e CROSS JOIN cd c) p
+       |           WHERE pr <= 8),
+       |scored0 AS (SELECT p.query_id, t.vec_id,
+       |                   list_dot_product(t.vd, p.qvec) /
+       |                     (SQRT(list_dot_product(t.vd, t.vd)) *
+       |                      SQRT(list_dot_product(p.qvec, p.qvec))) AS cos
+       |            FROM probes p JOIN cells t
+       |              ON t.cell = p.cell AND t.vec_id <> p.query_id),
+       |cand AS (SELECT query_id, vec_id, cos FROM (
+       |           SELECT query_id, vec_id, cos,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY cos DESC, vec_id) AS rk
+       |           FROM scored0) s WHERE rk <= 16),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |neg AS (SELECT c.query_id, c.vec_id, c.cos,
+       |               ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |                 ORDER BY c.cos DESC, c.vec_id) AS rk
+       |        FROM cand c JOIN lab cl ON cl.vec_id = c.vec_id
+       |                    JOIN lab ql ON ql.vec_id = c.query_id
+       |        WHERE cl.label <> ql.label)
+       |SELECT query_id, vec_id AS neg_id, ROUND(cos, 4) AS cosine
+       |FROM neg WHERE rk = 1 ORDER BY query_id""".stripMargin
+
   // ------------------------------------------ q167 time-weighted avg
 
   /** Time-weighted average value per user (TWAP) — each event's value
@@ -7864,7 +7904,7 @@ object Queries {
     QueryDef("q164_heap_topk", q164, Some(q164Sql)),
     QueryDef("q165_personalized_pr", q165, Some(q165Sql)),
     QueryDef("q166_hard_negatives", q166, Some(q166Sql)),
-    QueryDef("q166b_hard_negatives_ivf", q166b, None),
+    QueryDef("q166b_hard_negatives_ivf", q166b, Some(q166bSql)),
     QueryDef("q167_twap", q167, Some(q167Sql)),
     QueryDef("q168_ks_test", q168, Some(q168Sql)),
     QueryDef("q169_chi_square", q169, Some(q169Sql)),
