@@ -265,11 +265,18 @@ object DedupOps {
       minCosine: Double = 0.95,
       planes: Int = 12,
       maxBucket: Int = 64,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      inDim: Int = 64): DataFrame = {
+    // The portable plane matrix is a static inDim-wide literal — check the
+    // corpus dimension up front (a mismatch would null every dot, put all
+    // rows in bucket 0, and the maxBucket guard would then silently emit
+    // ZERO pairs on any corpus over maxBucket rows).
+    if (portable) SimilarityOps.requireDim(emb, inDim, "embeddingNearDups")
     val bucketed = emb.select(
       col("vec_id").as("id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vec"),
-      (if (portable) SimilarityOps.lshBucketPortable(col("embedding"), planes)
+      (if (portable)
+         SimilarityOps.lshBucketPortable(col("embedding"), planes, 0, inDim)
        else SimilarityOps.lshBucket(col("embedding"), planes)).as("bucket"))
     bucketed
       .groupBy(col("bucket"))

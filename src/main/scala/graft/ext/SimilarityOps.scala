@@ -168,6 +168,17 @@ object SimilarityOps {
     * nowhere near 2^63 for unit-scale embeddings. The signs ship as ONE
     * literal matrix (planes·dim longs), broadcast with the plan — scan
     * speed, no shuffle, same shape as the throughput lane. */
+  /** One-row dimension probe guarding the portable lanes: the static
+    * sign-matrix literal is `inDim` wide, and a mismatched corpus would
+    * degenerate silently (nulled dots → one giant bucket) instead of
+    * failing. Cost: a single-row LIMIT job per call site. */
+  private[ext] def requireDim(df: DataFrame, inDim: Int, who: String): Unit = {
+    val got = df.select(size(col("embedding"))).head().getInt(0)
+    require(got == inDim,
+      s"$who(portable = true): embeddings are $got-dimensional but the " +
+        s"md5 plane matrix is built for inDim=$inDim — pass inDim=$got")
+  }
+
   def lshBucketPortable(embedding: Column, planes: Int, planeOffset: Int = 0,
       inDim: Int = 64, seed: String = "lshp"): Column = {
     val signs = projectionSigns(seed, planeOffset + planes, inDim)
@@ -324,13 +335,19 @@ object SimilarityOps {
     * [[lshBucketPortable]] set — identical pipeline shape, but every stage
     * (bucketing, candidate join, exact-cosine verify, top-k) becomes
     * SQL-expressible, so a foreign engine rebuilds the WHOLE result
-    * hash-for-hash (the q38 DuckDB oracle). */
+    * hash-for-hash (the q38 DuckDB oracle). The portable plane matrix is
+    * a static `inDim`-wide literal, so the corpus dimension is CHECKED
+    * up front — a mismatched `zip_with` would null every dot and
+    * silently collapse all rows into bucket 0 (the xxhash64 lane adapts
+    * to any dimension and needs no check). */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       planes: Int = 8, tables: Int = 1,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, inDim: Int = 64): DataFrame = {
     require(tables >= 1)
+    if (portable) requireDim(corpus, inDim, "lshKnn")
     def bucketFor(t: Int) =
-      if (portable) lshBucketPortable(col("embedding"), planes, t * planes)
+      if (portable)
+        lshBucketPortable(col("embedding"), planes, t * planes, inDim)
       else lshBucket(col("embedding"), planes, t * planes)
     def withBuckets(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col("vec_id").as(idAs),

@@ -1284,16 +1284,23 @@ object Queries {
     * component to integer micro-units, and packs the exact-integer sign
     * bits — so bucket keys match bit-for-bit; candidates, cosines, and
     * ranks then follow the proven q37 spelling. */
+  /** The md5 ±1 plane derivation + integer micro-quantized signed sums
+    * shared by the q38/q42 oracles — one spelling of the
+    * [[graft.ext.SimilarityOps.lshBucketPortable]] arithmetic; only the
+    * bucket-packing CTE (`b`) differs (multi-table split vs single). */
+  private def lshPlaneCtes(nPlanes: Int): String =
+    s"""dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
+       |gs AS (SELECT UNNEST(GENERATE_SERIES(0, ${nPlanes - 1})) AS g),
+       |s AS (SELECT g, i,
+       |        CASE WHEN SUBSTR(MD5('lshp_' || g || '_' || i), 1, 1) < '8'
+       |             THEN 1 ELSE -1 END AS sgn FROM gs, dims),
+       |e AS (SELECT vec_id, i,
+       |        CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+       |      FROM embeddings, dims),
+       |d AS (SELECT vec_id, g, SUM(q * sgn) AS dp FROM e JOIN s USING (i) GROUP BY 1, 2)""".stripMargin
+
   private val q38Sql =
-    """WITH dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
-      |gs AS (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS g),
-      |s AS (SELECT g, i,
-      |        CASE WHEN SUBSTR(MD5('lshp_' || g || '_' || i), 1, 1) < '8'
-      |             THEN 1 ELSE -1 END AS sgn FROM gs, dims),
-      |e AS (SELECT vec_id, i,
-      |        CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
-      |      FROM embeddings, dims),
-      |d AS (SELECT vec_id, g, SUM(q * sgn) AS dp FROM e JOIN s USING (i) GROUP BY 1, 2),
+    s"""WITH ${lshPlaneCtes(16)},
       |b AS (SELECT vec_id, g // 8 AS tbl,
       |        SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << (g % 8)) ELSE 0 END) AS bucket
       |      FROM d GROUP BY 1, 2),
@@ -1460,8 +1467,15 @@ object Queries {
        |$out AS (SELECT cell, LIST(cm ORDER BY i) AS cq FROM $m GROUP BY cell)""".stripMargin
 
   /** The coarse IVF training + final corpus assignment as CTEs, shared by
-    * the q41 and q103 oracles: md5 seeds, 2 exact-integer Lloyd rounds,
-    * centroid doubles `cd`, and the 4dp-argmax `cells` assignment. */
+    * the q41/q103/q166b oracles: md5 seeds, 2 exact-integer Lloyd rounds,
+    * centroid doubles `cd`, and the 4dp-argmax `cells` assignment.
+    * VALIDITY BOUND: hard-codes the 16-seed build (`kseeds LIMIT 16`),
+    * which matches `ivfIndexDir`'s build only while the corpus holds
+    * ≤ 10k vectors — beyond that the Spark lane switches to
+    * `recommendedCells (≈ √N)` and these oracles would hash-mismatch.
+    * The driver's oracle gate runs at sf0.01/sf0.001 (≤ 2k vectors),
+    * well inside the bound; a larger oracle fixture needs the seed
+    * LIMIT parameterized to match. */
   private val ivfCoarseCtes =
     s"""dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
        |q AS (SELECT vec_id,
@@ -1496,23 +1510,35 @@ object Queries {
        |              FROM e CROSS JOIN cd c) s),
        |cells AS (SELECT vec_id, vd, cell FROM asg WHERE rn = 1)""".stripMargin
 
+  /** Probe-selection CTE shared by the q41/q166b oracles: per-query
+    * unrounded-cosine rank over the coarse centroids (lowest-cell ties),
+    * top `nProbe`; `pred` filters the query side ("" = every vector). */
+  private def ivfProbesCte(pred: String, nProbe: Int): String =
+    s"""probes AS (SELECT query_id, qvec, cell FROM (
+       |             SELECT e.vec_id AS query_id, e.vd AS qvec, c.cell,
+       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |                      list_dot_product(e.vd, c.cd) /
+       |                        (SQRT(list_dot_product(e.vd, e.vd)) *
+       |                         SQRT(list_dot_product(c.cd, c.cd))) DESC,
+       |                      c.cell) AS pr
+       |             FROM e CROSS JOIN cd c$pred) p
+       |           WHERE pr <= $nProbe)""".stripMargin
+
+  /** Candidate-scoring CTE shared by the q41/q166b oracles: postings in
+    * probed cells, self excluded, exact double cosine in the batchQuery
+    * argument order. */
+  private def ivfScoredCte(out: String): String =
+    s"""$out AS (SELECT p.query_id, t.vec_id,
+       |                  list_dot_product(t.vd, p.qvec) /
+       |                    (SQRT(list_dot_product(t.vd, t.vd)) *
+       |                     SQRT(list_dot_product(p.qvec, p.qvec))) AS cos
+       |           FROM probes p JOIN cells t
+       |             ON t.cell = p.cell AND t.vec_id <> p.query_id)""".stripMargin
+
   private val q41Sql =
     s"""WITH $ivfCoarseCtes,
-      |probes AS (SELECT query_id, qvec, cell FROM (
-      |             SELECT e.vec_id AS query_id, e.vd AS qvec, c.cell,
-      |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |                      list_dot_product(e.vd, c.cd) /
-      |                        (SQRT(list_dot_product(e.vd, e.vd)) *
-      |                         SQRT(list_dot_product(c.cd, c.cd))) DESC,
-      |                      c.cell) AS pr
-      |             FROM e CROSS JOIN cd c WHERE e.vec_id <= 4) p
-      |           WHERE pr <= 4),
-      |scored AS (SELECT p.query_id, t.vec_id,
-      |                  list_dot_product(t.vd, p.qvec) /
-      |                    (SQRT(list_dot_product(t.vd, t.vd)) *
-      |                     SQRT(list_dot_product(p.qvec, p.qvec))) AS cos
-      |           FROM probes p JOIN cells t
-      |             ON t.cell = p.cell AND t.vec_id <> p.query_id),
+      |${ivfProbesCte(" WHERE e.vec_id <= 4", 4)},
+      |${ivfScoredCte("scored")},
       |r AS (SELECT query_id, vec_id, cos,
       |             ROW_NUMBER() OVER (PARTITION BY query_id
       |               ORDER BY cos DESC, vec_id) AS rk
@@ -1526,6 +1552,23 @@ object Queries {
   // same path is regenerated; the v-tag invalidates when build semantics
   // change.
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Embeddings row count per (dataset dir + content fingerprint, JVM) —
+    * the q166 scale-branch decision and the q41 cell-sizing both need it,
+    * and re-counting a fixed corpus on every invocation (every bench
+    * pass, determinism run, oracle drive) is a redundant scan. Same
+    * fingerprint discipline as the index caches. */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embeddingsCount(s: SparkSession, d: String): Long = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fingerprint = fs.listStatus(src)
+      .map(st => st.getLen ^ st.getModificationTime)
+      .foldLeft(d.hashCode.toLong)(_ ^ _)
+    embCountCache.computeIfAbsent(s"$d#$fingerprint",
+      _ => t(s, d, "embeddings").count())
+  }
+
   private def ivfIndexDir(s: SparkSession, d: String): String = {
     val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1549,7 +1592,7 @@ object Queries {
         // whose reducer parallelism is bounded by the cell count — and
         // the per-cell probe cost both scale with the corpus.
         val emb = t(s, d, "embeddings")
-        val n = emb.count()
+        val n = embeddingsCount(s, d)
         val cells =
           if (n <= 10000L) 16 else graft.ext.IvfIndex.recommendedCells(n)
         graft.ext.IvfIndex.build(s, emb, dir, nCells = cells, iters = 2)
@@ -1571,15 +1614,7 @@ object Queries {
     * bucketed pair join with the ≤64 degenerate-bucket guard and the
     * round-before-threshold cosine — embeddingNearDups verbatim. */
   private val q42Sql =
-    """WITH dims AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i),
-      |gs AS (SELECT UNNEST(GENERATE_SERIES(0, 11)) AS g),
-      |s AS (SELECT g, i,
-      |        CASE WHEN SUBSTR(MD5('lshp_' || g || '_' || i), 1, 1) < '8'
-      |             THEN 1 ELSE -1 END AS sgn FROM gs, dims),
-      |e AS (SELECT vec_id, i,
-      |        CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
-      |      FROM embeddings, dims),
-      |d AS (SELECT vec_id, g, SUM(q * sgn) AS dp FROM e JOIN s USING (i) GROUP BY 1, 2),
+    s"""WITH ${lshPlaneCtes(12)},
       |b AS (SELECT vec_id,
       |        SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << g) ELSE 0 END) AS bucket
       |      FROM d GROUP BY 1),
@@ -6478,7 +6513,7 @@ object Queries {
     // is a TakeOrderedAndProject — bounded heap, never a global sort.
     val qsAll = emb.select(col("vec_id").as("query_id"),
       col("label").as("qlabel"), col("e").as("qe"))
-    val qs = if (emb.count() <= 10000L) qsAll else
+    val qs = if (embeddingsCount(s, d) <= 10000L) qsAll else
       qsAll.orderBy(
         graft.functions.HashFunctions.md5Hash60(
           concat(lit("q166q_"), col("query_id"))), col("query_id"))
@@ -6520,9 +6555,11 @@ object Queries {
     * per query, then ONE linear label join pair filters same-label
     * candidates before the q166 top-1 tie-break (cos DESC, vec_id ASC).
     * Approximate by construction (a query whose k nearest IVF
-    * candidates all share its label emits no row) — no SQL oracle;
-    * HardNegativesIvfSpec pins a ≥0.8 top-1 agreement floor vs q166
-    * and the no-broadcast/no-cartesian plan shape. */
+    * candidates all share its label emits no row) — and since r12
+    * DuckDB-oracle-checked end to end ([[q166bSql]], the portable index
+    * build made it possible); HardNegativesIvfSpec additionally pins a
+    * ≥0.8 top-1 agreement floor vs q166 and the
+    * no-broadcast/no-cartesian plan shape. */
   private def q166b(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val labels = emb.select(col("vec_id"), col("label"))
@@ -6555,21 +6592,8 @@ object Queries {
     * row, in SQL as in Spark. */
   private val q166bSql =
     s"""WITH $ivfCoarseCtes,
-       |probes AS (SELECT query_id, qvec, cell FROM (
-       |             SELECT e.vec_id AS query_id, e.vd AS qvec, c.cell,
-       |                    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |                      list_dot_product(e.vd, c.cd) /
-       |                        (SQRT(list_dot_product(e.vd, e.vd)) *
-       |                         SQRT(list_dot_product(c.cd, c.cd))) DESC,
-       |                      c.cell) AS pr
-       |             FROM e CROSS JOIN cd c) p
-       |           WHERE pr <= 8),
-       |scored0 AS (SELECT p.query_id, t.vec_id,
-       |                   list_dot_product(t.vd, p.qvec) /
-       |                     (SQRT(list_dot_product(t.vd, t.vd)) *
-       |                      SQRT(list_dot_product(p.qvec, p.qvec))) AS cos
-       |            FROM probes p JOIN cells t
-       |              ON t.cell = p.cell AND t.vec_id <> p.query_id),
+       |${ivfProbesCte("", 8)},
+       |${ivfScoredCte("scored0")},
        |cand AS (SELECT query_id, vec_id, cos FROM (
        |           SELECT query_id, vec_id, cos,
        |                  ROW_NUMBER() OVER (PARTITION BY query_id

@@ -23,12 +23,30 @@ import org.apache.spark.sql.types._
   * Both tables are metadata-sized (one row per catalog object), so the
   * REPLACE/DROP rewrite is the same read-transform-overwrite discipline
   * as [[LogStore.close]] — distributed projection + lineage-breaking
-  * localCheckpoint, never a driver collect.
+  * localCheckpoint, never a driver collect. Writers on the SAME warehouse
+  * serialize through a JVM-global per-rootDir lock (every EXECUTE SCRIPT
+  * spawns its own wrapper — and catalog — over the shared rootDir, so an
+  * instance-level lock would let two of them read-union-overwrite each
+  * other's rows away); cross-PROCESS writers share [[LogStore]]'s
+  * documented single-driver contract (the reference itself races across
+  * sessions, QW:277).
+  *
+  * CREDENTIALS: `CREATE CONNECTION … IDENTIFIED BY` persists the password
+  * as-is in the `connections` table — the warehouse directory's access
+  * control IS the credential boundary, exactly the host-engine catalog
+  * model (anyone who can read the catalog can use the connection).
+  * Deployments needing at-rest encryption should put the warehouse on an
+  * encrypted filesystem; a key-management layer is out of scope here and
+  * a home-grown obfuscation would only pretend otherwise.
   */
 final class DurableCatalog(
     spark: SparkSession,
     rootDir: String,
     clock: () => Instant = () => Instant.now()) {
+
+  import DurableCatalog.{hydratedRoots, lockFor}
+
+  private val lock = lockFor(rootDir)
 
   val scriptsPath = s"$rootDir/scripts"
   val connectionsPath = s"$rootDir/connections"
@@ -87,26 +105,26 @@ final class DurableCatalog(
   private def canonical(name: String): String =
     name.replace("`", "").toUpperCase
 
-  def saveScript(name: String, ddl: String): Unit = synchronized {
+  def saveScript(name: String, ddl: String): Unit = lock.synchronized {
     val key = canonical(name)
     rewrite(scriptsPath, scriptsSchema, scripts, "script_name", key,
       Seq(Row(key, ddl, Timestamp.from(clock()))))
   }
 
-  def dropScript(name: String): Unit = synchronized {
+  def dropScript(name: String): Unit = lock.synchronized {
     rewrite(scriptsPath, scriptsSchema, scripts, "script_name",
       canonical(name), Nil)
   }
 
   def saveConnection(name: String, url: String, user: Option[String],
-      pass: Option[String]): Unit = synchronized {
+      pass: Option[String]): Unit = lock.synchronized {
     val key = canonical(name)
     rewrite(connectionsPath, connectionsSchema, connections,
       "connection_name", key,
       Seq(Row(key, url, user.orNull, pass.orNull, Timestamp.from(clock()))))
   }
 
-  def dropConnection(name: String): Unit = synchronized {
+  def dropConnection(name: String): Unit = lock.synchronized {
     rewrite(connectionsPath, connectionsSchema, connections,
       "connection_name", canonical(name), Nil)
   }
@@ -114,10 +132,14 @@ final class DurableCatalog(
   /** Load both catalog tables into the live registries. In-memory entries
     * win (within a JVM the registry is at least as new as the store —
     * every DDL writes through), so rehydration only fills names the
-    * session hasn't seen; on a fresh JVM that is everything. Tables are
-    * one row per object, so the collect here is bounded by catalog size,
-    * not data size. */
-  def rehydrate(): Unit = synchronized {
+    * session hasn't seen; on a fresh JVM that is everything. Hydration
+    * runs ONCE per (JVM, rootDir): every EXECUTE SCRIPT spawns its own
+    * wrapper over the same warehouse, and since the in-JVM registries
+    * stay write-through-fresh, re-reading the tables per spawn would be
+    * pure cost. Tables are one row per object, so the collect here is
+    * bounded by catalog size, not data size. */
+  def rehydrate(): Unit = lock.synchronized {
+    if (!hydratedRoots.add(rootDir)) return
     scripts.collect().foreach { r =>
       val name = r.getString(0)
       if (ScriptRegistry.lookup(name).isEmpty)
@@ -132,5 +154,28 @@ final class DurableCatalog(
         SqlCompat.registerConnection(name, SqlCompat.Connection(
           r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
     }
+  }
+}
+
+object DurableCatalog {
+
+  /** One lock object per warehouse root — serializes the
+    * read-union-overwrite rewrites of ALL DurableCatalog instances over
+    * the same rootDir in this JVM. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(rootDir: String): Object =
+    locks.computeIfAbsent(rootDir, _ => new Object)
+
+  /** Roots already hydrated in this JVM ([[DurableCatalog.rehydrate]]'s
+    * once-per-JVM guard). */
+  private val hydratedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** TEST HOOK: forget that `rootDir` was hydrated, so the next wrapper
+    * construction re-reads the stored catalog — the session-restart
+    * simulation in ExecuteScriptSpec (a real restart forgets by dying). */
+  private[wrapper] def resetHydration(rootDir: String): Unit = {
+    hydratedRoots.remove(rootDir); ()
   }
 }

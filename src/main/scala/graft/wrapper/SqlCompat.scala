@@ -821,9 +821,12 @@ object SqlCompat {
       true
     case DropConnRe(ifExists, name) =>
       val key = name.replace("`", "").toUpperCase
-      if (connections.remove(key) == null && ifExists == null)
+      val removed = connections.remove(key)
+      if (removed == null && ifExists == null)
         throw new IllegalArgumentException(s"connection $key does not exist")
-      catalog.foreach(_.dropConnection(key))
+      // Only a real removal writes through: a no-op IF EXISTS drop must
+      // not rewrite (or even create) the warehouse table.
+      if (removed != null) catalog.foreach(_.dropConnection(key))
       true
     case _ => false
   }
@@ -1171,11 +1174,15 @@ object SqlCompat {
         true
       case None => sql match {
         case DropScriptRe(ifExists, name) =>
-          if (ScriptRegistry.lookup(name).isEmpty && ifExists == null)
+          val existed = ScriptRegistry.lookup(name).isDefined
+          if (!existed && ifExists == null)
             throw new IllegalArgumentException(
               s"script $name does not exist")
           ScriptRegistry.drop(name)
-          catalog.foreach(_.dropScript(name))
+          // Only a real removal writes through (no-op IF EXISTS must not
+          // rewrite the warehouse table); post-hydration the in-memory
+          // registry is a superset of the store, so `existed` is exact.
+          if (existed) catalog.foreach(_.dropScript(name))
           true
         case _ => false
       }
@@ -1308,15 +1315,23 @@ object SqlCompat {
     *
     * Also conservatively untouched (None): DISTINCT, GROUP BY/HAVING/
     * QUALIFY heads (pre- vs post-aggregation numbering is ambiguous),
-    * more than one ROWNUM item, ROWNUM inside a larger expression,
-    * a ROWNUM WHERE-conjunct in the same statement (combined filter +
-    * numbering), ORDER BY keys that reference the numbering itself, and
+    * set operators (a branch-local window is neither Oracle's numbering
+    * nor this function's contract), more than one ROWNUM item, ROWNUM
+    * inside a larger expression, a ROWNUM WHERE-conjunct in the same
+    * statement (combined filter + numbering), ORDER BY keys that
+    * reference the numbering itself, ordinal ORDER BY keys (`ORDER BY 1`
+    * resolves positionally in a Sort but as the CONSTANT 1 inside an
+    * OVER clause — silently nondeterministic), OFFSET/FETCH tails, and
     * subquery/correlated uses (masked away, so they surface the host-
     * style unresolved-identifier error). */
   def translateSelectRownum(sql: String): Option[String] = {
     val masked = maskNonTopLevel(sql)
     val head = SelectHeadRe.findFirstMatchIn(masked).getOrElse(return None)
     if (DistinctHeadRe.findFirstIn(masked).isDefined) return None
+    if ("(?i)\\b(union|intersect|except|minus)\\b".r
+        .findFirstIn(masked).isDefined) return None
+    if ("(?i)\\b(offset|fetch)\\b".r.findFirstIn(masked).isDefined)
+      return None
     val end = bodyEnd(sql)
     val from = FromKwRe.findFirstMatchIn(masked.substring(0, end))
       .filter(_.start >= head.end).getOrElse(return None)
@@ -1336,6 +1351,12 @@ object SqlCompat {
       .map(ob.end + _.start).getOrElse(end)
     val keys = sql.substring(ob.end, obEnd).trim
     if (keys.isEmpty) return None
+    // Ordinal keys (`ORDER BY 1`) resolve positionally in a Sort but as a
+    // constant literal inside an OVER clause — reject any bare-integer key
+    // item rather than emit silently-tied numbering.
+    if (splitTopLevel(keys).exists(
+        _.trim.split("\\s+").headOption.exists(_.matches("\\d+"))))
+      return None
     val alias = Option(m.group(3))
       .map(_.trim.replaceFirst("(?i)^as\\s+", "").trim)
       .getOrElse("ROWNUM")

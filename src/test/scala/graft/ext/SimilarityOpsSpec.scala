@@ -113,6 +113,21 @@ class SimilarityOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(r => r.getLong(1) != r.getLong(2)))
   }
 
+  test("portable lanes refuse a corpus whose dimension mismatches the " +
+      "static plane matrix") {
+    // 2-dim fixture vs the 64-wide default matrix: a silent zip_with
+    // would null every dot and collapse all rows into bucket 0.
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.lshKnn(fixture, fixture.filter($"vec_id" === 1L),
+        portable = true)
+    }
+    assert(e.getMessage.contains("inDim"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupOps.embeddingNearDups(fixture, portable = true)
+    }
+    assert(e2.getMessage.contains("inDim"))
+  }
+
   test("lshKnn portable lane: scoring agrees with brute force; recall > 0") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" <= 3)

@@ -190,11 +190,13 @@ class ExecuteScriptSpec extends AnyFunSuite with SparkTestBase {
     def freshWrapper() =
       QueryWrapper(spark, Some(new LogStore(spark, dir, clock)), "dc", clock)
     def simulateRestart(): Unit = {
-      // Driver-memory registries die with the JVM; the warehouse tables
-      // under `dir` survive. Clearing ONLY the memory side reproduces a
-      // fresh process against the same warehouse.
+      // Driver-memory registries (and the hydrated-roots memo) die with
+      // the JVM; the warehouse tables under `dir` survive. Clearing ONLY
+      // the memory side reproduces a fresh process against the same
+      // warehouse.
       ScriptRegistry.drop("etl.durable_job")
       SqlCompat.forgetConnection("DC_CONN")
+      DurableCatalog.resetHydration(dir)
       assert(ScriptRegistry.lookup("etl.durable_job").isEmpty)
     }
     try {

@@ -84,6 +84,18 @@ class RownumDialectSpec extends AnyFunSuite with SparkTestBase {
       "SELECT a FROM (SELECT ROWNUM, a FROM t) s ORDER BY a").isEmpty)
     assert(SqlCompat.translateSelectRownum(
       "SELECT ROWNUM, ROWNUM AS rn2, a FROM t ORDER BY a").isEmpty)
+    // ordinal keys resolve positionally in a Sort but as the CONSTANT 1
+    // inside OVER — silently nondeterministic, so rejected; OFFSET/FETCH
+    // tails and set operators (branch-local windows) likewise
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY 1").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY a, 2 DESC").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY a OFFSET 5").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t UNION ALL SELECT 0, b FROM u ORDER BY a")
+      .isEmpty)
   }
 
   test("select-list ROWNUM through the wrapper numbers rows in sort order") {
