@@ -7022,13 +7022,18 @@ object Queries {
     * covered by the Ingest provenance specs. */
   private def q174(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/orders.parquet")
-      .select(col("o_orderkey"),
-        regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
-          .as("file_name"))
-      .groupBy(col("file_name"))
+      // Group on the RAW metadata path and extract the name AFTER the
+      // aggregate: the path is constant per file, so the regexp runs on
+      // ≤ #files rows instead of once per data row (the r12 scale sweep
+      // caught the per-row spelling at 23× for a 10× step — regexp over
+      // a repeated long string was the whole cost).
+      .groupBy(col("_metadata.file_path").as("file_path"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
+      .select(regexp_extract(col("file_path"), "([^/]+)$", 1)
+          .as("file_name"),
+        col("n_rows"), col("min_key"), col("max_key"))
       .orderBy(col("file_name"))
 
   private val q174Sql =
