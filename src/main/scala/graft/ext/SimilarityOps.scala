@@ -173,10 +173,15 @@ object SimilarityOps {
     * degenerate silently (nulled dots → one giant bucket) instead of
     * failing. Cost: a single-row LIMIT job per call site. */
   private[ext] def requireDim(df: DataFrame, inDim: Int, who: String): Unit = {
-    val got = df.select(size(col("embedding"))).head().getInt(0)
-    require(got == inDim,
-      s"$who(portable = true): embeddings are $got-dimensional but the " +
-        s"md5 plane matrix is built for inDim=$inDim — pass inDim=$got")
+    // Empty input (or an all-null probe row) is NOT a mismatch: the lanes
+    // return an empty result lazily, same as the xxhash64 path.
+    df.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).head(1).foreach { r =>
+        val got = r.getInt(0)
+        require(got == inDim,
+          s"$who(portable = true): embeddings are $got-dimensional but the " +
+            s"md5 plane matrix is built for inDim=$inDim — pass inDim=$got")
+      }
   }
 
   def lshBucketPortable(embedding: Column, planes: Int, planeOffset: Int = 0,
@@ -344,7 +349,13 @@ object SimilarityOps {
       planes: Int = 8, tables: Int = 1,
       portable: Boolean = false, inDim: Int = 64): DataFrame = {
     require(tables >= 1)
-    if (portable) requireDim(corpus, inDim, "lshKnn")
+    if (portable) {
+      // BOTH sides ride the static inDim-wide sign matrix — a mismatched
+      // query side would null its dots and send every query to bucket 0
+      // just as silently as a mismatched corpus.
+      requireDim(corpus, inDim, "lshKnn")
+      requireDim(queries, inDim, "lshKnn")
+    }
     def bucketFor(t: Int) =
       if (portable)
         lshBucketPortable(col("embedding"), planes, t * planes, inDim)

@@ -1559,22 +1559,24 @@ object Queries {
     * fingerprint discipline as the index caches. */
   private val embCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def embeddingsCount(s: SparkSession, d: String): Long = {
+
+  /** Shared content fingerprint of the embeddings source (XOR-fold of the
+    * files' length^mtime, seeded by the dir) — the ONE invalidation rule
+    * for every per-dataset cache keyed on it (index dirs, row counts). */
+  private def embFingerprint(s: SparkSession, d: String): Long = {
     val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fingerprint = fs.listStatus(src)
+    fs.listStatus(src)
       .map(st => st.getLen ^ st.getModificationTime)
       .foldLeft(d.hashCode.toLong)(_ ^ _)
-    embCountCache.computeIfAbsent(s"$d#$fingerprint",
-      _ => t(s, d, "embeddings").count())
   }
 
+  private def embeddingsCount(s: SparkSession, d: String): Long =
+    embCountCache.computeIfAbsent(s"$d#${embFingerprint(s, d)}",
+      _ => t(s, d, "embeddings").count())
+
   private def ivfIndexDir(s: SparkSession, d: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fingerprint = fs.listStatus(src)
-      .map(st => st.getLen ^ st.getModificationTime)
-      .foldLeft(d.hashCode.toLong)(_ ^ _)
+    val fingerprint = embFingerprint(s, d)
     ivfCache.computeIfAbsent(s"$d#$fingerprint", _ => {
       val dir = System.getProperty("java.io.tmpdir") +
         s"/graft_ivf_v3_${java.lang.Long.toHexString(fingerprint)}"
@@ -7026,14 +7028,19 @@ object Queries {
       // aggregate: the path is constant per file, so the regexp runs on
       // ≤ #files rows instead of once per data row (the r12 scale sweep
       // caught the per-row spelling at 23× for a 10× step — regexp over
-      // a repeated long string was the whole cost).
+      // a repeated long string was the whole cost). The second aggregate
+      // re-merges paths sharing a basename (hive-layout part files carry
+      // the same name in every partition dir), preserving the r11
+      // per-NAME contract; both aggregates run on ≤ #files rows.
       .groupBy(col("_metadata.file_path").as("file_path"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
-      .select(regexp_extract(col("file_path"), "([^/]+)$", 1)
-          .as("file_name"),
-        col("n_rows"), col("min_key"), col("max_key"))
+      .groupBy(regexp_extract(col("file_path"), "([^/]+)$", 1)
+          .as("file_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"))
       .orderBy(col("file_name"))
 
   private val q174Sql =

@@ -44,9 +44,14 @@ final class DurableCatalog(
     rootDir: String,
     clock: () => Instant = () => Instant.now()) {
 
-  import DurableCatalog.{hydratedRoots, lockFor}
+  import DurableCatalog.{hydratedRoots, lockFor, normalize}
 
-  private val lock = lockFor(rootDir)
+  /** Normalized lock/hydration key: two spellings of the same warehouse
+    * ("/w/cat" vs "/w/cat/") must share one lock or the per-root
+    * serialization is defeated. */
+  private val rootKey = normalize(rootDir)
+
+  private val lock = lockFor(rootKey)
 
   val scriptsPath = s"$rootDir/scripts"
   val connectionsPath = s"$rootDir/connections"
@@ -111,9 +116,22 @@ final class DurableCatalog(
       Seq(Row(key, ddl, Timestamp.from(clock()))))
   }
 
-  def dropScript(name: String): Unit = lock.synchronized {
-    rewrite(scriptsPath, scriptsSchema, scripts, "script_name",
-      canonical(name), Nil)
+  /** Removes the stored row if present; returns whether one existed. A
+    * drop against a store that was never created stays a pure no-op (the
+    * table must not materialize), and the return value lets the DDL layer
+    * honor a store row the in-memory registry never saw (e.g. dropped
+    * there by a no-catalog wrapper sharing this JVM's registries). */
+  def dropScript(name: String): Boolean = lock.synchronized {
+    val key = canonical(name)
+    if (!exists(scriptsPath)) false
+    else {
+      import org.apache.spark.sql.functions.{col, upper}
+      val had =
+        scripts.filter(upper(col("script_name")) === key).limit(1).count() > 0
+      if (had)
+        rewrite(scriptsPath, scriptsSchema, scripts, "script_name", key, Nil)
+      had
+    }
   }
 
   def saveConnection(name: String, url: String, user: Option[String],
@@ -124,9 +142,19 @@ final class DurableCatalog(
       Seq(Row(key, url, user.orNull, pass.orNull, Timestamp.from(clock()))))
   }
 
-  def dropConnection(name: String): Unit = lock.synchronized {
-    rewrite(connectionsPath, connectionsSchema, connections,
-      "connection_name", canonical(name), Nil)
+  /** See [[dropScript]] — same no-op/return contract. */
+  def dropConnection(name: String): Boolean = lock.synchronized {
+    val key = canonical(name)
+    if (!exists(connectionsPath)) false
+    else {
+      import org.apache.spark.sql.functions.{col, upper}
+      val had = connections
+        .filter(upper(col("connection_name")) === key).limit(1).count() > 0
+      if (had)
+        rewrite(connectionsPath, connectionsSchema, connections,
+          "connection_name", key, Nil)
+      had
+    }
   }
 
   /** Load both catalog tables into the live registries. In-memory entries
@@ -139,7 +167,7 @@ final class DurableCatalog(
     * pure cost. Tables are one row per object, so the collect here is
     * bounded by catalog size, not data size. */
   def rehydrate(): Unit = lock.synchronized {
-    if (!hydratedRoots.add(rootDir)) return
+    if (hydratedRoots.contains(rootKey)) return
     scripts.collect().foreach { r =>
       val name = r.getString(0)
       if (ScriptRegistry.lookup(name).isEmpty)
@@ -154,18 +182,27 @@ final class DurableCatalog(
         SqlCompat.registerConnection(name, SqlCompat.Connection(
           r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
     }
+    // Mark hydrated only AFTER both collects succeed: memoizing up front
+    // would make one transient read failure permanently hide every stored
+    // object from this JVM (the retry would return immediately).
+    hydratedRoots.add(rootKey); ()
   }
 }
 
 object DurableCatalog {
 
+  /** Hadoop-Path normalization (trailing/duplicate slashes collapse) so
+    * every spelling of a root maps to one lock + one hydration entry. */
+  private def normalize(rootDir: String): String =
+    new org.apache.hadoop.fs.Path(rootDir).toString
+
   /** One lock object per warehouse root — serializes the
     * read-union-overwrite rewrites of ALL DurableCatalog instances over
-    * the same rootDir in this JVM. */
+    * the same rootDir in this JVM. Keyed on the NORMALIZED root. */
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(rootDir: String): Object =
-    locks.computeIfAbsent(rootDir, _ => new Object)
+  private def lockFor(rootKey: String): Object =
+    locks.computeIfAbsent(rootKey, _ => new Object)
 
   /** Roots already hydrated in this JVM ([[DurableCatalog.rehydrate]]'s
     * once-per-JVM guard). */
@@ -176,6 +213,6 @@ object DurableCatalog {
     * construction re-reads the stored catalog — the session-restart
     * simulation in ExecuteScriptSpec (a real restart forgets by dying). */
   private[wrapper] def resetHydration(rootDir: String): Unit = {
-    hydratedRoots.remove(rootDir); ()
+    hydratedRoots.remove(normalize(rootDir)); ()
   }
 }

@@ -821,12 +821,14 @@ object SqlCompat {
       true
     case DropConnRe(ifExists, name) =>
       val key = name.replace("`", "").toUpperCase
-      val removed = connections.remove(key)
-      if (removed == null && ifExists == null)
+      val removedMem = connections.remove(key) != null
+      // Always offer the drop to the store (it no-ops on a never-created
+      // table): a row the in-memory registry never saw — dropped there by
+      // a no-catalog wrapper in this JVM, or a failed hydration — must
+      // still be droppable, or it resurrects at the next restart.
+      val removedStore = catalog.exists(_.dropConnection(key))
+      if (!removedMem && !removedStore && ifExists == null)
         throw new IllegalArgumentException(s"connection $key does not exist")
-      // Only a real removal writes through: a no-op IF EXISTS drop must
-      // not rewrite (or even create) the warehouse table.
-      if (removed != null) catalog.foreach(_.dropConnection(key))
       true
     case _ => false
   }
@@ -1174,15 +1176,15 @@ object SqlCompat {
         true
       case None => sql match {
         case DropScriptRe(ifExists, name) =>
-          val existed = ScriptRegistry.lookup(name).isDefined
-          if (!existed && ifExists == null)
+          val existedMem = ScriptRegistry.lookup(name).isDefined
+          ScriptRegistry.drop(name)
+          // Always offer the drop to the store (it no-ops on a
+          // never-created table): a stored row the registry never saw must
+          // still be droppable, or it resurrects at the next restart.
+          val removedStore = catalog.exists(_.dropScript(name))
+          if (!existedMem && !removedStore && ifExists == null)
             throw new IllegalArgumentException(
               s"script $name does not exist")
-          ScriptRegistry.drop(name)
-          // Only a real removal writes through (no-op IF EXISTS must not
-          // rewrite the warehouse table); post-hydration the in-memory
-          // registry is a superset of the store, so `existed` is exact.
-          if (existed) catalog.foreach(_.dropScript(name))
           true
         case _ => false
       }
@@ -1352,11 +1354,18 @@ object SqlCompat {
     val keys = sql.substring(ob.end, obEnd).trim
     if (keys.isEmpty) return None
     // Ordinal keys (`ORDER BY 1`) resolve positionally in a Sort but as a
-    // constant literal inside an OVER clause — reject any bare-integer key
-    // item rather than emit silently-tied numbering.
-    if (splitTopLevel(keys).exists(
-        _.trim.split("\\s+").headOption.exists(_.matches("\\d+"))))
-      return None
+    // constant literal inside an OVER clause — reject any constant key
+    // item rather than emit silently-tied numbering. Parens/signs/space
+    // strip away first so `(1)`, `+1`, `1 DESC` can't sneak an all-ties
+    // window key past a bare-integer head-token test; anything retaining
+    // an identifier character is a real expression and passes.
+    if (splitTopLevel(keys).exists { item =>
+      val stripped = item.trim
+        .replaceAll("(?is)\\s+(asc|desc)\\b.*$", "")
+        .replaceAll("(?is)\\s+nulls\\s+(first|last)\\s*$", "")
+        .replaceAll("[\\s()+-]", "")
+      stripped.matches("\\d+(\\.\\d+)?") || stripped.matches("'.*'")
+    }) return None
     val alias = Option(m.group(3))
       .map(_.trim.replaceFirst("(?i)^as\\s+", "").trim)
       .getOrElse("ROWNUM")

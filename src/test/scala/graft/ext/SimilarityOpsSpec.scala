@@ -128,6 +128,22 @@ class SimilarityOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("inDim"))
   }
 
+  test("portable lanes: the dim guard checks the QUERY side too, and an " +
+      "empty input passes through as an empty result, not a crash") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 64-dim corpus + 2-dim queries: without the query-side probe every
+    // query's dots null out and all queries land in bucket 0 silently.
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.lshKnn(emb, fixture.filter($"vec_id" === 1L),
+        portable = true)
+    }
+    assert(e.getMessage.contains("inDim"))
+    // Empty frames must not trip the one-row probe (head on empty):
+    val none = fixture.filter($"vec_id" < 0L)
+    assert(SimilarityOps.lshKnn(none, none, portable = true).count() == 0L)
+    assert(DedupOps.embeddingNearDups(none, portable = true).count() == 0L)
+  }
+
   test("lshKnn portable lane: scoring agrees with brute force; recall > 0") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" <= 3)

@@ -246,6 +246,37 @@ class ExecuteScriptSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a stored catalog row the in-memory registry never saw is still " +
+      "droppable (no resurrection at the next restart)") {
+    val dir = Files.createTempDirectory("durable_catalog_skew").toString
+    def freshWrapper() =
+      QueryWrapper(spark, Some(new LogStore(spark, dir, clock)), "dcs", clock)
+    try {
+      val w1 = freshWrapper()
+      assert(w1.query("CREATE SCRIPT etl.skew_job () AS SELECT 1 AS one")._1)
+      assert(w1.query("CREATE CONNECTION skew_conn TO 'jdbc:x'")._1)
+      // Registry drift: something else in the JVM (e.g. a no-catalog
+      // wrapper sharing the global registries) removes the MEMORY entries
+      // while the warehouse rows survive — and hydration has already run
+      // for this root, so a fresh wrapper will NOT re-read them.
+      ScriptRegistry.drop("etl.skew_job")
+      SqlCompat.forgetConnection("SKEW_CONN")
+      val w2 = freshWrapper()
+      // A memory-gated write-through would throw "does not exist" here
+      // and leave the rows to resurrect at the next restart:
+      assert(w2.query("DROP SCRIPT etl.skew_job")._1)
+      assert(w2.query("DROP CONNECTION skew_conn")._1)
+      DurableCatalog.resetHydration(dir)
+      val w3 = freshWrapper() // restart: rehydrates from the store
+      assert(ScriptRegistry.lookup("etl.skew_job").isEmpty)
+      assert(SqlCompat.lookupConnection("SKEW_CONN").isEmpty)
+      w3.finish()
+    } finally {
+      ScriptRegistry.drop("etl.skew_job")
+      SqlCompat.forgetConnection("SKEW_CONN")
+    }
+  }
+
   private def okDrop(w: QueryWrapper, sql: String): Boolean = w.query(sql)._1
 
   test("an in-memory wrapper (no log store) keeps DDL session-scoped: " +

@@ -91,6 +91,17 @@ class RownumDialectSpec extends AnyFunSuite with SparkTestBase {
       "SELECT ROWNUM, a FROM t ORDER BY 1").isEmpty)
     assert(SqlCompat.translateSelectRownum(
       "SELECT ROWNUM, a FROM t ORDER BY a, 2 DESC").isEmpty)
+    // wrapped/signed/quoted constants are the same all-ties window key
+    // in disguise — paren-stripping must not let them through
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY (1)").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY +1 DESC").isEmpty)
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY 'k'").isEmpty)
+    // …while real expressions that merely CONTAIN digits still pass
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM, a FROM t ORDER BY a + 1").isDefined)
     assert(SqlCompat.translateSelectRownum(
       "SELECT ROWNUM, a FROM t ORDER BY a OFFSET 5").isEmpty)
     assert(SqlCompat.translateSelectRownum(
