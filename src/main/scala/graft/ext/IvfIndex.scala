@@ -46,24 +46,66 @@ object IvfIndex {
   }
 
   /** Nearest-centroid assignment shared by [[build]] and [[append]]: the
-    * SAME expression in both places, with the score rounded to 4dp before
+    * SAME arithmetic in both places, with the score rounded to 4dp before
     * the argmax and near-ties broken to the LOWEST cell (the repo's
     * round-before-decision rule) — so re-assigning an unchanged embedding
-    * always reproduces its original cell. */
+    * always reproduces its original cell. Runs as a per-row
+    * `mapPartitions` argmax over driver-collected centroids (k = O(√N)
+    * rows, the PqOps codebook discipline) instead of a crossJoin: the
+    * N×k blowup carried the vector array inside a `max_by` struct whose
+    * non-fixed-width buffer knocked the aggregate off the hash path —
+    * 40+ minutes for the sf10 build where this loop takes seconds (see
+    * SimilarityOps.assignCellsMicro). Bit-identical: the same
+    * ascending-index double dot (ArrayDotProduct's fold),
+    * `dot/(√aa·√bb)` then `FLOOR(·1e4+0.5)/1e4` with SQL FLOOR's
+    * NaN→0 long conversion, and strict `Double.compare` replacement
+    * over ascending cells (NaN ordering and lowest-cell ties match the
+    * struct-ordering semantics of the expression it replaced). */
   private def assignToCentroids(emb: DataFrame,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cell"), col("centroid")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1)
+    val cnorms: Array[Double] = cents.map { case (_, cd) =>
+      var cc = 0.0d; var i = 0
+      while (i < cd.length) { cc += cd(i) * cd(i); i += 1 }
+      math.sqrt(cc)
+    }
+    val bc = spark.sparkContext.broadcast((cents, cnorms))
     emb.select(col("vec_id"),
         SimilarityOps.toDoubleArray(col("embedding")).as("vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos", floor(
-        SimilarityOps.cosine(col("vec"), col("centroid")) * 10000
-          + lit(0.5)) / 10000)
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("vec")),
-          struct(col("cos"), -col("cell"))).as("best"),
-        max(col("cos")).as("acos"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        col("best.vec").as("vec"), col("acos"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cs, nc) = bc.value
+        it.map { case (id, vec) =>
+          var vv = 0.0d
+          var i = 0
+          while (i < vec.length) { vv += vec(i) * vec(i); i += 1 }
+          val nv = math.sqrt(vv)
+          var bestCell = -1
+          var bestCos = Double.NegativeInfinity
+          var acos = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cd = cs(c)._2
+            var dp = 0.0d
+            val n = math.min(vec.length, cd.length)
+            i = 0
+            while (i < n) { dp += vec(i) * cd(i); i += 1 }
+            val cos = dp / (nv * nc(c))
+            val cos4 = math.floor(cos * 10000.0d + 0.5d).toLong / 10000.0d
+            if (java.lang.Double.compare(cos4, bestCos) > 0) {
+              bestCos = cos4; bestCell = cs(c)._1
+            }
+            if (java.lang.Double.compare(cos4, acos) > 0) acos = cos4
+            c += 1
+          }
+          (id, bestCell, vec, acos)
+        }
+      }.toDF("vec_id", "cell", "vec", "acos")
+  }
 
   /** Incrementally append embeddings to a built index: each new vector is
     * assigned to its nearest EXISTING centroid (centroids stay frozen — no

@@ -224,9 +224,13 @@ object SimilarityOps {
     *
     * Output: (cell, centroid array<double>), centroid_i = micro-mean/1e6
     * — the true mean to 1e-6, same schema as before. Each round is one
-    * corpus pass against broadcast centroids. Exactness bound: dots stay
-    * in long while max|x| ≤ ~47 (64·(4.7e7)² < 2^63); embedding scales
-    * beyond that should be normalized first. */
+    * corpus pass against broadcast centroids. Exactness bounds: Spark's
+    * long dots stay exact while max|x| ≤ ~47 (64·(4.7e7)² < 2^63), but
+    * the CROSS-ENGINE contract is tighter — the DuckDB oracle evaluates
+    * the same dots via list_dot_product over doubles, exact only while
+    * |dot| < 2^53, i.e. max|x| ≤ ~11 at 64 dims (64·(1.1e7)² < 2^53).
+    * Embeddings beyond unit-ish scale should be normalized first; the
+    * fixture corpus is unit-scale, far inside both envelopes. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     val qvs = emb.select(col("vec_id"),
       transform(col("embedding"),
@@ -262,28 +266,64 @@ object SimilarityOps {
     vector_to_array(Summarizer.sum(array_to_vector(arr)))
   }
 
-  /** Nearest-centroid assignment on micro-unit integers: broadcast
-    * centroids, exact long dots, 4dp-rounded score, lowest-cell
-    * tie-break — no shuffle of the corpus. */
+  /** Nearest-centroid assignment on micro-unit integers: exact long
+    * dots, 4dp-rounded score, lowest-cell tie-break — no shuffle of the
+    * corpus. The per-row argmax over broadcast centroids runs as a tight
+    * `mapPartitions` loop rather than a crossJoin: the N×k row blowup
+    * put the 64-long vector inside a `max_by` struct, whose non-fixed-
+    * width buffer forces the aggregate off the fast hash path — at
+    * 1.5M×1225 (the sf10 index build) that shape ran for 40+ minutes
+    * where this loop takes seconds, and the loop is what a cluster
+    * executor should run anyway (k·d multiply-adds per row, zero
+    * allocation, no 1.9B-row exchange). Centroids collect to the driver
+    * — k = O(√N) rows, the PqOps codebook discipline. Arithmetic is
+    * bit-identical to the expression spelling it replaced: the same
+    * ascending-index long folds, the same
+    * `qc/√(qq·cc)` → `FLOOR(·1e4+0.5)/1e4` IEEE ops, and the same
+    * strict `Double.compare` replacement over ascending cells (ties keep
+    * the lowest cell, Spark's struct-ordering semantics incl. NaN). */
   private def assignCellsMicro(qvs: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val qq = aggregate(zip_with(col("qv"), col("qv"), (x, y) => x * y),
-      lit(0L), (a, x) => a + x)
-    val cc = aggregate(zip_with(col("cq"), col("cq"), (x, y) => x * y),
-      lit(0L), (a, x) => a + x)
-    val qc = aggregate(zip_with(col("qv"), col("cq"), (x, y) => x * y),
-      lit(0L), (a, x) => a + x)
-    qvs.crossJoin(broadcast(centroids.withColumn("cc", cc)))
-      .withColumn("qq", qq)
-      .withColumn("cos", when(col("qq") === 0L || col("cc") === 0L, 0.0d)
-        .otherwise(qc.cast("double") /
-          sqrt(col("qq").cast("double") * col("cc").cast("double"))))
-      .withColumn("cos4", floor(col("cos") * 10000 + lit(0.5)) / 10000)
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("qv")),
-        struct(col("cos4"), -col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"),
-        col("best.qv").as("qv"))
+    val spark = qvs.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Long])] = centroids
+      .select(col("cell"), col("cq")).as[(Int, Array[Long])]
+      .collect().sortBy(_._1)
+    val ccs: Array[Long] = cents.map { case (_, cq) =>
+      var cc = 0L; var i = 0
+      while (i < cq.length) { cc += cq(i) * cq(i); i += 1 }
+      cc
+    }
+    val bc = spark.sparkContext.broadcast((cents, ccs))
+    qvs.select(col("vec_id"), col("qv")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val (cs, cc) = bc.value
+        it.map { case (id, qv) =>
+          var qq = 0L
+          var i = 0
+          while (i < qv.length) { qq += qv(i) * qv(i); i += 1 }
+          var bestCell = -1
+          var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cq = cs(c)._2
+            var qc = 0L
+            val n = math.min(qv.length, cq.length)
+            i = 0
+            while (i < n) { qc += qv(i) * cq(i); i += 1 }
+            val cos =
+              if (qq == 0L || cc(c) == 0L) 0.0d
+              else qc.toDouble / math.sqrt(qq.toDouble * cc(c).toDouble)
+            // SQL FLOOR(double) yields LONG (NaN→0): mirror via .toLong
+            val cos4 = math.floor(cos * 10000.0d + 0.5d).toLong / 10000.0d
+            if (java.lang.Double.compare(cos4, bestCos) > 0) {
+              bestCos = cos4; bestCell = cs(c)._1
+            }
+            c += 1
+          }
+          (id, bestCell, qv)
+        }
+      }.toDF("vec_id", "cell", "qv")
   }
 
   /** IVF approximate KNN: corpus rows indexed into `nCells` centroid

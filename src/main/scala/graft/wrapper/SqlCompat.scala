@@ -1366,13 +1366,20 @@ object SqlCompat {
         .replaceAll("[\\s()+-]", "")
       stripped.matches("\\d+(\\.\\d+)?") || stripped.matches("'.*'")
     }) return None
+    // Slice the alias from the ORIGINAL sql at the matched offsets (the
+    // parseUpdate discipline): the masked text blanks quoted-identifier
+    // interiors, so reading group(3) off the masked match would rename a
+    // backtick-quoted alias to its 'x' filler in the rewritten statement.
     val alias = Option(m.group(3))
-      .map(_.trim.replaceFirst("(?i)^as\\s+", "").trim)
+      .map(_ => sql.substring(head.end + m.start(3), head.end + m.end(3))
+        .trim.replaceFirst("(?i)^as\\s+", "").trim)
       .getOrElse("ROWNUM")
-    // ORDER BY must not reference the numbering it defines
+    // ORDER BY must not reference the numbering it defines — compared on
+    // the ORIGINAL keys text (alias may be backtick-quoted, which the
+    // masked view obscures).
     if (("(?i)\\b" + java.util.regex.Pattern.quote(
         alias.replace("`", "")) + "\\b").r
-        .findFirstIn(masked.substring(ob.start, obEnd).replace("`", ""))
+        .findFirstIn(keys.replace("`", ""))
         .isDefined) return None
     val itemStart = head.end + m.start + m.group(1).length + m.group(2).length
     val itemEnd = head.end + m.end

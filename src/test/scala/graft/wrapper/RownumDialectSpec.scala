@@ -102,6 +102,15 @@ class RownumDialectSpec extends AnyFunSuite with SparkTestBase {
     // …while real expressions that merely CONTAIN digits still pass
     assert(SqlCompat.translateSelectRownum(
       "SELECT ROWNUM, a FROM t ORDER BY a + 1").isDefined)
+    // a backtick-quoted alias must survive the rewrite verbatim (the
+    // masked view blanks quoted interiors — slicing the alias there
+    // would rename the output column to the 'x' filler)
+    val bt = SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM AS `rn`, a FROM t ORDER BY a")
+    assert(bt.exists(_.contains("AS `rn`")), bt)
+    // …and the ORDER-BY-references-the-numbering guard still sees it
+    assert(SqlCompat.translateSelectRownum(
+      "SELECT ROWNUM AS `rn`, a FROM t ORDER BY `rn`").isEmpty)
     assert(SqlCompat.translateSelectRownum(
       "SELECT ROWNUM, a FROM t ORDER BY a OFFSET 5").isEmpty)
     assert(SqlCompat.translateSelectRownum(
