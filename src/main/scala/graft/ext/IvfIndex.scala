@@ -42,6 +42,13 @@ object IvfIndex {
     val centroids = SimilarityOps.kmeansCentroids(emb, nCells, iters)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assignToCentroids(emb, centroids).drop("acos")
+      // Cluster by cell BEFORE the partitioned write: unclustered, every
+      // write task holds an open parquet writer per cell it sees —
+      // tasks×cells files (≈39k at sf10's √N=1225 cells) and the write
+      // dominates the whole build. One shuffle keyed on the partition
+      // column makes it one file per cell, which is also the layout the
+      // DPP-pruned probe scan wants.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -182,26 +189,37 @@ object IvfIndex {
       k: Int = 10, nProbe: Int = 4, exactCos: Boolean = false): DataFrame = {
     import graft.functions.HashFunctions.collectTopK
     val centroids = spark.read.parquet(s"$path/centroids")
+    // Norms hoist to per-ROW projections on each side: `cosine()` inline
+    // would recompute sqrt(dot(a,a)) and sqrt(dot(b,b)) per PAIR, and the
+    // candidate stage evaluates N·|cell|·nProbe pairs — the suite's
+    // single largest FMA bill at scale (3× the dots actually needed).
+    // Value-identical: the division still sees Multiply(√aa, √bb).
     val probes = queries
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", SimilarityOps.cosine(col("qvec"), col("centroid")))
+      .withColumn("qnorm", SimilarityOps.l2Norm(col("qvec")))
+      .crossJoin(broadcast(
+        centroids.withColumn("cnorm", SimilarityOps.l2Norm(col("centroid")))))
+      .withColumn("ccos", SimilarityOps.dot(col("qvec"), col("centroid")) /
+        (col("qnorm") * col("cnorm")))
       .groupBy(col("query_id"))
       .agg(
         collectTopK(struct(col("ccos"), (-col("cell")).as("nc")), nProbe,
           reverse = false).as("tops"),
-        // every row of the group carries the same qvec — first() is
-        // deterministic here
-        first(col("qvec")).as("qvec"))
-      .select(col("query_id"), col("qvec"),
+        // every row of the group carries the same qvec/qnorm — first()
+        // is deterministic here
+        first(col("qvec")).as("qvec"),
+        first(col("qnorm")).as("qnorm"))
+      .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(col("tops")).as("t"))
-      .select(col("query_id"), col("qvec"),
+      .select(col("query_id"), col("qvec"), col("qnorm"),
         (-col("t.nc")).cast("int").as("cell"))
     val posting = spark.read.parquet(s"$path/cells")
+      .withColumn("vnorm", SimilarityOps.l2Norm(col("vec")))
     posting.join(probes, "cell") // shuffle join on cell — NO broadcast
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("qvec")))
+      .withColumn("cos", SimilarityOps.dot(col("vec"), col("qvec")) /
+        (col("vnorm") * col("qnorm")))
       .groupBy(col("query_id"))
       .agg(collectTopK(struct(col("cos"), (-col("vec_id")).as("nid")), k,
         reverse = false).as("tops"))

@@ -45,6 +45,8 @@ object IvfPq {
     val cb = PqOps.trainCodebooks(resid, m, k, iters)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     PqOps.encode(resid, cb, Seq("vec_id", "cell"))
+      // One file per cell instead of tasks×cells (see IvfIndex.build).
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 

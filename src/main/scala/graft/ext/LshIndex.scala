@@ -47,6 +47,9 @@ object LshIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     withBuckets(emb, planes, tables, "vec_id", "vec")
       .select(col("vec_id"), col("vec"), col("tb"))
+      // One file per table-partition instead of tasks×tables (see
+      // IvfIndex.build).
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
   }
 
