@@ -217,6 +217,62 @@ final case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Digest-to-long core of [[Md5Hash60]], shared by the interpreted and
+  * codegen'd paths (the [[ColognePhoneticAlgo]] static-call pattern).
+  * One thread-local MessageDigest — `getInstance` per row is what makes
+  * Spark's own `md5()` spelling allocate, and the composed
+  * `conv(substring(md5(s),1,15),16,10)` additionally hex-encodes 32
+  * chars, substrings, and string-parses base-16 per row. This computes
+  * the identical value straight off the digest bytes: the first 15 hex
+  * chars are bytes 0–6 (14 nibbles) plus the high nibble of byte 7. */
+object Md5Hash60Algo {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) >> 4) & 0xfL)
+  }
+}
+
+/** `md5_hash60(s)`: the portable 60-bit hash — first 15 hex chars of
+  * `md5(s)` as a bigint — as ONE codegen'd primitive call instead of the
+  * 4-expression `conv(substring(md5(s),1,15),16,10)` composition (which
+  * per row allocates the 32-char hex string, a substring copy, and
+  * `conv`'s base-16 string parse). Bit-identical by construction
+  * (HashExprSpec pins native ≡ composed on a property sweep), so every
+  * DuckDB oracle spelling `CAST('0x'||SUBSTR(MD5(v),1,15) AS BIGINT)`
+  * is untouched. This is the row-linear term of every portable-lane
+  * sketch (KMV q17b/q159/q162, SimHash q31, MinHash q30, sampling
+  * q131/q187) — the cost VERDICT r11 #7 flagged at sf1. */
+final case class Md5Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_hash60 requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash60Algo.hash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Hash60Algo.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+}
+
 /** `array_dot(a, b)`: dot product of two array<double> columns as one
   * primitive loop. The HOF spelling (`aggregate(zip_with(a, b, *), 0d, +)`)
   * evaluates its lambdas interpreted with boxing per element — the
@@ -329,7 +385,13 @@ object HashFunctions {
     * The q100/q112 md5-derivation discipline packaged as the hash
     * behind [[kmvDistinct]] and the portable SimHash oracle (q31);
     * NULL in → NULL out. */
-  def md5Hash60(c: Column): Column = {
+  def md5Hash60(c: Column): Column =
+    Bridge.column(Md5Hash60(Bridge.expression(c.cast("string"))))
+
+  /** The 4-expression composed spelling [[md5Hash60]] replaced (r12) —
+    * kept as the cross-implementation witness HashExprSpec pins the
+    * native expression against. */
+  def md5Hash60Composed(c: Column): Column = {
     import org.apache.spark.sql.functions.{conv, md5, substring}
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
   }

@@ -68,6 +68,39 @@ class HashExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(inPlan == local)
   }
 
+  test("md5_hash60 native expression ≡ composed conv/substring/md5 " +
+      "spelling ≡ local mirror (r12: the portable-lane hot path)") {
+    // Property sweep: ASCII, unicode, empty, long decimals (the KMV
+    // cast-bigint-to-string shape), and a 1k-char doc-like string.
+    val rng = new scala.util.Random(42)
+    val strs = Seq("", "a", "graft", "Ünïcødé ☃ テスト", "-9007199254740993",
+      "q166q_12345", rng.nextString(1000)) ++
+      (0 until 200).map(_ => rng.alphanumeric.take(rng.nextInt(30)).mkString)
+    val df = strs.zipWithIndex.map(_.swap).toDF("i", "s")
+    val both = df.select(col("i"),
+        HashFunctions.md5Hash60(col("s")).as("native"),
+        HashFunctions.md5Hash60Composed(col("s")).as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"mismatch at i=${r.getInt(0)}")
+    }
+    // local mirror agreement on the same sweep
+    strs.zip(both.sortBy(_.getInt(0))).foreach { case (s, r) =>
+      assert(HashFunctions.md5Hash60Local(s) == r.getLong(1))
+    }
+    // interpreted path (Literal eval, no codegen) + null propagation
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(Md5Hash60(Literal("graft")).eval(null) ==
+      HashFunctions.md5Hash60Local("graft"))
+    assert(Md5Hash60(Literal.create(null,
+      org.apache.spark.sql.types.StringType)).eval(null) == null)
+    // non-string child cast upstream: bigint column hashes as its decimal
+    // string (the q17b shape)
+    val viaLong = Seq(42L, -1L).toDF("v")
+      .select(HashFunctions.md5Hash60(col("v"))).collect().map(_.getLong(0))
+    assert(viaLong.toSeq == Seq("42", "-1").map(HashFunctions.md5Hash60Local))
+  }
+
   test("simhash64: sign-vote semantics and codegen/interpreted agreement") {
     // A single hash votes its own bits: fingerprint == that hash's bits.
     val single = Seq(Tuple1(Seq(0x0F0FL))).toDF("hs")
