@@ -39,6 +39,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregateExec (collect_list / collectTopK heaps / the
+      // sketch TypedImperativeAggregates) falls back to SORT-based
+      // aggregation once a task sees >128 distinct group keys — the
+      // default re-sorts entire candidate/pair stages whenever a query
+      // aggregates by a high-cardinality key (q166's 4M scored pairs,
+      // q105's variant buckets, the per-query ANN heaps). 4096 keys of
+      // bounded per-group state is a few MB per task at most — safe at
+      // any scale (the fallback still protects a truly hot task), and
+      // NOT a local[32]-only tune: the same fallback fires on any
+      // cluster. Results are unaffected (execution strategy only).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -66,7 +66,12 @@ object FuzzyOps {
   def selfJoinEd1(df: DataFrame, idCol: String, strCol: String,
       maxBucket: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
-    val cand = selfJoinEd1Buckets(base, "id", "s")
+    // Par.fanOut on the VARIANT side only: del1Variants explodes len+1
+    // string slices per row — pure CPU that otherwise runs at scan
+    // parallelism (one task on a single-row-group fixture file). The two
+    // verify join-backs keep the un-fanned base (they broadcast/join by
+    // id and do no per-row heavy work).
+    val cand = selfJoinEd1Buckets(graft.ext.Par.fanOut(base), "id", "s")
       // Degenerate-bucket guard (see scaladoc); ≤ maxBucket keeps the
       // per-bucket pair expansion bounded at maxBucket²/2.
       .where(size(col("ids")) <= maxBucket)
