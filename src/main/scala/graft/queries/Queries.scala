@@ -3844,18 +3844,35 @@ object Queries {
     // co-activity graph: users sharing >= 3 (event_type, hour) cells;
     // pair generation is cell-blocked (a cell holds at most the distinct
     // user count), the LSH-bucket discipline applied to co-occurrence
-    val cells = ev.select(col("user_id"),
-        col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .distinct()
-    val a = cells.select(col("user_id").as("u"), col("event_type"), col("h"))
-    val b = cells.select(col("user_id").as("v"), col("event_type"), col("h"))
-    val edges = a.join(b, Seq("event_type", "h"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 3)
-      .select(col("u"), col("v"))
+    val edges = coActivityEdges(ev, minShared = 3)
     graft.operators.Triangles.perNode(edges)
   }
+
+  /** Shared q119/q123 co-activity edge builder: users sharing ≥
+    * `minShared` (event_type, hour) cells. Pair generation collapses each
+    * cell to a SORTED user list and explodes ordered pairs in place — the
+    * FuzzyOps bucket discipline — instead of self-joining two copies of
+    * the cell frame: the cell frame is shuffled ONCE (not twice), and the
+    * u<v pair stream is produced directly from the sorted list, so the
+    * pair SET (and the integer shared-counts) is exactly the join
+    * spelling's. The quadratic stays cell-bounded either way; a hot
+    * cell's pair expansion runs in one task under both shapes. */
+  private def coActivityEdges(ev: DataFrame, minShared: Int): DataFrame =
+    ev.select(col("user_id"),
+        col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+      .groupBy(col("event_type"), col("h"))
+      .agg(sort_array(collect_list(col("user_id"))).as("us"))
+      .filter(size(col("us")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(us, (x, i) ->
+          |  transform(slice(us, i + 2, size(us)),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("u"), col("v"))
 
   private val q119Sql =
     """WITH cells AS (
@@ -4005,16 +4022,8 @@ object Queries {
     * tendrils fall off round by round). */
   private def q123(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-    val cells = ev.select(col("user_id"),
-        col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .distinct()
-    val a = cells.select(col("user_id").as("u"), col("event_type"), col("h"))
-    val b = cells.select(col("user_id").as("v"), col("event_type"), col("h"))
-    val edges = a.join(b, Seq("event_type", "h"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 4)
-      .select(col("u"), col("v"))
+    // shared bucket-explode edge builder — see [[coActivityEdges]] (q119)
+    val edges = coActivityEdges(ev, minShared = 4)
     graft.operators.KCore.peel(edges, k = 4, rounds = 3)
   }
 
