@@ -235,26 +235,33 @@ object IvfIndex {
   def query(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 10, nProbe: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
+      // norms hoisted out of the pair loops (the batchQuery discipline);
+      // dot/(·) below is the identical IEEE tree as inline cosine
+      .withColumn("cn", SimilarityOps.l2Norm(col("centroid")))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell"))
     val probes = queries
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
+      .withColumn("qn", SimilarityOps.l2Norm(col("qvec")))
       .crossJoin(broadcast(centroids))
-      .withColumn("ccos", SimilarityOps.cosine(col("qvec"), col("centroid")))
+      .withColumn("ccos", SimilarityOps.dot(col("qvec"), col("centroid"))
+        / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+      .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
 
     // Static partition pruning: the probed cell set is tiny metadata.
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
     val posting = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(cells.map(Int.box): _*))
+      .withColumn("vn", SimilarityOps.l2Norm(col("vec")))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     posting.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("qvec")))
+      .withColumn("cos", SimilarityOps.dot(col("vec"), col("qvec"))
+        / (col("vn") * col("qn")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("cos"), 4).as("cosine"))

@@ -91,11 +91,16 @@ object LshIndex {
     val tbs = qb.select("tb").distinct().collect().map(_.getInt(0))
     val posting = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(tbs.map(Int.box): _*))
+      // norm hoisted out of the candidate loop (q166/batchQuery
+      // discipline); dot/(·) below is the identical IEEE tree
+      .withColumn("vn", SimilarityOps.l2Norm(col("vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    posting.join(broadcast(qb), "tb")
+    posting.join(broadcast(qb.withColumn("qn",
+        SimilarityOps.l2Norm(col("qvec")))), "tb")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", SimilarityOps.cosine(col("vec"), col("qvec")))
+      .withColumn("cos", SimilarityOps.dot(col("vec"), col("qvec"))
+        / (col("vn") * col("qn")))
       // A pair colliding in several tables produces identical rows.
       .select(col("query_id"), col("vec_id"), col("cos")).distinct()
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -79,10 +79,18 @@ object SimilarityOps {
   /** Top-k rows per label centroid by cosine. Centroids broadcast; salted
     * two-phase top-k. Output: (label, rk, vec_id, cosine·4dp). */
   def centroidTopK(emb: DataFrame, k: Int = 5, salts: Int = 32): DataFrame = {
+    // Norms hoisted out of the pair loop (the q166/batchQuery discipline):
+    // each side's sqrt(dot(v,v)) is computed once per ROW, and the pair
+    // score divides by the SAME Multiply(√aa, √bb) — bit-identical to the
+    // inline cosine at a third of the per-pair folds.
     val centroids = labelCentroids(emb)
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("cos",
-        cosine(toDoubleArray(col("embedding")), col("centroid")))
+      .withColumn("cn", l2Norm(col("centroid")))
+    val base = emb
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+      .withColumn("vn", l2Norm(col("vec")))
+    val scored = base.crossJoin(broadcast(centroids))
+      .withColumn("cos", dot(col("vec"), col("centroid"))
+        / (col("vn") * col("cn")))
       .select(col("c_label"), col("vec_id"), col("cos"))
 
     // Phase 1: top-k within (label, salt); phase 2: top-k of survivors.
@@ -107,12 +115,18 @@ object SimilarityOps {
     * (query_id, rk, vec_id, cosine·4dp). */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       salts: Int = 32): DataFrame = {
+    // Norms hoisted out of the pair loop (the q166/batchQuery discipline);
+    // dot/(vn·qn) is the identical IEEE expression tree as inline cosine.
     val q = broadcast(queries.select(
-      col("vec_id").as("query_id"),
-      toDoubleArray(col("embedding")).as("qvec")))
+        col("vec_id").as("query_id"),
+        toDoubleArray(col("embedding")).as("qvec"))
+      .withColumn("qn", l2Norm(col("qvec"))))
     val scored = corpus
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+      .withColumn("vn", l2Norm(col("vec")))
       .join(q, col("vec_id") =!= col("query_id")) // skip self-match
-      .withColumn("cos", cosine(toDoubleArray(col("embedding")), col("qvec")))
+      .withColumn("cos", dot(col("vec"), col("qvec"))
+        / (col("vn") * col("qn")))
       .select(col("query_id"), col("vec_id"), col("cos"))
     val salted = scored.withColumn("salt", pmod(col("vec_id"), lit(salts)))
     val w1 = Window.partitionBy(col("query_id"), col("salt"))
@@ -333,35 +347,45 @@ object SimilarityOps {
     * and probing touches only matching buckets. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    // Norms hoisted out of every pair loop (q166/batchQuery discipline):
+    // each row/centroid/query norm is computed once, and every score
+    // divides by the same Multiply(√aa, √bb) — bit-identical results.
     val centroids = kmeansCentroids(corpus, nCells, iters)
+      .withColumn("cn", l2Norm(col("centroid")))
     // Round-before-argmax + lowest-cell tie-break: the same assignment
     // rule as the training rounds and IvfIndex.assignToCentroids — one
     // decision rule everywhere.
     val indexed = corpus
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+      .withColumn("vn", l2Norm(col("vec")))
       .crossJoin(broadcast(centroids))
       .withColumn("cos4",
-        floor(cosine(col("vec"), col("centroid")) * 10000 + lit(0.5)) / 10000)
+        floor(dot(col("vec"), col("centroid")) / (col("vn") * col("cn"))
+          * 10000 + lit(0.5)) / 10000)
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cell"), col("vec")),
         struct(col("cos4"), -col("cell"))).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.vec").as("vec"))
+      .withColumn("vn", l2Norm(col("vec")))
 
     // Tiny per-query probe list: query × centroid (both broadcast-scale).
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))
     val probes = queries
       .select(col("vec_id").as("query_id"), toDoubleArray(col("embedding")).as("qvec"))
+      .withColumn("qn", l2Norm(col("qvec")))
       .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col("qvec"), col("centroid")))
+      .withColumn("ccos", dot(col("qvec"), col("centroid"))
+        / (col("qn") * col("cn")))
       .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("cell"))
+      .select(col("query_id"), col("qvec"), col("qn"), col("cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     indexed.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .withColumn("cos", dot(col("vec"), col("qvec"))
+        / (col("vn") * col("qn")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"),
         round(col("cos"), 4).as("cosine"))
@@ -408,13 +432,17 @@ object SimilarityOps {
         // every per-table lshBucket expression twice more per row.
         posexplode_outer(array((0 until tables).map(bucketFor): _*))
           .as(Seq("tbl", "bucket")))
+        // norm hoisted out of the candidate loop (q166/batchQuery
+        // discipline); dot/(·) below is the identical IEEE tree
+        .withColumn(vecAs + "_n", l2Norm(col(vecAs)))
     val cb = withBuckets(corpus, "vec_id", "vec")
     val qb = broadcast(withBuckets(queries, "query_id", "qvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cb.join(qb, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("vec"), col("qvec")))
+      .withColumn("cos", dot(col("vec"), col("qvec"))
+        / (col("vec_n") * col("qvec_n")))
       // A pair colliding in several tables produces identical rows —
       // dedup before ranking.
       .select(col("query_id"), col("vec_id"), col("cos")).distinct()
