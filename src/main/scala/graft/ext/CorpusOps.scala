@@ -315,18 +315,22 @@ object CorpusOps {
     *
     * Shape at 100 TB (the inverted-index shape without materializing an
     * index):
-    *   - ONE corpus tokenize pass; the query-term `isin` filter prunes the
-    *     token stream BEFORE the tf shuffle, so the per-(doc, term)
-    *     aggregate only ever sees postings for the query vocabulary — the
-    *     whole scoring pipeline is sized by candidate docs, not the corpus;
-    *   - document length (dl) is a second corpus-pass aggregate (it needs
-    *     ALL tokens); N and Σdl ride along as 1-row broadcast aggregates —
-    *     no driver-side count();
-    *   - df comes from the already-filtered tf aggregate (df of a term
-    *     only depends on docs containing it), so no full-vocabulary
-    *     aggregate exists anywhere;
+    *   - ONE corpus tokenize pass and ONE doc-keyed hash aggregate yield
+    *     BOTH the document length (count of all tokens) and the per-term
+    *     tf (one conditional count per query term — the term set is a
+    *     small literal, so the aggregate is 1 + |terms| longs per doc).
+    *     Until r13 dl, Σdl and tf were three separate aggregates, each
+    *     re-tokenizing the corpus (guide §1.2: the tokenize HOF chain was
+    *     the dominant per-task cost, paid 3×);
+    *   - Σdl re-aggregates the per-doc dl (never a second corpus pass);
+    *     N and Σdl ride along as 1-row broadcast aggregates — no
+    *     driver-side count();
+    *   - the tf unpivot keeps only tf > 0 rows, so everything downstream
+    *     is sized by candidate docs, not the corpus; df comes from that
+    *     already-filtered frame (df of a term only depends on docs
+    *     containing it) — no full-vocabulary aggregate exists anywhere;
     *   - query terms and df broadcast into the scoring join; the only
-    *     corpus-sized shuffles are the two token aggregates;
+    *     corpus-sized shuffle is the single per-doc aggregate;
     *   - per-query top-k is a window over candidate docs only.
     *
     * Determinism: each per-term contribution is floored to integer
@@ -349,14 +353,29 @@ object CorpusOps {
     val toks = docs.select(col(idCol),
         explode_outer(TextOps.tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = docs.agg(count(lit(1)).as("nd"))
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("sumdl"))))
-    val tf = toks.filter(col("tok").isin(termSet: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-      // Consumed twice (df below + the scoring join); candidate-sized,
-      // never corpus-sized.
+    // ONE pass over the token stream: dl = count of ALL tokens, tf_i =
+    // conditional count of query term i — same integers as the separate
+    // dl / filtered-tf aggregates this replaces (see scaladoc).
+    val termTfs = termSet.zipWithIndex.map { case (t, i) =>
+      count(when(col("tok") === t, 1)).as(s"__tf$i")
+    }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), termTfs: _*)
+      // Consumed by Σdl AND the tf unpivot; one row per doc, never
+      // token-stream-sized.
       .localCheckpoint()
+    val stats = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(perDoc.agg(sum(col("dl")).as("sumdl"))))
+    // Unpivot to (doc, dl, tok, tf) candidate postings: lit(term) structs
+    // (not a stack() SQL string, so terms never need escaping); tf = 0
+    // rows are exactly the postings the old filtered aggregate never saw.
+    val tfArr = array(termSet.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("tok"), col(s"__tf$i").as("tf"))
+    }: _*)
+    val tf = perDoc.select(col(idCol), col("dl"), explode(tfArr).as("e"))
+      .select(col(idCol), col("dl"), col("e.tok").as("tok"),
+        col("e.tf").as("tf"))
+      .where(col("tf") > 0)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // Mirrors the oracle exactly:
     //   LN(1 + (nd - df + 0.5) / (df + 0.5))
@@ -367,10 +386,9 @@ object CorpusOps {
     val norm = lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl
     val contrib = idf * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * norm)
-    val scored = tf
+    val scored = tf // dl rides the posting row — no per-doc join needed
       .join(qterms, "tok")
       .join(broadcast(dfreq), "tok")
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("un", floor(contrib * 1000000).cast("long"))
       .groupBy(col("query_id"), col(idCol))

@@ -62,7 +62,20 @@ object FuzzyOps {
   /** All pairs (a, b), `a.id < b.id`, with `levenshtein(a.str, b.str) <= 1`
     * — exact, one variant shuffle plus two id hash-joins, never quadratic.
     * Output: (a_key, b_key, dist), ordered. NULL strings never match
-    * (SQL LEVENSHTEIN-on-NULL semantics). */
+    * (SQL LEVENSHTEIN-on-NULL semantics).
+    *
+    * The bucket shuffle carries `xxhash64(variant)` instead of the variant
+    * STRING (r13, guide §2.3 narrow-the-wire / VERDICT r12 #5): the
+    * deletion neighborhood only needs to decide which ids MIGHT pair, and
+    * the levenshtein verify already re-derives the truth from the strings
+    * — so 8 bytes of hash per exploded variant cross the exchange instead
+    * of the (len−1)-char variant text, at `len+1` variants per row. A
+    * 64-bit collision between distinct variants can only ADD a candidate
+    * pair, which the verify drops; exactness is unchanged. (Theoretical
+    * caveat, shared with every hashed-bucket scheme here: a collision
+    * could also push a merged bucket past `maxBucket` — at p ≈ n²/2⁶⁴
+    * that is the same class of event as an md5 fingerprint collision the
+    * dedup family already accepts.) */
   def selfJoinEd1(df: DataFrame, idCol: String, strCol: String,
       maxBucket: Int = 4096): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
@@ -71,16 +84,25 @@ object FuzzyOps {
     // parallelism (one task on a single-row-group fixture file). The two
     // verify join-backs keep the un-fanned base (they broadcast/join by
     // id and do no per-row heavy work).
-    val cand = selfJoinEd1Buckets(graft.ext.Par.fanOut(base), "id", "s")
-      // Degenerate-bucket guard (see scaladoc); ≤ maxBucket keeps the
-      // per-bucket pair expansion bounded at maxBucket²/2.
-      .where(size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |            y -> struct(x AS a, y AS b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    val cand = graft.ext.Par.fanOut(base)
+      .select(col("id"), explode_outer(del1Variants(col("s"))).as("variant"))
+      .where(col("variant").isNotNull)
+      .select(col("id"), xxhash64(col("variant")).as("vh"))
+      .groupBy(col("vh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // ≥ 2: only shared keys can pair. ≤ maxBucket: degenerate-bucket
+      // guard (see scaladoc) — keeps the per-bucket pair expansion
+      // bounded at maxBucket²/2.
+      .where(size(col("ids")).between(2, maxBucket))
+      // Two-level explode (the coActivityEdges discipline): posexplode
+      // streams one row per member, each row then explodes only its own
+      // O(bucket) partner slice — identical pair multiset, per-row memory
+      // bounded by the id list instead of the pair count (the old
+      // flatten(transform(...)) built the full maxBucket²/2 struct array
+      // as ONE value before Generate could stream it).
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a_id")))
+      .select(col("a_id"),
+        explode(expr("slice(ids, i + 2, size(ids))")).as("b_id"))
       .distinct()
     cand
       .join(base.select(col("id").as("a_id"), col("s").as("a_s")), "a_id")

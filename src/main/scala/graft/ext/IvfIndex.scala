@@ -187,33 +187,74 @@ object IvfIndex {
     * winner between the exact and indexed lanes (ADVICE r10). */
   def batchQuery(spark: SparkSession, path: String, queries: DataFrame,
       k: Int = 10, nProbe: Int = 4, exactCos: Boolean = false): DataFrame = {
+    import spark.implicits._
     import graft.functions.HashFunctions.collectTopK
     val centroids = spark.read.parquet(s"$path/centroids")
+    // Probe selection as a per-row top-nProbe loop over DRIVER-COLLECTED
+    // centroids (r13; the assignCellsMicro/assignToCentroids discipline —
+    // centroids are k = O(√N) rows, the codebook that every executor
+    // needs anyway). The previous spelling crossJoined every query
+    // against every centroid — N·√N ROWS each carrying the 64-dim query
+    // array — and pushed them through a collectTopK heap aggregate +
+    // explode: at batch scale (queries ≈ corpus) that intermediate is
+    // the N^1.5 row blowup itself, all to pick 8 ints per query. The
+    // loop runs the IDENTICAL IEEE sequence per (query, centroid):
+    // ascending-index double dot (ArrayDotProduct's fold),
+    // `dp / (√qq · √cc)` — and selects by the exact collectTopK struct
+    // ordering ((ccos, −cell) largest-first: java.lang.Double.compare,
+    // NaN-largest, ties to the LOWEST cell), so the probed cell SET is
+    // bit-identical. NULL embeddings emit no probes (the crossJoin
+    // scored them to NULL, which the heap likewise never ranked above a
+    // real score). Downstream only the (query, cell) set matters — the
+    // final per-query heap re-ranks candidates from scratch.
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cell"), col("centroid")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1)
+    val cnorms: Array[Double] = cents.map { case (_, cd) =>
+      var cc = 0.0d; var i = 0
+      while (i < cd.length) { cc += cd(i) * cd(i); i += 1 }
+      math.sqrt(cc)
+    }
+    val bc = spark.sparkContext.broadcast((cents, cnorms))
+    val probes = queries
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cs, nc) = bc.value
+        it.flatMap { case (qid, qvec) =>
+          if (qvec == null || cs.isEmpty) Iterator.empty
+          else {
+            var qq = 0.0d
+            var i = 0
+            while (i < qvec.length) { qq += qvec(i) * qvec(i); i += 1 }
+            val qn = math.sqrt(qq)
+            val scored = new Array[(Double, Int)](cs.length)
+            var c = 0
+            while (c < cs.length) {
+              val cd = cs(c)._2
+              var dp = 0.0d
+              val n = math.min(qvec.length, cd.length)
+              i = 0
+              while (i < n) { dp += qvec(i) * cd(i); i += 1 }
+              scored(c) = (dp / (qn * nc(c)), cs(c)._1)
+              c += 1
+            }
+            // (ccos DESC via Double.compare — NaN largest, cell ASC):
+            // exactly collectTopK's (ccos, -cell) largest-first order.
+            val top = scored.sortWith { (a, b) =>
+              val cmp = java.lang.Double.compare(a._1, b._1)
+              if (cmp != 0) cmp > 0 else a._2 < b._2
+            }.take(nProbe)
+            top.iterator.map(t => (qid, qvec, qn, t._2))
+          }
+        }
+      }.toDF("query_id", "qvec", "qnorm", "cell")
     // Norms hoist to per-ROW projections on each side: `cosine()` inline
     // would recompute sqrt(dot(a,a)) and sqrt(dot(b,b)) per PAIR, and the
     // candidate stage evaluates N·|cell|·nProbe pairs — the suite's
     // single largest FMA bill at scale (3× the dots actually needed).
     // Value-identical: the division still sees Multiply(√aa, √bb).
-    val probes = queries
-      .select(col("vec_id").as("query_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qvec"))
-      .withColumn("qnorm", SimilarityOps.l2Norm(col("qvec")))
-      .crossJoin(broadcast(
-        centroids.withColumn("cnorm", SimilarityOps.l2Norm(col("centroid")))))
-      .withColumn("ccos", SimilarityOps.dot(col("qvec"), col("centroid")) /
-        (col("qnorm") * col("cnorm")))
-      .groupBy(col("query_id"))
-      .agg(
-        collectTopK(struct(col("ccos"), (-col("cell")).as("nc")), nProbe,
-          reverse = false).as("tops"),
-        // every row of the group carries the same qvec/qnorm — first()
-        // is deterministic here
-        first(col("qvec")).as("qvec"),
-        first(col("qnorm")).as("qnorm"))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(col("tops")).as("t"))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        (-col("t.nc")).cast("int").as("cell"))
     val posting = spark.read.parquet(s"$path/cells")
       .withColumn("vnorm", SimilarityOps.l2Norm(col("vec")))
     posting.join(probes, "cell") // shuffle join on cell — NO broadcast

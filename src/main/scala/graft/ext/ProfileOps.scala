@@ -57,31 +57,54 @@ object ProfileOps {
     * (interpolating medians average two doubles and can diverge; DuckDB
     * `MEDIAN(int)` interpolates, so the oracle spells ROW_NUMBER too).
     *
-    * Shape at 100 TB: two passes, each = one range shuffle. Ranks come
-    * from [[ShardOps.withGroupRank]] (bounded-memory two-phase group rank —
-    * never a single-reducer `Window.partitionBy(group)`), group counts are
-    * a driver-tiny broadcast, and the per-group medians broadcast back
-    * into the deviation pass. NULL group values profile together (the
-    * null-safe `<=>` join, matching withGroupRank's NULL handling).
+    * Shape at 100 TB (r13, guide §2.3 "aggregate before you shuffle"):
+    * both medians are VALUE-ONLY statistics — the value at rank
+    * `(n+1) div 2` depends on the multiset of values, never on which row
+    * carries which tie-breaker — so the base is hash-aggregated ONCE to
+    * `(group, value, count)` (map-side combinable) and everything after
+    * runs on that bounded frame: each median is the weighted-crossing
+    * filter over the two-phase per-group prefix sum
+    * ([[ShardOps.withGroupPrefix]] with the count as the value — the
+    * [[weightedMedian]] construction), and the deviation pass re-buckets
+    * the AGGREGATED frame by |v − med|. Until r13 this range-shuffled
+    * every raw row TWICE (once per rank pass) and re-scanned `df` three
+    * times; now one scan, one full-width aggregate, and two range
+    * shuffles of the distinct-value frame (≤ distinct values × groups
+    * rows — for integral profile columns, orders of magnitude below row
+    * count). Memory stays bounded for ANY value domain: the distinct
+    * frame still range-partitions, never a per-group window. `tieCol` is
+    * retained for API stability; the value-only construction no longer
+    * consumes it. NULL values rank first (ascending NULLS FIRST), NULL
+    * group values profile together (null-safe `<=>` joins) — both as
+    * before.
     *
     * Output: (`groupCol`, med, mad) ordered by the group. */
   def groupedMad(df: DataFrame, groupCol: String, valCol: String,
       tieCol: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol).as("__gc"))
-      .agg(count(lit(1)).as("__n"))
-    def lowerMedian(in: DataFrame, v: String, out: String): DataFrame =
-      ShardOps.withGroupRank(in, groupCol, Seq(col(v), col(tieCol)))
-        .join(broadcast(counts), col(groupCol) <=> col("__gc"))
-        .filter(col("__grn") === expr("(__n + 1) div 2"))
-        .select(col(groupCol), col(v).as(out))
-    val base = df.select(col(groupCol), col(valCol), col(tieCol))
-    val med = lowerMedian(base, valCol, "med")
-    val dev = base
+    val vcounts = df.select(col(groupCol), col(valCol).as("__v"))
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // ONE scan of df serves n + both median passes
+    val n = vcounts.groupBy(col(groupCol).as("__gc"))
+      .agg(sum(col("__c")).as("__n"))
+    // Value at 1-based rank (n+1) div 2: the unique value whose cumulative
+    // count interval (cum − c, cum] covers the rank — identical to ranking
+    // every raw row and keeping rank (n+1) div 2 (ties all carry the same
+    // value, so the tie-break order cannot change the value at any rank).
+    def lowerMedian(in: DataFrame, out: String): DataFrame =
+      ShardOps.withGroupPrefix(in, groupCol, Seq(col("__v")), Some("__c"),
+          "__cum")
+        .join(broadcast(n), col(groupCol) <=> col("__gc"))
+        .filter(col("__cum") >= expr("(__n + 1) div 2") &&
+          col("__cum") - col("__c") < expr("(__n + 1) div 2"))
+        .select(col(groupCol), col("__v").as(out))
+    val med = lowerMedian(vcounts, "med")
+    val devCounts = vcounts
       .join(broadcast(med.withColumnRenamed(groupCol, "__gm")),
         col(groupCol) <=> col("__gm"))
-      .withColumn("__adev", abs(col(valCol) - col("med")))
-      .select(col(groupCol), col("med"), col("__adev"), col(tieCol))
-    lowerMedian(dev, "__adev", "mad")
+      .select(col(groupCol), abs(col("__v") - col("med")).as("__v"),
+        col("__c"))
+      .groupBy(col(groupCol), col("__v")).agg(sum(col("__c")).as("__c"))
+    lowerMedian(devCounts, "mad")
       .join(broadcast(med.withColumnRenamed(groupCol, "__gm")),
         col(groupCol) <=> col("__gm"))
       .select(col(groupCol), col("med"), col("mad"))

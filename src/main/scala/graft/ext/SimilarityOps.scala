@@ -427,14 +427,20 @@ object SimilarityOps {
     def withBuckets(df: DataFrame, idAs: String, vecAs: String) =
       df.select(col("vec_id").as(idAs),
         toDoubleArray(col("embedding")).as(vecAs),
+        col("embedding"))
+        // norm hoisted out of the candidate loop (q166/batchQuery
+        // discipline) AND computed BEFORE the per-table explode (r12
+        // ADVICE: after the posexplode it was re-folded once per
+        // (row × table) — `tables`× more norm folds than needed); the
+        // column carries through the explode unchanged, and dot/(·)
+        // below is the identical IEEE tree either way.
+        .withColumn(vecAs + "_n", l2Norm(col(vecAs)))
         // _outer: the table array is never empty (tables >= 1) and a
         // non-outer explode would get an inferred pre-filter duplicating
         // every per-table lshBucket expression twice more per row.
-        posexplode_outer(array((0 until tables).map(bucketFor): _*))
-          .as(Seq("tbl", "bucket")))
-        // norm hoisted out of the candidate loop (q166/batchQuery
-        // discipline); dot/(·) below is the identical IEEE tree
-        .withColumn(vecAs + "_n", l2Norm(col(vecAs)))
+        .select(col(idAs), col(vecAs), col(vecAs + "_n"),
+          posexplode_outer(array((0 until tables).map(bucketFor): _*))
+            .as(Seq("tbl", "bucket")))
     val cb = withBuckets(corpus, "vec_id", "vec")
     val qb = broadcast(withBuckets(queries, "query_id", "qvec"))
     val w = Window.partitionBy(col("query_id"))

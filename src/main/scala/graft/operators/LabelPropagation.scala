@@ -36,7 +36,7 @@ object LabelPropagation {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // neighbor labels: edge (src <- dst's current label)
       val neigh = e
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -48,7 +48,12 @@ object LabelPropagation {
         .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("label"))
-      labels = next.localCheckpoint()
+      // every-2nd-round checkpoint (r13, VERDICT r12 #3): a round's label
+      // frame is consumed exactly once (the next round's join), so a
+      // 2-round-deep lazy plan recomputes nothing and the eager
+      // materialization job per round was pure fixed cost; lineage stays
+      // bounded at two rounds. Same cadence as [[PageRank.ranks]].
+      labels = if (i % 2 == 0 && i < iters) next.localCheckpoint() else next
     }
     labels
   }

@@ -48,17 +48,25 @@ object PageRank {
       .localCheckpoint() // static join side: materialize once
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
     var r = nodes.select(col("node"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, col("src") === col("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) +
             floor(coalesce(col("s"), lit(0L)).cast("double") * 0.85)
               .cast("long")).as("rank"))
-        .localCheckpoint() // keep lineage iteration-constant
+      // Checkpoint every SECOND iteration (r13, VERDICT r12 #3): each
+      // rank frame is consumed exactly once (the next iteration's join),
+      // so a 2-iteration-deep lazy plan recomputes nothing — the eager
+      // materialization JOB per iteration was pure fixed cost. Lineage
+      // stays bounded at two iterations (never the full driver-loop
+      // plan-growth trap); the final frame stays lazy for the caller's
+      // one action. (r12 measured the two extremes — every iteration vs
+      // never; this is the measured middle.)
+      r = if (i % 2 == 0 && i < iters) next.localCheckpoint() else next
     }
     r
   }
@@ -90,17 +98,18 @@ object PageRank {
       .localCheckpoint()
     var r = base.select(col("node"),
       (col("is_seed") * lit(1000000L)).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r, col("src") === col("node"))
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      r = base.join(contrib, Seq("node"), "left")
+      val next = base.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (col("is_seed") * lit(150000L) +
             floor(coalesce(col("s"), lit(0L)).cast("double") * 0.85)
               .cast("long")).as("rank"))
-        .localCheckpoint()
+      // every-2nd-iteration checkpoint — see [[ranks]]
+      r = if (i % 2 == 0 && i < iters) next.localCheckpoint() else next
     }
     r
   }

@@ -3848,15 +3848,23 @@ object Queries {
     graft.operators.Triangles.perNode(edges)
   }
 
-  /** Shared q119/q123 co-activity edge builder: users sharing ≥
+  /** Shared q119/q123/q132 co-activity edge builder: users sharing ≥
     * `minShared` (event_type, hour) cells. Pair generation collapses each
     * cell to a SORTED user list and explodes ordered pairs in place — the
     * FuzzyOps bucket discipline — instead of self-joining two copies of
     * the cell frame: the cell frame is shuffled ONCE (not twice), and the
     * u<v pair stream is produced directly from the sorted list, so the
     * pair SET (and the integer shared-counts) is exactly the join
-    * spelling's. The quadratic stays cell-bounded either way; a hot
-    * cell's pair expansion runs in one task under both shapes. */
+    * spelling's. The quadratic stays cell-bounded either way.
+    *
+    * Pair expansion is a TWO-LEVEL explode (r13, ADVICE r12): the old
+    * `flatten(transform(...))` evaluated the ENTIRE O(n²/2) pair-struct
+    * array of a cell as ONE value before Generate could stream it — a hot
+    * production cell (many users active in one hour) would allocate the
+    * whole quadratic in a single task row. posexplode streams one
+    * (position, user) row per member, then each row explodes only its
+    * own O(n) partner slice — identical pair multiset, per-row memory
+    * bounded by the cell's member list instead of its pair count. */
   private def coActivityEdges(ev: DataFrame, minShared: Int): DataFrame =
     ev.select(col("user_id"),
         col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
@@ -3864,12 +3872,9 @@ object Queries {
       .groupBy(col("event_type"), col("h"))
       .agg(sort_array(collect_list(col("user_id"))).as("us"))
       .filter(size(col("us")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(us, (x, i) ->
-          |  transform(slice(us, i + 2, size(us)),
-          |            y -> struct(x AS u, y AS v))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .select(col("us"), posexplode(col("us")).as(Seq("i", "u")))
+      .select(col("u"), explode(expr("slice(us, i + 2, size(us))")).as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .select(col("u"), col("v"))
@@ -4229,6 +4234,12 @@ object Queries {
           .as("grp"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy(col("grp"), col("day")).agg(count(lit(1)).as("cnt"))
+      // robustOutliers consumes its input twice (the med/mad passes and
+      // the flag join) — uncheckpointed, each consumer re-scanned and
+      // re-aggregated the full event stream. The daily frame is
+      // (event_type × 24 × days) rows — tiny at any scale — so pin it
+      // and scan events ONCE (r13; the semDedup/q137 discipline).
+      .localCheckpoint()
     graft.ext.ProfileOps.robustOutliers(daily, "grp", "cnt", "day",
       zTenths = 20)
   }
@@ -5580,16 +5591,12 @@ object Queries {
     * semantics — not just the fixpoint — is cross-engine-checked. */
   private def q132(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-    val cells = ev.select(col("user_id"),
-        col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
-      .distinct()
-    val a = cells.select(col("user_id").as("u"), col("event_type"), col("h"))
-    val b = cells.select(col("user_id").as("v"), col("event_type"), col("h"))
-    val und = a.join(b, Seq("event_type", "h"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 3)
-      .select(col("u"), col("v"))
+    // shared bucket-explode edge builder — see [[coActivityEdges]] (q119):
+    // the same co-activity graph (minShared = 3), which until r13 was
+    // still spelled here as the cell-frame SELF-JOIN the r12 round
+    // replaced for q119/q123 — one shuffle of the cell frame, not two,
+    // provably the identical pair set.
+    val und = coActivityEdges(ev, minShared = 3)
     val edges = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     graft.operators.LabelPropagation.run(edges, iters = 3)
